@@ -1,0 +1,195 @@
+"""Scalar text functions — the reference's per-line transforms (SURVEY §2.2)
+re-expressed as native Spark column expressions (JVM-side, inside
+whole-stage codegen; no Python in the hot path), plus the text-analysis
+operators a training-data pipeline needs (lang-id, quality, token
+counts, fingerprints).
+
+Reference parity notes (cited file:line into /root/reference):
+  - char extraction `word[0]`            my_ner.py:77        -> char_extract
+  - CJK-only filter  一..龥              clean_corpus.py:39-48 -> cjk_only
+  - codepoint decode U+hex -> char       my_ner.py:142,210   -> unicode_decode
+  - IDC range predicate U+2FF0..U+2FFB   my_ner.py:302-312   -> is_idc
+  - annotation strip  []GTJKVH'          my_ner.py:209       -> strip_annotations
+  - char split                           word_to_radical.py:71 -> char_split
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# identifier-ish tokens in source code; shared by the Spark pipeline,
+# the DuckDB oracles, and the pure-Python golden oracle (synth.py)
+TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+# ---- reference per-char transforms ----------------------------------------
+
+def char_extract(col) -> Column:
+    """First char of surface token (drops Weibo positional suffix 科0->科)."""
+    return F.substring(F.col(col) if isinstance(col, str) else col, 1, 1)
+
+
+def cjk_only(col) -> Column:
+    """Keep only CJK chars in U+4E00..U+9FA5 (clean_corpus.py:39-48)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[^一-龥]", "")
+
+
+def unicode_decode(col) -> Column:
+    """'U+4E2D' -> '中' (my_ner.py:142)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.char(F.conv(F.substring(c, 3, 8), 16, 10).cast("long"))
+
+
+def is_idc(col) -> Column:
+    """Ideographic Description Character predicate, U+2FF0..U+2FFB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike("[⿰-⿻]")
+
+
+def strip_annotations(col) -> Column:
+    """Strip CHISE IDS source annotations []GTJKVH' (my_ner.py:209)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, "[]GTJKVH'", "")
+
+
+def char_split(col) -> Column:
+    """String -> array of single chars (word_to_radical.py:71)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split on empty pattern yields one element per char in Spark
+    return F.split(c, "")
+
+
+# ---- row invariant ---------------------------------------------------------
+
+def content_sha256(col) -> Column:
+    """Per-row invariant: sha256 of raw content (north-rule contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+# ---- tokenization ----------------------------------------------------------
+
+def tokens(col) -> Column:
+    """All identifier tokens of a code/text blob, in order (array<string>).
+
+    Native `regexp_extract_all` — stays in codegen; the DuckDB oracle
+    uses the same RE2-compatible pattern.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def ws_token_count(col) -> Column:
+    """Whitespace-delimited token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-flavored token count: words + digits runs + punctuation singles.
+
+    Approximates subword tokenizer output size with a pure regex —
+    good enough for corpus budgeting at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+# ---- language id (n-gram/stopword heuristic) -------------------------------
+
+_EN_STOP = r"(?i)\b(the|and|of|to|in|is|was|for|with|that)\b"
+_DE_STOP = r"(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b"
+_FR_STOP = r"(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b"
+_ES_STOP = r"(?i)\b(el|los|las|es|una|para|con|por|del|como)\b"
+
+
+def lang_id(col) -> Column:
+    """Heuristic language id via stopword hit counts + CJK ratio.
+
+    Deterministic, SQL-expressible (the DuckDB oracle mirrors it), and
+    entirely JVM-side — the scale path for 100 TB language bucketing.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cjk = F.length(cjk_only(c))
+    n = F.greatest(F.length(c), F.lit(1))
+    en = F.size(F.regexp_extract_all(c, F.lit(_EN_STOP), 0))
+    de = F.size(F.regexp_extract_all(c, F.lit(_DE_STOP), 0))
+    fr = F.size(F.regexp_extract_all(c, F.lit(_FR_STOP), 0))
+    es = F.size(F.regexp_extract_all(c, F.lit(_ES_STOP), 0))
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(cjk / n > 0.25, F.lit("zh"))
+        .when(best == 0, F.lit("unk"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+# ---- quality scoring -------------------------------------------------------
+
+def quality_features(col) -> dict[str, Column]:
+    """Length / punctuation / stopword / word-length features for filtering.
+
+    Returns named columns; the composite `quality_score` is a simple
+    monotone blend in [0,1].
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_words = ws_token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(F.regexp_extract_all(c, F.lit(_EN_STOP), 0))
+    mean_word_len = (n_chars / F.greatest(n_words, F.lit(1))).cast("double")
+    punct_ratio = (n_punct / F.greatest(n_chars, F.lit(1))).cast("double")
+    stop_ratio = (n_stop / F.greatest(n_words, F.lit(1))).cast("double")
+    score = (
+        F.when(n_chars < 20, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), n_chars / F.lit(2000.0)) * 0.4
+            + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.3).otherwise(0.0)
+            + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+            + F.least(F.lit(1.0), stop_ratio * 5) * 0.1
+        )
+        .cast("double")
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+# ---- document fingerprinting ----------------------------------------------
+
+def normalized_text(col) -> Column:
+    """Casefold + collapse whitespace — canonical form for dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(col) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (matches DuckDB md5)."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col, k: int = 5) -> Column:
+    """Word k-gram shingles of normalized text (array<string>)."""
+    toks = F.split(normalized_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def winnow_fingerprint(col, k: int = 5) -> Column:
+    """Min-of-shingle-hashes document fingerprint (winnowing-style).
+
+    md5-based so the DuckDB oracle reproduces it bit-for-bit; at scale
+    this is one array expression per row, no shuffle, no Python.
+    """
+    return F.array_min(F.transform(shingles(col, k), F.md5))

@@ -1,0 +1,159 @@
+"""Dictionary builders — reference operators D1–D9 (SURVEY §2.3).
+
+The reference builds insert-order dicts driver-side (`build_map`,
+my_ner.py:119-129). Here the same semantics — ids assigned in global
+first-occurrence order — are one distributed aggregation:
+
+    tokens -> groupBy(token).agg(min(occurrence_key)) -> row_number()
+
+The final `row_number` over a global ORDER BY is a single-partition
+window; that is fine because the *dictionary* (distinct tokens) is
+orders of magnitude smaller than the corpus — the heavy lifting
+(groupBy min) is fully parallel with map-side partial aggregation.
+Applying a dictionary is always a broadcast left join + coalesce
+(the UNK/default-fallback semantics of my_ner.py:364-367, 153).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNK, PAD, START, END = "<UNK>", "<PAD>", "<START>", "<END>"
+
+
+def build_map(tokens_df: DataFrame, token_col: str = "token",
+              order_cols: tuple[str, ...] = ("sent_id", "pos")) -> DataFrame:
+    """D1: first-occurrence-ordered contiguous ids, starting at 0.
+
+    `order_cols` define the global occurrence order (e.g. (sent_id, pos)
+    at token grain). Matches reference id assignment exactly
+    (my_ner.py:119-129): first distinct token seen -> id 0, etc.
+    """
+    # lexicographic first occurrence needs min over the *combined* key:
+    # independent min(sent_id), min(pos) would mix positions from
+    # different occurrences. Structs compare lexicographically.
+    first = tokens_df.groupBy(token_col).agg(
+        F.min(F.struct(*[F.col(c) for c in order_cols])).alias("_first")
+    )
+    w = Window.orderBy(F.col("_first"), F.col(token_col))
+    return first.select(
+        F.col(token_col).alias("token"),
+        (F.row_number().over(w) - 1).cast("long").alias("id"),
+    )
+
+
+def with_sentinels(vocab: DataFrame, sentinels: tuple[str, ...] = (UNK, PAD, START)) -> DataFrame:
+    """D2: append sentinel tokens after the vocabulary (my_ner.py:106-112)."""
+    spark = vocab.sparkSession
+    n = vocab.count()
+    extra = spark.createDataFrame(
+        [(s, n + i) for i, s in enumerate(sentinels)], schema="token string, id long"
+    )
+    return vocab.unionByName(extra)
+
+
+def apply_map(df: DataFrame, vocab: DataFrame, token_col: str,
+              out_col: str, default_token: str = UNK) -> DataFrame:
+    """P9/B3: dictionary lookup with UNK fallback — broadcast left join.
+
+    `coalesce(id, unk_id)` reproduces `d.get(tok, d['<UNK>'])`
+    (my_ner.py:364-367). Broadcast keeps this shuffle-free at any corpus
+    size; the dictionary side is the small one by construction.
+    """
+    unk_row = vocab.filter(F.col("token") == default_token).select("id").collect()
+    unk_id = unk_row[0][0] if unk_row else None
+    joined = df.join(
+        F.broadcast(vocab.withColumnRenamed("token", token_col).withColumnRenamed("id", out_col)),
+        on=token_col,
+        how="left",
+    )
+    if unk_id is not None:
+        joined = joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(unk_id)))
+    return joined
+
+
+def union_vocab(old: DataFrame, new_tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """D9: extend an existing vocab with unseen tokens, preserving old ids
+    (gensim `build_vocab(update=True)`, withW2V.py:112-117)."""
+    start = old.agg(F.max("id")).collect()[0][0] + 1
+    fresh = (
+        new_tokens.select(F.col(token_col).alias("token"))
+        .distinct()
+        .join(old.select("token"), "token", "left_anti")
+    )
+    w = Window.orderBy("token")
+    fresh_ids = fresh.select("token", (F.row_number().over(w) - 1 + start).cast("long").alias("id"))
+    return old.unionByName(fresh_ids)
+
+
+def build_radical_map(vocab: DataFrame, unihan: DataFrame, default_radical: int = 0) -> DataFrame:
+    """D4: char-id -> radical index with default 0 fill (my_ner.py:132-183).
+
+    The reference's O(n^2) dense re-sort loop (my_ner.py:169-176)
+    collapses to one broadcast left join + coalesce; dedupe keeps the
+    first Unihan row per char (row_number()=1), mirroring the dict
+    overwrite-then-first-wins behavior at my_ner.py:150-160.
+    """
+    w = Window.partitionBy("char").orderBy("radical", "stroke")
+    uni = (
+        unihan.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("char", "radical")
+    )
+    return (
+        vocab.withColumnRenamed("token", "char")
+        .join(F.broadcast(uni), "char", "left")
+        .select(
+            "char",
+            "id",
+            F.coalesce(F.col("radical"), F.lit(default_radical)).cast("int").alias("radical"),
+        )
+        .orderBy("id")
+    )
+
+
+def dummy_radical_map(vocab: DataFrame) -> DataFrame:
+    """D6: all-zeros radical table (feature disabled; my_ner.py:186-191)."""
+    return vocab.select(F.col("token").alias("char"), "id", F.lit(0).alias("radical"))
+
+
+_IDC_RANGE = "[⿰-⿻]"  # U+2FF0..U+2FFB (my_ner.py:302-312)
+_PAD_COMPONENT = "⬚"
+
+
+def build_components_map(vocab: DataFrame, chise: DataFrame) -> DataFrame:
+    """D5: char -> exactly [IDC, DC1, DC2] components (my_ner.py:194-299).
+
+    Normalization rules, re-expressed as array expressions:
+      - non-decomposable char (decomposition == itself or empty):
+        self x 3                                  (my_ner.py:254-257)
+      - else: first IDC + first two non-IDC components
+                                                  (my_ner.py:262-272)
+      - single DC duplicated, missing slots padded with ⬚
+                                                  (my_ner.py:273-279)
+    Returns (char, id, components array<string>[3]).
+    """
+    chars_arr = F.array_compact(F.split(F.col("decomposition"), ""))
+    idcs = F.filter(chars_arr, lambda c: c.rlike(_IDC_RANGE))
+    dcs = F.filter(chars_arr, lambda c: ~c.rlike(_IDC_RANGE))
+    first_idc = F.coalesce(F.element_at(idcs, 1), F.lit(_PAD_COMPONENT))
+    dc1 = F.coalesce(F.element_at(dcs, 1), F.lit(_PAD_COMPONENT))
+    dc2 = F.coalesce(F.element_at(dcs, 2), F.element_at(dcs, 1), F.lit(_PAD_COMPONENT))
+    decomposable = (F.length(F.col("decomposition")) > 1) & (F.col("decomposition") != F.col("char"))
+    comp = F.when(decomposable, F.array(first_idc, dc1, dc2)).otherwise(
+        F.array(F.col("char"), F.col("char"), F.col("char"))
+    )
+    chise_norm = chise.select("char", comp.alias("components"))
+    return (
+        vocab.withColumnRenamed("token", "char")
+        .join(F.broadcast(chise_norm), "char", "left")
+        .select(
+            "char",
+            "id",
+            F.coalesce(
+                F.col("components"),
+                F.array(F.col("char"), F.col("char"), F.col("char")),
+            ).alias("components"),
+        )
+    )

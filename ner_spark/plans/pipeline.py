@@ -1,0 +1,42 @@
+"""End-to-end KG pipeline: files -> mentions -> (link/canonicalize) -> triples.
+
+The flagship lifecycle (SURVEY §3.3's serving path, re-expressed):
+one scan, one mapInPandas (mention automaton), one broadcast join, one
+self-join, all planned by Catalyst. `file_key` is content-derived
+(repo/path) — never monotonically_increasing_id — so results are
+identical at any parallelism (north-rule determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark import synth
+from ner_spark.functions.text import content_sha256
+from ner_spark.operators.mentions import mention_spans
+from ner_spark.operators.triples import all_triples
+
+
+def with_file_key(files: DataFrame) -> DataFrame:
+    """Stable key + the sha256 row invariant (input_hint contract)."""
+    return files.withColumn("file_key", F.concat_ws("/", "repo", "path")).withColumn(
+        "content_sha256", content_sha256("content")
+    )
+
+
+def extract_triples(
+    files: DataFrame,
+    gazetteer: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """files(repo,path,commit,lang,content) -> distinct (subj,pred,obj)."""
+    gaz = gazetteer if gazetteer is not None else synth.gazetteer_rows()
+    keyed = with_file_key(files)
+    mentions = mention_spans(keyed, gaz)
+    return all_triples(keyed, mentions)
+
+
+def run_synthetic(spark: SparkSession, sf: float = 0.001) -> DataFrame:
+    """Generate the synthetic corpus at `sf` and extract triples."""
+    files = synth.synth_files(spark, synth.n_files_for_sf(sf))
+    return extract_triples(files)
