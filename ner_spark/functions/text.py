@@ -37,9 +37,13 @@ def cjk_only(col) -> Column:
 
 
 def unicode_decode(col) -> Column:
-    """'U+4E2D' -> '中' (my_ner.py:142)."""
+    """'U+4E2D' -> '中' (my_ner.py:142).
+
+    `char()` in Spark is mod-256 ASCII, so decode the codepoint as a
+    UTF-32BE byte sequence instead — correct for the full BMP+SMP.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.char(F.conv(F.substring(c, 3, 8), 16, 10).cast("long"))
+    return F.decode(F.unhex(F.lpad(F.substring(c, 3, 8), 8, "0")), "UTF-32")
 
 
 def is_idc(col) -> Column:

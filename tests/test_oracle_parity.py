@@ -1,0 +1,82 @@
+"""Driver-contract parity: every `queries()` entry with an
+`oracle_sql()` twin must match DuckDB on row count, column names, and
+values (order-insensitive, driver-style column-name sort).
+
+Runs at sf0.001 to stay fast; the driver repeats this at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    data = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return cols_sorted, data
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    qdf = QUERIES[name](spark, sf_dir)
+    spark_cols = list(qdf.columns)
+    spark_rows = [tuple(r) for r in qdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    sc, sr = _normalize(spark_cols, spark_rows)
+    dc, dr = _normalize(duck_cols, duck_rows)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    assert sr == dr, f"{name}: value mismatch (first diff: {_first_diff(sr, dr)})"
+
+
+def _first_diff(a, b):
+    for x, y in zip(a, b):
+        if x != y:
+            return (x, y)
+    return None
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    """Every queries() entry needs an oracle; exemptions must be listed."""
+    exempt = set(getattr(entry_mod, "NO_ORACLE", ()))
+    missing = set(QUERIES) - set(ORACLES) - exempt
+    assert not missing, f"queries without oracle_sql or exemption: {missing}"
