@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 from ner_spark import synth
 from ner_spark.functions import text as X
+from ner_spark.operators import dedup, linking, similarity
+from ner_spark.operators.components import canonicalize_aliases, connected_components
 from ner_spark.plans import pipeline
+
+# queries with no ANSI-SQL-expressible oracle (approximate LSH physical
+# plans whose candidate set depends on seeded hyperplanes); the driver
+# records the weaker rows-only check for these.
+NO_ORACLE = ("ann_lsh_topk", "embedding_near_dups_lsh")
 
 TOKEN_RE = X.TOKEN_RE
 
@@ -286,6 +293,98 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact token-set Jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(d, threshold=0.6)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (native nibble-vote expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash("text").alias("sh"))
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 2 (pigeonhole band join);
+    the oracle is the brute-force all-pairs equivalent."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(d, max_hamming=2).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id % 50 == 0)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-3 via multi-table sign-LSH (scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    return similarity.lsh_topk(e, dim=dim, k=3)
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>=0.95) via LSH buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    return similarity.embedding_near_dups(e, dim=dim, threshold=0.95)
+
+
+def q_entity_link_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 gazetteer link per distinct document token (char-3-gram
+    Jaccard, NIL fallback = the UNK analog of my_ner.py:364-367)."""
+    d = _t(spark, sf_dir, "documents")
+    surfaces = d.select(F.explode(X.tokens("text")).alias("surface"))
+    return linking.link_surfaces(surfaces, _gazetteer_df(spark))
+
+
+def q_tfidf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-ngram TF-IDF cosine link candidates (>=0.3) — the
+    north_star's TF-IDF similarity scorer as a relational plan."""
+    d = _t(spark, sf_dir, "documents")
+    surfaces = d.select(F.explode(X.tokens("text")).alias("surface"))
+    return linking.tfidf_cosine_links(surfaces, _gazetteer_df(spark))
+
+
+def q_alias_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization of the alias dictionary."""
+    return canonicalize_aliases(_gazetteer_df(spark), min_sim=0.5)
+
+
+def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: CC over MinHash pairs; component = min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(d, threshold=0.6).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(pairs, nodes=d.select("doc_id"))
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + running sum),
+    the batch shape of the streaming session_window operator."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("is_new").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -305,6 +404,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "top_orders_per_customer": q_top_orders_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "entity_link_top1": q_entity_link_top1,
+        "tfidf_links": q_tfidf_links,
+        "alias_canonical": q_alias_canonical,
+        "doc_near_dup_components": q_doc_components,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -362,6 +472,89 @@ SELECT tag,
              / ((CASE WHEN pred_count = 0 THEN 0.0 ELSE tp / pred_count END) + (tp / support) + 1e-10), 6) AS f1,
        support
 FROM j
+"""
+
+
+# ---- dedup / linking / ANN oracle fragments --------------------------------
+
+_DK_TOKSET = f"list_sort(list_distinct(string_split({_NORM}, ' ')))"
+
+
+def _dk_grams(expr: str) -> str:
+    """DuckDB char-3-gram set of lower(expr) — mirrors linking.char_ngrams."""
+    return (
+        "list_sort(list_distinct(list_transform("
+        f"generate_series(1, greatest(length({expr}) - 2, 1)), "
+        f"i -> substr(lower({expr}), i, 3))))"
+    )
+
+
+def _dk_jaccard(a: str, b: str) -> str:
+    return (
+        f"len(list_intersect({a}, {b})) / "
+        f"greatest(len(list_distinct(list_cat({a}, {b}))), 1)"
+    )
+
+
+# mirrors dedup.minhash_signature(k=5, num_hashes=12) + 4 bands of 3 +
+# token-set Jaccard >= 0.6 — CTE block ending in `pairs(id_a, id_b, jaccard)`
+_MINHASH_PAIRS_CTES = f"""
+shing AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS shingles
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+),
+sig AS (
+  SELECT doc_id, list_transform(generate_series(0, 11),
+                                j -> list_min(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)))) AS sig
+  FROM shing
+),
+bands AS (
+  SELECT doc_id, i AS band_idx, md5(array_to_string(list_slice(sig, i*3 + 1, i*3 + 3), '|')) AS band_hash
+  FROM sig, range(0, 4) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+tsets AS (SELECT doc_id, {_DK_TOKSET} AS s FROM documents),
+pairs AS (
+  SELECT id_a, id_b, round({_dk_jaccard('ta.s', 'tb.s')}, 6) AS jaccard
+  FROM cand
+  JOIN tsets ta ON ta.doc_id = id_a
+  JOIN tsets tb ON tb.doc_id = id_b
+  WHERE round({_dk_jaccard('ta.s', 'tb.s')}, 6) >= 0.6
+)
+"""
+
+
+def _dk_simhash(ts: str, bits: int = 16) -> str:
+    """DuckDB 16-bit SimHash — mirrors dedup.simhash nibble votes."""
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter({ts}, "
+        f"t -> strpos('89abcdef', substr(md5(t), {i + 1}, 1)) > 0)) "
+        f"> len({ts}) THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_DK_COSINE = (
+    "round(list_dot_product(qv, cv) / "
+    "greatest(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 1e-12), 6)"
+)
+
+_LINK_SCORED_CTES = f"""
+surf AS (SELECT DISTINCT unnest({_TOKS}) AS surface FROM documents),
+sg AS (SELECT surface, {_dk_grams('surface')} AS g FROM surf),
+ag AS (SELECT alias, entity, ent_type, {_dk_grams('alias')} AS g FROM gaz),
+scored AS (
+  SELECT s.surface, a.alias, a.entity, a.ent_type,
+         round(CASE WHEN s.surface = a.alias THEN 1.0
+               ELSE {_dk_jaccard('s.g', 'a.g')} END, 6) AS sim
+  FROM sg s JOIN ag a ON len(list_intersect(s.g, a.g)) > 0
+)
 """
 
 
@@ -507,5 +700,132 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "minhash_near_dups": f"""
+            WITH {_MINHASH_PAIRS_CTES}
+            SELECT id_a, id_b, jaccard FROM pairs
+        """,
+        "simhash": f"""
+            SELECT doc_id, {_dk_simhash('ts')} AS sh
+            FROM (SELECT doc_id, {_DK_TOKSET} AS ts FROM documents)
+        """,
+        "simhash_dup_pairs": f"""
+            WITH h AS (
+              SELECT doc_id, {_dk_simhash('ts')} AS sh
+              FROM (SELECT doc_id, {_DK_TOKSET} AS ts FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 2
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id, {_DK_COSINE} AS cosine_sim
+              FROM q JOIN c ON neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine_sim DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 5
+        """,
+        "entity_link_top1": f"""
+            WITH {_GAZ_CTE},
+            {_LINK_SCORED_CTES.strip().rstrip()},
+            top1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY surface
+                                             ORDER BY sim DESC, entity, alias) AS rnk
+                FROM scored WHERE sim >= 0.34
+              ) WHERE rnk = 1
+            )
+            SELECT s.surface,
+                   coalesce(t.entity, 'NIL') AS entity,
+                   coalesce(t.ent_type, 'NIL') AS ent_type,
+                   coalesce(t.sim, 0.0) AS sim,
+                   coalesce(t.alias = s.surface, false) AS is_exact
+            FROM surf s LEFT JOIN top1 t USING (surface)
+        """,
+        "tfidf_links": f"""
+            WITH {_GAZ_CTE},
+            ag AS (SELECT alias, entity, {_dk_grams('alias')} AS g FROM gaz),
+            agx AS (SELECT alias, entity, unnest(g) AS gram FROM ag),
+            idf AS (
+              SELECT gram,
+                     ln((SELECT count(DISTINCT alias) FROM gaz)::DOUBLE
+                        / count(DISTINCT alias)) + 1.0 AS idf
+              FROM agx GROUP BY gram
+            ),
+            surf AS (SELECT DISTINCT unnest({_TOKS}) AS surface FROM documents),
+            sgx AS (SELECT surface, unnest({_dk_grams('surface')}) AS gram FROM surf),
+            sw AS (SELECT surface, sgx.gram, coalesce(idf.idf, 1.0) AS idf
+                   FROM sgx LEFT JOIN idf ON sgx.gram = idf.gram),
+            aw AS (SELECT alias, entity, agx.gram, idf.idf AS idf
+                   FROM agx JOIN idf ON agx.gram = idf.gram),
+            snorm AS (SELECT surface, sqrt(sum(idf * idf)) AS s_norm FROM sw GROUP BY surface),
+            anorm AS (SELECT alias, sqrt(sum(idf * idf)) AS a_norm FROM aw GROUP BY alias),
+            dots AS (
+              SELECT sw.surface, aw.alias, aw.entity, sum(sw.idf * aw.idf) AS dot
+              FROM sw JOIN aw ON sw.gram = aw.gram
+              GROUP BY sw.surface, aw.alias, aw.entity
+            )
+            SELECT surface, alias, entity,
+                   round(dot / (s_norm * a_norm), 6) AS tfidf_cos
+            FROM dots JOIN snorm USING (surface) JOIN anorm USING (alias)
+            WHERE round(dot / (s_norm * a_norm), 6) >= 0.3
+        """,
+        "alias_canonical": f"""
+            WITH RECURSIVE {_GAZ_CTE},
+            al AS (SELECT DISTINCT alias FROM gaz),
+            grams AS (SELECT alias, {_dk_grams('alias')} AS g FROM al),
+            edges AS (
+              SELECT a.alias AS src, b.alias AS dst
+              FROM grams a JOIN grams b
+                ON a.alias < b.alias
+               AND {_dk_jaccard('a.g', 'b.g')} >= 0.5
+            ),
+            sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            reach(node, lab) AS (
+              SELECT alias, alias FROM al
+              UNION
+              SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
+            )
+            SELECT node AS alias, min(lab) AS canonical FROM reach GROUP BY node
+        """,
+        "doc_near_dup_components": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTES.strip().rstrip()},
+            sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
+            )
+            SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+        """,
+        "user_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id
         """,
     }

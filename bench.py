@@ -1,0 +1,172 @@
+"""Bench harness — one JSON line on stdout (driver contract).
+
+Times every `queries()` entry at `$SPARK_GRAFT_SF_DIR` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG
+triple-extraction pipeline over a materialized synthetic `files`
+parquet, plus the north-rule two-cluster-size scaling probe: the same
+KG job at local[N/4] and local[N] in fresh JVMs (subprocesses), with
+strong-scaling efficiency reported.
+
+Timing uses a `noop`-format write so the full plan executes with no
+collect/driver cost; each query is preceded by a warm-up job so JVM
+startup never pollutes query timings.
+
+Usage:
+    python bench.py                       # full run -> one JSON line
+    python bench.py --scale-probe CPUS    # internal: KG job timing only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "120000"))
+FILES_PARQUET = os.environ.get(
+    "SPARK_GRAFT_FILES_PARQUET", f"/tmp/ner_spark_bench_files_{SCALE_FILES}.parquet"
+)
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _materialize_files(spark, n_files: int) -> str:
+    """Synth corpus -> parquet once (cached across probes), so the timed
+    KG job starts from a real columnar scan like the 100 TB target."""
+    from ner_spark import synth
+
+    marker = Path(FILES_PARQUET) / "_SUCCESS"
+    if not marker.exists():
+        synth.synth_files(spark, n_files, parallelism=max(CPUS * 4, 32)).write.mode(
+            "overwrite"
+        ).parquet(FILES_PARQUET)
+    return FILES_PARQUET
+
+
+def _kg_job(spark, files_path: str):
+    from ner_spark.plans import pipeline
+
+    files = spark.read.parquet(files_path)
+    return pipeline.extract_triples(files)
+
+
+def scale_probe(cpus: int) -> None:
+    """Internal mode: run the KG job once at `cpus`, print timing JSON."""
+    from ner_spark.session import get_spark
+
+    spark = get_spark(f"kg_scale_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    path = _materialize_files(spark, SCALE_FILES)
+    spark.range(10).count()  # warm-up: JVM + python worker pool
+    t0 = time.perf_counter()
+    _noop(_kg_job(spark, path))
+    elapsed = time.perf_counter() - t0
+    n_triples = _kg_job(spark, path).count()
+    print(json.dumps({"cpus": cpus, "sec": elapsed, "triples": n_triples}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    """North-rule two-cluster-size evidence: same job, N vs 4N cores,
+    fresh JVM each (subprocess), strong-scaling efficiency."""
+    lo, hi = max(CPUS // 4, 2), CPUS
+    out = {}
+    for c in (lo, hi):
+        r = subprocess.run(
+            [sys.executable, __file__, "--scale-probe", str(c)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[c] = json.loads(line)
+    tps_lo = out[lo]["triples"] / out[lo]["sec"]
+    tps_hi = out[hi]["triples"] / out[hi]["sec"]
+    eff = (out[lo]["sec"] / out[hi]["sec"]) / (hi / lo)
+    return {
+        "n_files": SCALE_FILES,
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "sec_low": round(out[lo]["sec"], 3),
+        "sec_high": round(out[hi]["sec"], 3),
+        "triples_per_sec_low": round(tps_lo, 1),
+        "triples_per_sec_high": round(tps_hi, 1),
+        "scaling_efficiency": round(eff, 4),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-probe":
+        scale_probe(int(sys.argv[2]))
+        return
+
+    import __spark_entry__ as entry_mod
+    from ner_spark.session import get_spark
+
+    spark = get_spark("ner_spark_bench", cpus=CPUS)
+    spark.range(10).count()  # warm-up
+
+    sf = _sf_from_dir(SF_DIR)
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        _noop(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput at bench scale
+    kg_files = int(os.environ.get("SPARK_GRAFT_KG_FILES", str(int(sf * 100_000))))
+    from ner_spark import synth
+    from ner_spark.plans import pipeline
+
+    kg_path = f"/tmp/ner_spark_bench_kg_{kg_files}.parquet"
+    if not (Path(kg_path) / "_SUCCESS").exists():
+        synth.synth_files(spark, kg_files, parallelism=max(CPUS * 4, 32)).write.mode(
+            "overwrite"
+        ).parquet(kg_path)
+    t0 = time.perf_counter()
+    _noop(_kg_job(spark, kg_path))
+    kg_sec = time.perf_counter() - t0
+    n_triples = _kg_job(spark, kg_path).count()
+    timings["kg_triples"] = round(kg_sec, 3)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        scaling = run_scaling()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg": {
+            "n_files": kg_files,
+            "triples": n_triples,
+            "triples_per_sec": round(n_triples / kg_sec, 1),
+        },
+    }
+    if scaling is not None:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

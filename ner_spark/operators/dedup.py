@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+All fingerprints are md5-based and built from *native* Spark array/
+string expressions (JVM-side, inside whole-stage codegen) so that (a)
+the DuckDB oracle reproduces them bit-for-bit and (b) the signature
+stage is a pure per-row map — zero shuffle — at 100 TB. The only
+shuffles are the final groupBy/self-join on tiny signature columns.
+
+Operators:
+  - exact duplicates        md5(normalized text)            (text.fingerprint_md5)
+  - MinHash signatures      min_j over shingles of md5(j:shingle)
+  - LSH banding             band hash = md5(join of signature slice)
+  - candidate pairs         self-equi-join on (band_idx, band_hash)
+  - n-gram Jaccard          array_intersect/array_union on distinct token sets
+  - SimHash                 per-nibble majority vote over token md5s
+
+The reference has no dedup; these generalize its fingerprint-style
+dictionary keys (md5-able canonical forms) to corpus hygiene ops —
+the KG-corpus analog of PreData.py's cleanup filters (PreData.py:2-38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import normalized_text, shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col, k: int = 5, num_hashes: int = 12) -> Column:
+    """array<string>[num_hashes]: j-th element = min md5('j:'||shingle).
+
+    One native expression per row; md5 keyed by the hash index j gives
+    `num_hashes` independent permutations without any UDF.
+    """
+    sh = shingles(col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_band_hashes(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """array<string>[bands]: band i = md5(concat of its signature rows)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.md5(
+            F.concat_ws("|", F.slice(sig_col, i * rows_per_band + 1, rows_per_band))
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs sharing >=1 LSH band.
+
+    Scale shape: signature+banding is a map-only stage; the join key
+    (band_idx, band_hash) is high-cardinality so the self-join shuffle
+    is well spread; AQE splits any hot bucket (boilerplate dups).
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        lsh_band_hashes(
+            minhash_signature(F.col(text_col), k, num_hashes), bands, rows_per_band
+        ).alias("bands"),
+    )
+    banded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram / token Jaccard verification of candidates
+# ---------------------------------------------------------------------------
+
+def token_set(col) -> Column:
+    """Distinct, sorted token set of normalized text (array<string>)."""
+    return F.array_sort(F.array_distinct(F.split(normalized_text(col), " ")))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over two array columns (double)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact token-set Jaccard.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold. The exact
+    verification joins token sets only for *candidate* rows — the
+    classic LSH shape: O(corpus) signatures, O(candidates) verification.
+    """
+    cands = minhash_candidate_pairs(docs, id_col, text_col, k, num_hashes, bands)
+    toks = docs.select(F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks"))
+    return (
+        cands.join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HI_NIBBLES = "89abcdef"
+
+
+def _hi_nibble_count(ts: Column, i: int) -> Column:
+    """Count of tokens whose md5 nibble #i is in [8, f].
+
+    Single-arg lambda on purpose: PySpark treats a two-parameter lambda
+    in F.filter as (element, index), which would shadow `i`.
+    """
+    return F.size(
+        F.filter(ts, lambda t: F.substring(F.md5(t), i + 1, 1).isin(*_HI_NIBBLES))
+    )
+
+
+def simhash(col, bits: int = 16) -> Column:
+    """bits-bit SimHash over the distinct token set (long).
+
+    Bit i is the majority vote of nibble i of each token's md5:
+    vote +1 when the nibble is in [8, f], -1 otherwise; bit set when
+    the vote sum is strictly positive. Pure native expressions —
+    reproducible in ANSI SQL (the DuckDB oracle builds the identical
+    formula), zero shuffle, zero Python.
+    """
+    ts = token_set(col)
+    n = F.size(ts)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = (_hi_nibble_count(ts, i) * 2 > n).cast("long")
+        acc = acc + F.shiftleft(bit, i)
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long columns (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash distance <= max_hamming.
+
+    EXACT under blocking: the hash is cut into `max_hamming + 1` bit
+    bands, so by pigeonhole any pair within the distance budget agrees
+    on at least one whole band — the band equi-join finds every such
+    pair while avoiding the all-pairs cross. Candidates are then
+    filtered by true Hamming distance.
+    """
+    n_bands = max_hamming + 1
+    h = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    # band i covers bits [offsets[i], offsets[i+1])
+    base, rem = divmod(bits, n_bands)
+    offsets = [0]
+    for i in range(n_bands):
+        offsets.append(offsets[-1] + base + (1 if i < rem else 0))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("which"),
+                F.shiftright("sh", offsets[i])
+                .bitwiseAND((1 << (offsets[i + 1] - offsets[i])) - 1)
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = h.select("id", "sh", F.explode(bands).alias("band")).select(
+        "id", "sh", "band.which", "band.key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.which") == F.col("b.which"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

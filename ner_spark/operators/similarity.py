@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two physical strategies:
+
+1. ``brute_force_topk`` — broadcast the (small) query set against the
+   full corpus, score with native float64 fold expressions
+   (functions/vectors.py), rank with a per-query window. Exact; the
+   oracle-checkable baseline. At 100 TB this is the pattern for "score
+   every row against K query centroids" (K small, broadcast).
+
+2. ``lsh_topk`` — random-hyperplane sign-LSH: a seeded numpy matrix of
+   hyperplanes is broadcast; a vectorized pandas UDF computes each
+   vector's bucket signature with one matmul per Arrow batch; top-k
+   runs *within* bucket joins only. Approximate; the scale path when
+   the query set is also huge. Deterministic given (seed, n_planes) —
+   but not ANSI-SQL-expressible, so its driver check is rows-only.
+
+Both rank by (rounded cosine desc, candidate id) so results are
+partitioning- and engine-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ner_spark.functions.vectors import cosine
+
+ROUND = 6
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine_sim, rank).
+
+    `queries` must be small (broadcast). Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("table", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket): sign pattern under `n_planes` seeded
+    hyperplanes, independently for `n_tables` tables (OR-construction —
+    a close pair is a candidate if it shares a bucket in ANY table,
+    which is what keeps recall high for near-parallel vectors that one
+    unlucky hyperplane would split).
+
+    One numpy matmul per Arrow batch — the vectorized scale path; the
+    hyperplane tensor is regenerated per worker from the seed (tiny),
+    so nothing non-deterministic is shipped.
+    """
+    def run(batches):
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, dim, n_planes))
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if len(mat) == 0:
+                yield pd.DataFrame({"vec_id": [], "table": [], "bucket": []})
+                continue
+            ids = pdf[id_col].astype("int64").to_numpy()
+            frames = []
+            for t in range(n_tables):
+                signs = (mat @ planes[t]) > 0
+                frames.append(
+                    pd.DataFrame(
+                        {"vec_id": ids, "table": t, "bucket": signs @ weights}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, _SIG_SCHEMA)
+
+
+def _bucketed_pairs(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    pair_filter,
+) -> DataFrame:
+    """Distinct candidate pairs sharing a (table, bucket), scored with
+    exact cosine. Shuffle key is (table, bucket) — 2^n_planes * n_tables
+    keys spread the self-join; AQE splits a hot bucket."""
+    b = lsh_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.table") == F.col("c.table"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & pair_filter(F.col("a.vec_id"), F.col("c.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("c.vec_id").alias("cid"))
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    return (
+        cand.join(vecs.withColumnRenamed("_vid", "qid").withColumnRenamed("_vec", "q_vec"), "qid")
+        .join(vecs.withColumnRenamed("_vid", "cid").withColumnRenamed("_vec", "c_vec"), "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND).alias("cosine_sim"),
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates restricted to shared
+    LSH buckets (any table) — the O(n^2 / buckets) ANN shape."""
+    scored = _bucketed_pairs(
+        corpus, dim, n_planes, n_tables, seed, id_col, vec_col,
+        lambda a, b: a != b,
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        "cosine_sim",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) pairs with cosine >= threshold,
+    LSH-bucketed so only same-bucket pairs are scored."""
+    return (
+        _bucketed_pairs(
+            corpus, dim, n_planes, n_tables, seed, id_col, vec_col,
+            lambda a, b: a < b,
+        )
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("cid").alias("id_b"),
+            "cosine_sim",
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,193 @@
+"""Unit tests: dedup (MinHash-LSH, SimHash, Jaccard), embedding
+similarity (brute-force vs LSH), entity linking, connected components."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.operators import dedup, linking, similarity
+from ner_spark.operators.components import canonicalize_aliases, connected_components
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog again and anew"),  # near dup
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "yet another unrelated document mentioning kafka topics only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_near_dup_pairs(spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs(_docs(spark), threshold=0.6).collect()
+    }
+    assert (0, 1) in got
+    assert (0, 2) in got and (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_exact_dup_jaccard_is_one(spark):
+    rows = dedup.near_dup_pairs(_docs(spark), threshold=0.6).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert j[(0, 1)] == 1.0
+
+
+def test_simhash_matches_pure_python(spark):
+    import hashlib
+
+    def py_simhash(text: str, bits: int = 16) -> int:
+        toks = sorted(set(text.lower().split()))
+        acc = 0
+        for i in range(bits):
+            hi = sum(1 for t in toks if hashlib.md5(t.encode()).hexdigest()[i] in "89abcdef")
+            if hi * 2 > len(toks):
+                acc |= 1 << i
+        return acc
+
+    rows = (
+        _docs(spark)
+        .select("doc_id", dedup.simhash("text").alias("sh"), "text")
+        .collect()
+    )
+    for r in rows:
+        assert r["sh"] == py_simhash(r["text"]), r["text"]
+
+
+def test_simhash_dup_pairs_finds_near_dups(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_dup_pairs(_docs(spark), max_hamming=3).collect()
+    }
+    assert got.get((0, 1)) == 0
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    v = _vecs(spark)
+    got = similarity.brute_force_topk(v, v.filter("vec_id = 0"), k=2).collect()
+    ranked = sorted((r["rank"], r["neighbor_id"]) for r in got)
+    assert ranked[0] == (1, 1)  # closest to e0 is the 0.9/0.1 vector
+    import numpy as np
+
+    expect = float(
+        np.dot([1, 0, 0, 0], [0.9, 0.1, 0, 0])
+        / (np.linalg.norm([0.9, 0.1, 0, 0]))
+    )
+    sim = [r["cosine_sim"] for r in got if r["neighbor_id"] == 1][0]
+    assert math.isclose(sim, expect, abs_tol=1e-5)
+
+
+def test_lsh_buckets_group_similar_vectors(spark):
+    v = _vecs(spark)
+    rows = similarity.lsh_buckets(v, dim=4, n_planes=6, n_tables=3).collect()
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r["table"], {})[r["vec_id"]] = r["bucket"]
+    assert set(by_table) == {0, 1, 2}
+    # nearly parallel vectors share a bucket in at least one table;
+    # antipodal vectors never share one
+    assert any(t[0] == t[1] for t in by_table.values())
+    assert all(t[0] != t[4] for t in by_table.values())
+
+
+def test_embedding_near_dups(spark):
+    v = _vecs(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dups(v, dim=4, threshold=0.95).collect()
+    }
+    assert (0, 1) in got
+    assert (2, 3) in got
+
+
+# --------------------------------------------------------------------------
+# entity linking
+# --------------------------------------------------------------------------
+
+def _gaz(spark):
+    rows = [
+        ("tensorflow", "tensorflow", "LIB"),
+        ("tensor_flow", "tensorflow", "LIB"),
+        ("pytorch", "pytorch", "LIB"),
+        ("numpy", "numpy", "LIB"),
+    ]
+    return spark.createDataFrame(rows, "alias string, entity string, ent_type string")
+
+
+def test_link_exact_and_fuzzy_and_nil(spark):
+    surfaces = spark.createDataFrame(
+        [("tensorflow",), ("tensorfow",), ("qqqq",)], "surface string"
+    )
+    got = {r["surface"]: r for r in linking.link_surfaces(surfaces, _gaz(spark)).collect()}
+    assert got["tensorflow"]["entity"] == "tensorflow" and got["tensorflow"]["sim"] == 1.0
+    assert got["tensorfow"]["entity"] == "tensorflow" and 0.3 <= got["tensorfow"]["sim"] < 1.0
+    assert got["qqqq"]["entity"] == "NIL" and got["qqqq"]["sim"] == 0.0
+
+
+def test_tfidf_cosine_ranks_true_alias_first(spark):
+    surfaces = spark.createDataFrame([("pytorchh",)], "surface string")
+    rows = linking.tfidf_cosine_links(surfaces, _gaz(spark)).collect()
+    best = max(rows, key=lambda r: r["tfidf_cos"])
+    assert best["entity"] == "pytorch"
+
+
+# --------------------------------------------------------------------------
+# connected components
+# --------------------------------------------------------------------------
+
+def test_connected_components_chain_and_isolate(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("b",), ("z",)], "node string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got["b"] == got["c"] == got["d"] == "b"
+    assert got["x"] == got["y"] == "x"
+    assert got["z"] == "z"
+
+
+def test_connected_components_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 2)] + [(i, i + 2) for i in range(0, 28, 4)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges.repartition(13)).collect()))
+    assert a == b
+
+
+def test_canonicalize_aliases_groups_variants(spark):
+    gaz = spark.createDataFrame(
+        [("tensorflow",), ("tensor_flow",), ("numpy",), ("kafka",)], "alias string"
+    )
+    got = {r["alias"]: r["canonical"] for r in canonicalize_aliases(gaz, min_sim=0.5).collect()}
+    assert got["tensorflow"] == got["tensor_flow"]
+    assert got["numpy"] != got["kafka"]
