@@ -22,14 +22,17 @@ from pyspark.sql import functions as F
 
 from ner_spark import synth
 from ner_spark.functions import text as X
-from ner_spark.operators import dedup, linking, similarity
+from ner_spark.operators import dedup, linking, multimodal, similarity
 from ner_spark.operators.components import canonicalize_aliases, connected_components
 from ner_spark.plans import pipeline
 
 # queries with no ANSI-SQL-expressible oracle (approximate LSH physical
 # plans whose candidate set depends on seeded hyperplanes); the driver
 # records the weaker rows-only check for these.
-NO_ORACLE = ("ann_lsh_topk", "embedding_near_dups_lsh")
+# - LSH queries: candidate sets depend on seeded hyperplanes
+# - frame_sample: byte-offset blob slicing is not expressible in this
+#   DuckDB build (substring is VARCHAR/character-based only)
+NO_ORACLE = ("ann_lsh_topk", "embedding_near_dups_lsh", "frame_sample")
 
 TOKEN_RE = X.TOKEN_RE
 
@@ -385,6 +388,19 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: binary payload -> Arrow-batched
+    feature extraction (stub decode; see operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.media_features(multimodal.with_binary_payload(d))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame-sampling stub: 4 byte-slice frames per payload."""
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.with_binary_payload(d), n_frames=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -415,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_canonical": q_alias_canonical,
         "doc_near_dup_components": q_doc_components,
         "user_sessions": q_user_sessions,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -544,6 +562,15 @@ _DK_COSINE = (
     "round(list_dot_product(qv, cv) / "
     "greatest(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 1e-12), 6)"
 )
+
+def _dk_nibble_dim(i: int, j: int) -> str:
+    """Stub image dimension from sha nibbles i, j — mirrors
+    multimodal._fake_dims."""
+    def nib(k: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(payload_sha256, {k}, 1)) - 1)"
+
+    return f"(({nib(i)} * 16 + {nib(j)}) % 512 + 1)"
+
 
 _LINK_SCORED_CTES = f"""
 surf AS (SELECT DISTINCT unnest({_TOKS}) AS surface FROM documents),
@@ -807,6 +834,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
             )
             SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+        """,
+        "media_features": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     octet_length(encode(text))::BIGINT AS n_bytes,
+                     sha256(text) AS payload_sha256
+              FROM documents
+            )
+            SELECT doc_id, n_bytes, payload_sha256,
+                   ({_dk_nibble_dim(1, 2)})::INT AS width,
+                   ({_dk_nibble_dim(3, 4)})::INT AS height
+            FROM m
         """,
         "user_sessions": """
             WITH marked AS (

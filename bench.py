@@ -29,10 +29,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "120000"))
+SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "4000000"))
 FILES_PARQUET = os.environ.get(
     "SPARK_GRAFT_FILES_PARQUET", f"/tmp/ner_spark_bench_files_{SCALE_FILES}.parquet"
 )
+
+# CPU-bound content scan: size input splits so each probe level gets
+# >= ~4 tasks/core on the small local corpus. On a real 100 TB corpus
+# the default 128 MB splits already yield ample tasks — this knob only
+# compensates for the tiny bench files.
+_PROBE_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
+}
+
+
+def _warm(spark) -> None:
+    """Warm the JVM and the Python worker pool (pandas import cost)
+    before any timed region — both probe levels pay it equally outside
+    the measurement, like a long-running cluster would."""
+    import pandas as pd  # noqa: F401
+
+    def ident(batches):
+        yield from batches
+
+    spark.range(10_000, numPartitions=256).mapInPandas(ident, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def _sf_from_dir(d: str) -> float:
@@ -71,14 +94,31 @@ def scale_probe(cpus: int) -> None:
     """Internal mode: run the KG job once at `cpus`, print timing JSON."""
     from ner_spark.session import get_spark
 
-    spark = get_spark(f"kg_scale_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        f"kg_scale_{cpus}",
+        cpus=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf=_PROBE_CONF,
+    )
     path = _materialize_files(spark, SCALE_FILES)
-    spark.range(10).count()  # warm-up: JVM + python worker pool
-    t0 = time.perf_counter()
-    _noop(_kg_job(spark, path))
-    elapsed = time.perf_counter() - t0
+    _warm(spark)
+    times = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = _kg_job(spark, path)
+        _noop(df)
+        times.append(time.perf_counter() - t0)
+    # min of 3 = steady-state capacity; this VM's disk/CPU have bursts
+    # of external noise that would otherwise dominate the comparison
+    elapsed = min(times)
     n_triples = _kg_job(spark, path).count()
-    print(json.dumps({"cpus": cpus, "sec": elapsed, "triples": n_triples}))
+    print(
+        json.dumps(
+            {"cpus": cpus, "sec": elapsed, "runs": [round(t, 2) for t in times],
+             "triples": n_triples}
+        )
+    )
     spark.stop()
 
 
@@ -119,8 +159,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from ner_spark.session import get_spark
 
-    spark = get_spark("ner_spark_bench", cpus=CPUS)
-    spark.range(10).count()  # warm-up
+    spark = get_spark("ner_spark_bench", cpus=CPUS, extra_conf=_PROBE_CONF)
+    _warm(spark)
 
     sf = _sf_from_dir(SF_DIR)
     timings: dict[str, float] = {}

@@ -123,6 +123,56 @@ def detect_mentions_join(
     ).select(key_col, "pos", "surface", "entity", "ent_type")
 
 
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_key", T.StringType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("entities", T.ArrayType(T.StringType()), False),
+        T.StructField("symbols", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def file_profiles(
+    files: DataFrame,
+    gazetteer: list[tuple[str, str, str]],
+    decl_re: str,
+    key_col: str = "file_key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Single-pass per-file profile: (file_key, repo, entities, symbols).
+
+    ONE pass over `content` extracts both the distinct entity set (the
+    gazetteer automaton) and the declared symbols (decl regex) — the
+    throughput kernel behind extract_triples. Downstream triple
+    families are cheap array explodes over this small table, so the
+    100 TB `content` column is read and regex-scanned exactly once
+    (vs. once per triple family in the naive DAG). Arrays are sorted
+    distinct — deterministic at any parallelism.
+    """
+    gaz = tuple(sorted(gazetteer))
+    dre = re.compile(decl_re, re.M)
+
+    def run(batches):
+        pat, alias_map = _automaton(gaz)
+        for pdf in batches:
+            keys, repos, ents_col, syms_col = [], [], [], []
+            for key, repo, text in zip(pdf[key_col], pdf["repo"], pdf[content_col]):
+                ents = sorted({alias_map[m.group(1)][0] for m in pat.finditer(text)})
+                syms = sorted({m.group(1) for m in dre.finditer(text)})
+                keys.append(key)
+                repos.append(repo)
+                ents_col.append(ents)
+                syms_col.append(syms)
+            yield pd.DataFrame(
+                {"file_key": keys, "repo": repos, "entities": ents_col, "symbols": syms_col}
+            )
+
+    return files.select(F.col(key_col), F.col("repo"), F.col(content_col)).mapInPandas(
+        run, PROFILE_SCHEMA
+    )
+
+
 BIO_SCHEMA = T.StructType(
     [
         T.StructField("file_key", T.StringType(), False),

@@ -72,3 +72,107 @@ def all_triples(files: DataFrame, mentions: DataFrame) -> DataFrame:
         .unionByName(cooccurs_triples(mentions))
         .unionByName(declares_triples(files))
     )
+
+
+# ---------------------------------------------------------------------------
+# profile-based derivations (the fast path): all three families from
+# the single-pass (file_key, repo, entities, symbols) table — pure
+# array explodes + distinct, no content re-scan, no self-join.
+# ---------------------------------------------------------------------------
+
+def contains_from_profiles(profiles: DataFrame) -> DataFrame:
+    return (
+        profiles.select("repo", F.explode("entities").alias("obj"))
+        .distinct()
+        .select(F.col("repo").alias("subj"), F.lit("CONTAINS").alias("pred"), "obj")
+    )
+
+
+def cooccurs_from_profiles(profiles: DataFrame) -> DataFrame:
+    """Ordered entity pairs per file. `entities` is sorted distinct, so
+    pos_a < pos_b gives e1 < e2 with no self-join — pair expansion is
+    O(k^2) per file with k = |entities| (tiny), not a corpus shuffle."""
+    pairs = profiles.select(
+        F.posexplode("entities").alias("ia", "subj"), F.col("entities")
+    ).select("subj", F.explode(F.slice("entities", F.col("ia") + 2, F.size("entities"))).alias("obj"))
+    return (
+        pairs.distinct()
+        .select("subj", F.lit("COOCCURS").alias("pred"), "obj")
+    )
+
+
+def declares_from_profiles(profiles: DataFrame) -> DataFrame:
+    return (
+        profiles.select(F.col("file_key").alias("subj"), F.explode("symbols").alias("obj"))
+        .distinct()
+        .select("subj", F.lit("DECLARES").alias("pred"), "obj")
+    )
+
+
+def all_triples_from_profiles(profiles: DataFrame) -> DataFrame:
+    return (
+        contains_from_profiles(profiles)
+        .unionByName(cooccurs_from_profiles(profiles))
+        .unionByName(declares_from_profiles(profiles))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fully-fused path: one content pass emits all three families, one
+# global distinct — the minimal-shuffle plan (scan -> mapInPandas ->
+# exchange -> dedupe), no persist barrier, no branch fan-out.
+# ---------------------------------------------------------------------------
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string"
+
+
+def triples_direct(
+    files: DataFrame,
+    gazetteer: list[tuple[str, str, str]],
+    decl_re: str = DECL_RE,
+    key_col: str = "file_key",
+    content_col: str = "content",
+) -> DataFrame:
+    """(subj, pred, obj) straight out of the single content pass.
+
+    Per file the Python kernel emits its CONTAINS candidates, its
+    O(k^2) COOCCURS pairs (k = distinct entities, tiny), and its
+    DECLARES symbols; Spark's distinct then dedupes globally with
+    map-side partial aggregation — at 100 TB this is one scan and one
+    shuffle whose volume is the per-partition-distinct triples, far
+    below the token stream.
+    """
+    import itertools
+    import re as _re
+
+    import pandas as _pd
+
+    from ner_spark.operators.mentions import _automaton
+
+    gaz = tuple(sorted(gazetteer))
+    dre = _re.compile(decl_re, _re.M)
+
+    def run(batches):
+        pat, alias_map = _automaton(gaz)
+        for pdf in batches:
+            subjs, preds, objs = [], [], []
+            for key, repo, text in zip(pdf[key_col], pdf["repo"], pdf[content_col]):
+                ents = sorted({alias_map[m.group(1)][0] for m in pat.finditer(text)})
+                for e in ents:
+                    subjs.append(repo)
+                    preds.append("CONTAINS")
+                    objs.append(e)
+                for a, b in itertools.combinations(ents, 2):
+                    subjs.append(a)
+                    preds.append("COOCCURS")
+                    objs.append(b)
+                for m in dre.finditer(text):
+                    subjs.append(key)
+                    preds.append("DECLARES")
+                    objs.append(m.group(1))
+            yield _pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
+
+    raw = files.select(F.col(key_col), F.col("repo"), F.col(content_col)).mapInPandas(
+        run, TRIPLE_SCHEMA
+    )
+    return raw.distinct()

@@ -1,0 +1,176 @@
+"""Checkpoint/resume exactness, streaming batch-parity, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ner_spark import synth
+from ner_spark.operators import multimodal
+from ner_spark.plans.checkpoint import PipelineCheckpointer, content_checksum, run_kg_checkpointed
+from ner_spark.streaming import windowed
+
+
+# --------------------------------------------------------------------------
+# checkpoint / resume
+# --------------------------------------------------------------------------
+
+def _files_parquet(spark, tmp_path, n=40):
+    p = str(tmp_path / "files.parquet")
+    synth.synth_files(spark, n).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_checkpoint_resume_skips_completed_stages(spark, tmp_path):
+    files_path = _files_parquet(spark, tmp_path)
+    root = str(tmp_path / "ckpt")
+
+    t1 = run_kg_checkpointed(spark, files_path, root)
+    first = {tuple(r) for r in t1.collect()}
+    man = json.loads((Path(root) / "profiles" / "manifest.json").read_text())
+    assert man["status"] == "complete"
+    assert man["rows_out"] == 40
+    assert sum(man["per_file_rows"].values()) == 40  # per-partition lineage
+
+    # resume: nothing recomputes, same rows come back
+    cp_probe = PipelineCheckpointer(spark, root)
+    t2 = run_kg_checkpointed(spark, files_path, root)
+    assert {tuple(r) for r in t2.collect()} == first
+    # the manifests were not rewritten (same completion timestamps)
+    man2 = json.loads((Path(root) / "profiles" / "manifest.json").read_text())
+    assert man2["completed_at_unix"] == man["completed_at_unix"]
+
+
+def test_checkpoint_recomputes_after_crash(spark, tmp_path):
+    """Deleting a stage manifest (data committed, manifest lost = crash
+    mid-commit) recomputes that stage only, with identical output."""
+    files_path = _files_parquet(spark, tmp_path)
+    root = str(tmp_path / "ckpt")
+    first = {tuple(r) for r in run_kg_checkpointed(spark, files_path, root).collect()}
+
+    (Path(root) / "triples" / "manifest.json").unlink()
+    prof_man = json.loads((Path(root) / "profiles" / "manifest.json").read_text())
+    second = {tuple(r) for r in run_kg_checkpointed(spark, files_path, root).collect()}
+    assert second == first
+    prof_man2 = json.loads((Path(root) / "profiles" / "manifest.json").read_text())
+    assert prof_man2["completed_at_unix"] == prof_man["completed_at_unix"]  # not re-run
+
+
+def test_checkpoint_invalidates_on_input_change(spark, tmp_path):
+    files_a = _files_parquet(spark, tmp_path / "a", n=20)
+    root = str(tmp_path / "ckpt")
+    run_kg_checkpointed(spark, files_a, root)
+    man_a = json.loads((Path(root) / "profiles" / "manifest.json").read_text())
+
+    files_b = str((tmp_path / "b") / "files.parquet")
+    synth.synth_files(spark, 30).write.mode("overwrite").parquet(files_b)
+    run_kg_checkpointed(spark, files_b, root)
+    man_b = json.loads((Path(root) / "profiles" / "manifest.json").read_text())
+    assert man_b["rows_out"] == 30
+    assert man_b["input_fingerprint"] != man_a["input_fingerprint"]
+
+
+def test_content_checksum_partitioning_invariant(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("x"))
+    assert content_checksum(df) == content_checksum(df.repartition(17))
+
+
+# --------------------------------------------------------------------------
+# streaming
+# --------------------------------------------------------------------------
+
+def _events_dir(sf_dir, tmp_path) -> str:
+    """File-source streams read directories; stage the single parquet
+    file into one."""
+    import shutil
+
+    d = tmp_path / "events_stream"
+    d.mkdir(exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = windowed.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+    windowed.run_available_now(
+        windowed.hourly_rollup(stream), "stream_hourly", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM stream_hourly").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_session_rollup_runs(spark, sf_dir, tmp_path):
+    stream = windowed.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+    windowed.run_available_now(
+        windowed.session_rollup(stream), "stream_sessions", str(tmp_path / "ckpt2")
+    )
+    rows = spark.sql(
+        "SELECT count(*) AS n, sum(n_events) AS tot FROM stream_sessions"
+    ).first()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert rows["tot"] == n_events  # every event lands in exactly one session
+    assert 0 < rows["n"] <= n_events
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def test_media_features_deterministic(spark, sf_dir):
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = multimodal.with_binary_payload(docs)
+    got = {r["doc_id"]: r for r in multimodal.media_features(media).collect()}
+    for r in docs.collect():
+        b = r["text"].encode()
+        sha = hashlib.sha256(b).hexdigest()
+        m = got[r["doc_id"]]
+        assert m["n_bytes"] == len(b)
+        assert m["payload_sha256"] == sha
+        w, h = multimodal._fake_dims(sha)
+        assert (m["width"], m["height"]) == (w, h)
+        assert 1 <= m["width"] <= 512 and 1 <= m["height"] <= 512
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
+    media = multimodal.with_binary_payload(docs)
+    rows = multimodal.frame_sample(media, n_frames=4).collect()
+    assert len(rows) == 12
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+
+
+def test_decode_image_stub_raises(spark):
+    try:
+        import PIL  # noqa: F401
+
+        return  # cluster image with PIL: the stub is not exercised
+    except ImportError:
+        pass
+    try:
+        multimodal.decode_image(b"\x89PNG")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
