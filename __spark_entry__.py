@@ -388,6 +388,60 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue — pure filter+agg, the predicate-
+    pushdown showcase (every filter reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(o_orderstatus, o_orderpriority) — grouping-sets coverage."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 1996 orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_clickers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference at (user, day) grain: click-days with no purchase."""
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return clicks.exceptAll(buys)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path: binary payload -> Arrow-batched
     feature extraction (stub decode; see operators/multimodal.py)."""
@@ -433,6 +487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "orders_rollup": q_orders_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_lineitems": q_parts_with_lineitems,
+        "clickers_minus_buyers": q_clickers_minus_buyers,
     }
 
 
@@ -834,6 +893,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
             )
             SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.07
+              AND l_quantity < 24
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND year(o_orderdate) = 1996)
+        """,
+        "parts_with_lineitems": """
+            SELECT p_partkey, p_name FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "clickers_minus_buyers": """
+            SELECT DISTINCT user_id, ts::DATE AS day FROM events
+            WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, ts::DATE AS day FROM events
+            WHERE event_type = 'purchase'
         """,
         "media_features": f"""
             WITH m AS (
