@@ -41,6 +41,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the table ships as ONE small
+    parquet file (one input split), which would serialize every
+    CPU-heavy per-row expression on a single task. On a real corpus
+    the scan has ample splits; the repartition compensates locally."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthetic files table at sf0.001 -> KG triples."""
     return pipeline.run_synthetic(spark, sf=0.001)
@@ -101,7 +111,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 corpus statistics at lang grain (datafile_stat.py:3-37)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars_total"),
@@ -112,7 +122,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized-md5 fingerprint, keeper = min(doc_id)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select(F.col("doc_id"), X.fingerprint_md5("text").alias("fingerprint"))
         .groupBy("fingerprint")
@@ -123,7 +133,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_build_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 first-occurrence-ordered vocab ids over document tokens
     (my_ner.py:119-129 semantics, distributed)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.posexplode(X.tokens("text")).alias("pos", "token")
     )
@@ -168,20 +178,20 @@ def q_cooccurs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language id per document (stopword + CJK-ratio rules)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", X.lang_id("text").alias("pred_lang"))
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + composite score per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     feats = X.quality_features("text")
     return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         X.ws_token_count("text").alias("ws_tokens"),
@@ -191,12 +201,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-shingle-hash document fingerprint (near-dup prefilter)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", X.winnow_fingerprint("text", k=5).alias("fp"))
 
 
 def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(F.col("lang").alias("gold"), X.lang_id("text").alias("pred"))
 
 
@@ -298,20 +308,20 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by exact token-set Jaccard."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.near_dup_pairs(d, threshold=0.6)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (native nibble-vote expressions)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash("text").alias("sh"))
+    """16-bit SimHash per document (relational nibble-vote aggregation)."""
+    d = _docs(spark, sf_dir)
+    return dedup.simhash_df(d).select(F.col("id").alias("doc_id"), "sh")
 
 
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 2 (pigeonhole band join);
     the oracle is the brute-force all-pairs equivalent."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.simhash_dup_pairs(d, max_hamming=2).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -343,7 +353,7 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entity_link_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 gazetteer link per distinct document token (char-3-gram
     Jaccard, NIL fallback = the UNK analog of my_ner.py:364-367)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     surfaces = d.select(F.explode(X.tokens("text")).alias("surface"))
     return linking.link_surfaces(surfaces, _gazetteer_df(spark))
 
@@ -351,7 +361,7 @@ def q_entity_link_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-ngram TF-IDF cosine link candidates (>=0.3) — the
     north_star's TF-IDF similarity scorer as a relational plan."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     surfaces = d.select(F.explode(X.tokens("text")).alias("surface"))
     return linking.tfidf_cosine_links(surfaces, _gazetteer_df(spark))
 
@@ -363,7 +373,7 @@ def q_alias_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: CC over MinHash pairs; component = min doc_id."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pairs = dedup.near_dup_pairs(d, threshold=0.6).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -445,13 +455,13 @@ def q_clickers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path: binary payload -> Arrow-batched
     feature extraction (stub decode; see operators/multimodal.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return multimodal.media_features(multimodal.with_binary_payload(d))
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame-sampling stub: 4 byte-slice frames per payload."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return multimodal.frame_sample(multimodal.with_binary_payload(d), n_frames=4)
 
 

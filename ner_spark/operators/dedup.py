@@ -56,6 +56,38 @@ def lsh_band_hashes(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_signature_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}): the MinHash signature as flat columns.
+
+    Relational formulation of `minhash_signature` — explode shingles to
+    rows, hash each once per permutation in a flat projection, then
+    groupBy-min. Identical values, but everything stays inside
+    whole-stage codegen with map-side partial min aggregation; the
+    nested higher-order-function version falls back to interpreted
+    eval AND re-evaluates the shingle array per permutation (measured
+    ~25x slower at sf0.1).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    hashed = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(str(j)), F.lit(":"), F.col("s"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(num_hashes)]
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -66,18 +98,33 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs sharing >=1 LSH band.
 
-    Scale shape: signature+banding is a map-only stage; the join key
-    (band_idx, band_hash) is high-cardinality so the self-join shuffle
-    is well spread; AQE splits any hot bucket (boilerplate dups).
+    Scale shape: signature+banding is a scan + one groupBy; the join
+    key (band_idx, band_hash) is high-cardinality so the self-join
+    shuffle is well spread; AQE splits any hot bucket (boilerplate
+    dups).
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        lsh_band_hashes(
-            minhash_signature(F.col(text_col), k, num_hashes), bands, rows_per_band
-        ).alias("bands"),
+    sig = minhash_signature_df(docs, id_col, text_col, k, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{j}")
+                            for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
     )
-    banded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", "b.band_idx", "b.band_hash"
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -143,14 +190,14 @@ def near_dup_pairs(
 _HI_NIBBLES = "89abcdef"
 
 
-def _hi_nibble_count(ts: Column, i: int) -> Column:
-    """Count of tokens whose md5 nibble #i is in [8, f].
+def _hi_nibble_count(hashes: Column, i: int) -> Column:
+    """Count of token hashes whose nibble #i is in [8, f].
 
     Single-arg lambda on purpose: PySpark treats a two-parameter lambda
     in F.filter as (element, index), which would shadow `i`.
     """
     return F.size(
-        F.filter(ts, lambda t: F.substring(F.md5(t), i + 1, 1).isin(*_HI_NIBBLES))
+        F.filter(hashes, lambda h: F.substring(h, i + 1, 1).isin(*_HI_NIBBLES))
     )
 
 
@@ -164,12 +211,39 @@ def simhash(col, bits: int = 16) -> Column:
     formula), zero shuffle, zero Python.
     """
     ts = token_set(col)
+    # hash each token ONCE; the per-bit counts reuse the array (the
+    # giant expression otherwise falls out of codegen AND recomputes
+    # bits× md5s per token — 16x the work, interpreted)
+    hashes = F.transform(ts, F.md5)
     n = F.size(ts)
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        bit = (_hi_nibble_count(ts, i) * 2 > n).cast("long")
+        bit = (_hi_nibble_count(hashes, i) * 2 > n).cast("long")
         acc = acc + F.shiftleft(bit, i)
     return acc
+
+
+def simhash_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, sh): relational SimHash — explode the token set, hash each
+    token once, aggregate per-bit hi-nibble counts with flat
+    conditional sums. Same values as `simhash`, but codegen-friendly
+    and map-side-partial at scale (the scalar expression interprets
+    16 nested array filters per row)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(token_set(F.col(text_col))).alias("t")
+    )
+    h = toks.select("id", F.md5("t").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.substring("h", i + 1, 1).isin(*_HI_NIBBLES).cast("int")).alias(f"c{i}")
+        for i in range(bits)
+    ]
+    g = h.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.shiftleft((F.col(f"c{i}") * 2 > F.col("n")).cast("long"), i)
+    return g.select("id", acc.alias("sh"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -193,7 +267,7 @@ def simhash_dup_pairs(
     filtered by true Hamming distance.
     """
     n_bands = max_hamming + 1
-    h = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    h = simhash_df(docs, id_col, text_col, bits)
     # band i covers bits [offsets[i], offsets[i+1])
     base, rem = divmod(bits, n_bands)
     offsets = [0]

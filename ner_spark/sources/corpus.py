@@ -1,0 +1,118 @@
+"""Corpus sources — the reference's scans as Spark readers.
+
+S1 (`build_corpus`, my_ner.py:62-116): CoNLL-style token-per-line text,
+blank line = sentence boundary, `word[0]` char extraction with
+whitespace fallback, optional <END> sentinel, length ordering.
+
+S3 (Unihan scan, my_ner.py:137-149) and S4 (CHISE IDS scan,
+my_ner.py:203-210): dictionary file parsers.
+
+All are pure DataFrame plans over `spark.read.text` — the sentence
+grouping uses a running count of blank lines, which is the standard
+relational encoding of "blank-line-delimited groups".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import strip_annotations, unicode_decode
+
+
+def read_conll_tokens(spark: SparkSession, path: str) -> DataFrame:
+    """S1: token-grain frame (sent_id, pos, surface, char, tag).
+
+    Reference quirks reproduced exactly:
+      - `word[0]` drops positional digit suffixes (科0 -> 科,
+        my_ner.py:77)
+      - a line that fails to split into (surface, tag) is treated as
+        char=' ' with the first field as tag (my_ner.py:79-85)
+      - blank lines delimit sentences (my_ner.py:88-96)
+
+    NOTE the line-order window is a single global sort at dictionary
+    build time only; corpora are small relative to the engine's data
+    (they are label dictionaries, not the 100 TB corpus).
+    """
+    lines = (
+        spark.read.text(path)
+        .select(F.col("value").alias("line"))
+        .withColumn("line_id", F.monotonically_increasing_id())
+    )
+    w = Window.orderBy("line_id")
+    marked = lines.withColumn(
+        "sent_id",
+        F.sum(F.when(F.trim("line") == "", 1).otherwise(0)).over(w),
+    ).filter(F.trim("line") != "")
+    # strip edges first: python's argless split() ignores leading
+    # whitespace, Spark's regex split would emit a leading empty field
+    # for the reference's whitespace-token lines (' \tO'). F.trim only
+    # strips spaces, so use a regex that covers tabs too.
+    parts = F.split(F.regexp_replace(F.col("line"), r"^\s+|\s+$", ""), r"\s+")
+    sent_w = Window.partitionBy("sent_id").orderBy("line_id")
+    return (
+        marked.withColumn("pos", F.row_number().over(sent_w) - 1)
+        .select(
+            "sent_id",
+            "pos",
+            F.element_at(parts, 1).alias("surface"),
+            F.when(F.size(parts) >= 2, F.substring(F.element_at(parts, 1), 1, 1))
+            .otherwise(F.lit(" "))
+            .alias("char"),
+            F.when(F.size(parts) >= 2, F.element_at(parts, 2))
+            .otherwise(F.element_at(parts, 1))
+            .alias("tag"),
+        )
+    )
+
+
+def sentences_from_tokens(tokens: DataFrame, add_end_sentinel: bool = False) -> DataFrame:
+    """Sentence-grain frame (sent_id, chars, tags) — the reference's
+    (char_list, tag_list) shape; optional <END> append (my_ner.py:89-91)."""
+    agg = tokens.orderBy("pos").groupBy("sent_id").agg(
+        F.collect_list("char").alias("chars"),
+        F.collect_list("tag").alias("tags"),
+    )
+    if add_end_sentinel:
+        agg = agg.select(
+            "sent_id",
+            F.concat("chars", F.array(F.lit("<END>"))).alias("chars"),
+            F.concat("tags", F.array(F.lit("<END>"))).alias("tags"),
+        )
+    return agg
+
+
+def read_unihan_radicals(spark: SparkSession, path: str) -> DataFrame:
+    """S3: Unihan kRSUnicode rows -> (char, radical, stroke).
+
+    Parses `U+XXXX\\tkRSUnicode\\tradical.stroke`, strips the
+    traditional-form apostrophe, decodes the codepoint
+    (my_ner.py:137-149).
+    """
+    parts = F.split(F.col("value"), "\t")
+    rs = F.split(F.element_at(parts, 3), r"\.")
+    return (
+        spark.read.text(path)
+        .filter(~F.col("value").startswith("#"))
+        .filter(F.element_at(parts, 2) == "kRSUnicode")
+        .select(
+            unicode_decode(F.element_at(parts, 1)).alias("char"),
+            F.regexp_replace(F.element_at(rs, 1), "'", "").cast("int").alias("radical"),
+            F.element_at(rs, 2).cast("int").alias("stroke"),
+        )
+    )
+
+
+def read_chise_ids(spark: SparkSession, path: str) -> DataFrame:
+    """S4: CHISE IDS rows -> (char, decomposition) with []GTJKVH'
+    annotations stripped (my_ner.py:203-210)."""
+    parts = F.split(F.col("value"), "\t")
+    return (
+        spark.read.text(path)
+        .filter(~F.col("value").startswith(";"))
+        .filter(F.size(parts) >= 3)
+        .select(
+            F.element_at(parts, 2).alias("char"),
+            strip_annotations(F.element_at(parts, 3)).alias("decomposition"),
+        )
+    )

@@ -64,6 +64,24 @@ def test_simhash_matches_pure_python(spark):
         assert r["sh"] == py_simhash(r["text"]), r["text"]
 
 
+def test_relational_variants_match_scalar_expressions(spark):
+    """simhash_df / minhash_signature_df are codegen-friendly rewrites;
+    they must produce byte-identical values to the scalar expressions."""
+    d = _docs(spark)
+    scalar_sh = {r["doc_id"]: r["sh"] for r in d.select("doc_id", dedup.simhash("text").alias("sh")).collect()}
+    rel_sh = {r["id"]: r["sh"] for r in dedup.simhash_df(d).collect()}
+    assert rel_sh == scalar_sh
+    scalar_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in d.select("doc_id", dedup.minhash_signature("text").alias("sig")).collect()
+    }
+    rel_sig = {
+        r["id"]: [r[f"mh{j}"] for j in range(12)]
+        for r in dedup.minhash_signature_df(d).collect()
+    }
+    assert rel_sig == scalar_sig
+
+
 def test_simhash_dup_pairs_finds_near_dups(spark):
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
