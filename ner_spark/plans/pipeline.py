@@ -54,6 +54,55 @@ def extract_triples(
     return triples_direct(keyed, gaz, DECL_RE)
 
 
+def extract_triples_linked(
+    files: DataFrame,
+    gazetteer: list[tuple[str, str, str]] | None = None,
+    min_sim: float = 0.5,
+) -> DataFrame:
+    """Full north-star flow: exact triples + fuzzy entity linking.
+
+    Tokens that match no gazetteer alias exactly are scored against the
+    broadcast alias dictionary with char-3-gram similarity
+    (operators/linking.link_surfaces); confident links (>= min_sim,
+    non-NIL) contribute additional repo-CONTAINS-entity triples — the
+    typo/morphological-variant recall path. COOCCURS/DECLARES stay
+    exact (a fuzzy co-occurrence would compound two uncertain links).
+
+    Scale shape: the candidate set is the *distinct unmatched
+    vocabulary*, not the token stream — bounded by vocabulary size, so
+    the similarity join is dictionary-sized no matter how large the
+    corpus.
+    """
+    from ner_spark.functions.text import tokens as tok_expr
+    from ner_spark.operators.linking import link_surfaces
+
+    gaz = gazetteer if gazetteer is not None else synth.gazetteer_rows()
+    keyed = with_file_key(files)
+    exact = triples_direct(keyed, gaz, DECL_RE)
+
+    spark = files.sparkSession
+    gaz_df = spark.createDataFrame(gaz, "alias string, entity string, ent_type string")
+    surf = keyed.select(
+        "repo", F.explode(tok_expr("content")).alias("surface")
+    ).distinct()
+    unmatched = surf.join(
+        F.broadcast(gaz_df.select(F.col("alias").alias("surface"))), "surface", "left_anti"
+    )
+    links = link_surfaces(
+        unmatched.select("surface").distinct(), gaz_df, min_sim=min_sim
+    ).filter(F.col("entity") != "NIL")
+    fuzzy = (
+        unmatched.join(F.broadcast(links), "surface")
+        .select(
+            F.col("repo").alias("subj"),
+            F.lit("CONTAINS").alias("pred"),
+            F.col("entity").alias("obj"),
+        )
+        .distinct()
+    )
+    return exact.unionByName(fuzzy).distinct()
+
+
 def run_synthetic(spark: SparkSession, sf: float = 0.001) -> DataFrame:
     """Generate the synthetic corpus at `sf` and extract triples."""
     files = synth.synth_files(spark, synth.n_files_for_sf(sf))

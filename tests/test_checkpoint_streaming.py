@@ -130,6 +130,31 @@ def test_stream_session_rollup_runs(spark, sf_dir, tmp_path):
     assert 0 < rows["n"] <= n_events
 
 
+def test_streaming_stateful_dedupe_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState dedupe: the same events file staged twice,
+    one file per micro-batch — every event arrives twice, state must
+    suppress the second arrival."""
+    import shutil
+
+    from ner_spark.streaming import stateful
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    stream = (
+        spark.readStream.schema(windowed.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .parquet(str(d))
+    )
+    deduped = stateful.streaming_dedupe(stream, "event_id", ["event_type"])
+    stateful.run_append_available_now(deduped, "dedup_out", str(tmp_path / "ck"))
+    out = spark.sql("SELECT * FROM dedup_out")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_events  # 2x input, each key emitted once
+    assert out.select("event_id").distinct().count() == n_events
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------

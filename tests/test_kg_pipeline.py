@@ -117,6 +117,28 @@ def test_triples_parallelism_invariant(spark):
     assert t2 == t8
 
 
+def test_linked_pipeline_recovers_typo_mentions(spark):
+    """extract_triples_linked: a typo'd alias ('tensorfow') yields the
+    CONTAINS triple the exact automaton misses; junk identifiers stay
+    NIL; exact triples are unchanged."""
+    files = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c", "python", "import tensorfow\ndef f_1(x):\n    return x\n"),
+            ("r2", "b.py", "c", "python", "import numpy\nVALUE_7 = 3\n"),
+        ],
+        synth.FILES_SCHEMA,
+    )
+    exact = {tuple(r) for r in pipeline.extract_triples(files).collect()}
+    linked = {tuple(r) for r in pipeline.extract_triples_linked(files).collect()}
+    assert ("r1", "CONTAINS", "tensorflow") not in exact
+    assert ("r1", "CONTAINS", "tensorflow") in linked
+    assert ("r2", "CONTAINS", "numpy") in exact
+    assert exact <= linked
+    # junk identifiers must not link: the only additions are real recoveries
+    extras = linked - exact
+    assert extras == {("r1", "CONTAINS", "tensorflow")}
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
