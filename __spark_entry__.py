@@ -452,6 +452,110 @@ def q_clickers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.exceptAll(buys)
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join + agg + top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): semi-join + agg —
+    orders in a window having >=1 late-shipped line (the testdata has
+    no l_commitdate/l_receiptdate; shipped-after-1998-06 stands in)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE WHEN) dual counts —
+    high/low-priority line counts per return flag (no l_shipmode in
+    the testdata)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue ratio): broadcast join +
+    conditional ratio — ECONOMY parts play the PROMO class."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("ECONOMY"), rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+    )
+
+
+def q_tag_metrics_remove_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 (my_ner.py:963-978): drop positions whose GOLD label is the
+    null class before computing metrics — here 'unk' plays the O role.
+    Prediction-side 'unk' rows survive, exactly like predicted-O rows
+    survive in the reference."""
+    pairs = _eval_pairs(spark, sf_dir).filter(F.col("gold") != "unk")
+    gc = pairs.groupBy("gold").agg(F.count(F.lit(1)).alias("support"))
+    pc = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("pred_count"))
+    tp = pairs.filter(F.col("gold") == F.col("pred")).groupBy("gold").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    j = (
+        gc.join(tp, "gold", "left")
+        .join(pc.withColumnRenamed("pred", "gold"), "gold", "left")
+        .select(
+            F.col("gold").alias("tag"),
+            "support",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_count", F.lit(0)).alias("pred_count"),
+        )
+    )
+    p = F.when(F.col("pred_count") == 0, F.lit(0.0)).otherwise(F.col("tp") / F.col("pred_count"))
+    r = F.col("tp") / F.col("support")
+    return j.select(
+        "tag",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        "support",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path: binary payload -> Arrow-batched
     feature extraction (stub decode; see operators/multimodal.py)."""
@@ -498,6 +602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_order_priority": q_tpch_q4,
+        "tpch_q12_shipmode": q_tpch_q12,
+        "tpch_q14_promo_revenue": q_tpch_q14,
+        "tag_metrics_remove_o": q_tag_metrics_remove_o,
         "orders_rollup": q_orders_rollup,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
@@ -754,6 +863,67 @@ def oracle_sql() -> dict[str, str]:
                                     i -> array_to_string(toks[i:i+4], ' ')),
                      s -> md5(s))) AS fp
             FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate >= TIMESTAMP '1998-06-01')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12_shipmode": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag
+        """,
+        "tpch_q14_promo_revenue": """
+            SELECT round(100 * sum(CASE WHEN p_type LIKE 'ECONOMY%'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "tag_metrics_remove_o": f"""
+            WITH pairs AS (SELECT * FROM ({_EVAL_PAIRS}) WHERE gold <> 'unk'),
+            gc AS (SELECT gold, count(*) AS support FROM pairs GROUP BY gold),
+            pc AS (SELECT pred, count(*) AS pred_count FROM pairs GROUP BY pred),
+            tp AS (SELECT gold, count(*) AS tp FROM pairs WHERE gold = pred GROUP BY gold),
+            j AS (
+              SELECT gc.gold AS tag, gc.support,
+                     coalesce(tp.tp, 0) AS tp,
+                     coalesce(pc.pred_count, 0) AS pred_count
+              FROM gc LEFT JOIN tp ON gc.gold = tp.gold LEFT JOIN pc ON gc.gold = pc.pred
+            )
+            SELECT tag,
+                   round(CASE WHEN pred_count = 0 THEN 0.0 ELSE tp / pred_count END, 6) AS precision,
+                   round(tp / support, 6) AS recall,
+                   support
+            FROM j
         """,
         "tag_metrics": _TAG_METRICS,
         "weighted_metrics": f"""
