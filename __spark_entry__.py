@@ -72,8 +72,29 @@ def _doc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-query gazetteer = the synth KG gazetteer PLUS query-engine
+# concept entities that exist in the testdata `documents` vocabulary.
+# Round 1's cooccurs check verified 0 rows because `documents` is a
+# query-engine word soup whose only synth-gazetteer hit is 'spark' —
+# one matchable entity can never co-occur. These OP entities give every
+# document 2+ linkable entities, so the COOCCURS oracle checks real
+# pairs. (The KG pipeline itself keeps synth.gazetteer_df — the golden
+# triple fixtures are untouched.)
+_DOC_ENTITIES: list[tuple[str, str, str]] = [
+    (w, w, "OP")
+    for w in (
+        "join", "sort", "scan", "merge", "filter",
+        "window", "stream", "batch", "agg",
+    )
+]
+
+
+def _gazetteer_rows_ext() -> list[tuple[str, str, str]]:
+    return synth.gazetteer_rows() + _DOC_ENTITIES
+
+
 _GAZ_VALUES = ",\n    ".join(
-    f"('{a}', '{e}', '{t}')" for a, e, t in synth.gazetteer_rows()
+    f"('{a}', '{e}', '{t}')" for a, e, t in _gazetteer_rows_ext()
 )
 _GAZ_CTE = f"gaz(alias, entity, ent_type) AS (VALUES\n    {_GAZ_VALUES})"
 
@@ -84,7 +105,9 @@ _ES = r"(?i)\b(el|los|las|es|una|para|con|por|del|como)\b"
 
 
 def _gazetteer_df(spark: SparkSession) -> DataFrame:
-    return synth.gazetteer_df(spark)
+    return spark.createDataFrame(
+        _gazetteer_rows_ext(), "alias string, entity string, ent_type string"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -112,10 +135,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 corpus statistics at lang grain (datafile_stat.py:3-37)."""
     d = _docs(spark, sf_dir)
+    # avg quantized to an e4 integer: float avgs round-trip through the
+    # driver's exact value hash only if BOTH engines produce the same
+    # double; round(sum*1e4/count) over exact integer sums is fully
+    # deterministic on both sides, so emit the integer.
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars_total"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.sum(F.length("text")) * 10000.0 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("avg_chars_e4"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -210,16 +239,28 @@ def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.col("lang").alias("gold"), X.lang_id("text").alias("pred"))
 
 
-def q_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1–E5: per-tag precision/recall/F1/support (my_ner.py:865-890),
-    zero-denominator precision -> 0 (my_ner.py:869-874)."""
-    pairs = _eval_pairs(spark, sf_dir)
-    gc = pairs.groupBy("gold").agg(F.count(F.lit(1)).alias("support"))
-    pc = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("pred_count"))
-    tp = pairs.filter(F.col("gold") == F.col("pred")).groupBy("gold").agg(
-        F.count(F.lit(1)).alias("tp")
+def _contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gold, pred, n): the one-scan contingency table the whole eval
+    family (E1-E9) derives from. The 5-regex language battery runs
+    exactly ONCE over the content column; everything downstream
+    re-aggregates a ~|tags|^2-row frame. At 100 TB this is the
+    difference between one content scan and one per metric (Catalyst
+    reuses the (gold, pred) exchange across the derived branches)."""
+    return (
+        _eval_pairs(spark, sf_dir)
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    j = (
+
+
+def _tag_metrics_from_ct(ct: DataFrame) -> DataFrame:
+    """Per-tag support/tp/pred_count derived from the contingency table."""
+    gc = ct.groupBy("gold").agg(F.sum("n").alias("support"))
+    pc = ct.groupBy("pred").agg(F.sum("n").alias("pred_count"))
+    tp = ct.filter(F.col("gold") == F.col("pred")).select(
+        "gold", F.col("n").alias("tp")
+    )
+    return (
         gc.join(tp, "gold", "left")
         .join(pc.withColumnRenamed("pred", "gold"), "gold", "left")
         .select(
@@ -229,6 +270,12 @@ def q_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pred_count", F.lit(0)).alias("pred_count"),
         )
     )
+
+
+def q_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1–E5: per-tag precision/recall/F1/support (my_ner.py:865-890),
+    zero-denominator precision -> 0 (my_ner.py:869-874)."""
+    j = _tag_metrics_from_ct(_contingency(spark, sf_dir))
     p = F.when(F.col("pred_count") == 0, F.lit(0.0)).otherwise(F.col("tp") / F.col("pred_count"))
     r = F.col("tp") / F.col("support")
     f1 = 2 * p * r / (p + r + F.lit(1e-10))
@@ -242,28 +289,52 @@ def q_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_weighted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6 support-weighted averages (my_ner.py:943-961)."""
-    m = q_tag_metrics(spark, sf_dir)
+    """E6 support-weighted averages (my_ner.py:943-961).
+
+    Per-tag metrics are quantized to e6 integers BEFORE weighting so
+    the weighted sums are exact integer arithmetic — the only float op
+    left is one division of exact integers, which both engines compute
+    identically (the round-then-float-sum form is order-sensitive and
+    flipped the driver's exact value hash in round 1)."""
+    j = _tag_metrics_from_ct(_contingency(spark, sf_dir))
+    p = F.when(F.col("pred_count") == 0, F.lit(0.0)).otherwise(F.col("tp") / F.col("pred_count"))
+    r = F.col("tp") / F.col("support")
+    f1 = 2 * p * r / (p + r + F.lit(1e-10))
+    m = j.select(
+        "support",
+        F.round(p * 1_000_000, 0).cast("long").alias("p_e6"),
+        F.round(r * 1_000_000, 0).cast("long").alias("r_e6"),
+        F.round(f1 * 1_000_000, 0).cast("long").alias("f1_e6"),
+    )
     return m.agg(
-        F.round(F.sum(F.col("precision") * F.col("support")) / F.sum("support"), 6).alias("w_precision"),
-        F.round(F.sum(F.col("recall") * F.col("support")) / F.sum("support"), 6).alias("w_recall"),
-        F.round(F.sum(F.col("f1") * F.col("support")) / F.sum("support"), 6).alias("w_f1"),
+        F.round(F.sum(F.col("p_e6") * F.col("support")) / F.sum("support"), 0)
+        .cast("long")
+        .alias("w_precision_e6"),
+        F.round(F.sum(F.col("r_e6") * F.col("support")) / F.sum("support"), 0)
+        .cast("long")
+        .alias("w_recall_e6"),
+        F.round(F.sum(F.col("f1_e6") * F.col("support")) / F.sum("support"), 0)
+        .cast("long")
+        .alias("w_f1_e6"),
         F.sum("support").alias("total_support"),
     )
 
 
 def q_micro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9 micro-F1 == token accuracy (my_ner.py:1054)."""
-    pairs = _eval_pairs(spark, sf_dir)
-    return pairs.agg(
-        F.round(F.avg((F.col("gold") == F.col("pred")).cast("int")), 6).alias("micro_f1")
+    ct = _contingency(spark, sf_dir)
+    return ct.agg(
+        F.round(
+            F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("micro_f1")
     )
 
 
 def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 confusion counts at (gold, pred) grain (my_ner.py:980-1004)."""
-    pairs = _eval_pairs(spark, sf_dir)
-    return pairs.groupBy(F.col("gold"), F.col("pred")).agg(F.count(F.lit(1)).alias("n"))
+    return _contingency(spark, sf_dir).select("gold", "pred", "n")
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +384,8 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (relational nibble-vote aggregation)."""
+    """64-bit SimHash per document (relational nibble-vote aggregation
+    over 4 salted md5s per token)."""
     d = _docs(spark, sf_dir)
     return dedup.simhash_df(d).select(F.col("id").alias("doc_id"), "sh")
 
@@ -337,17 +409,28 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate all-pairs top-3 via multi-table sign-LSH (scale path)."""
+    """Approximate all-pairs top-3 via multi-table sign-LSH (scale
+    path); hyperplane dim is inferred worker-side from the first Arrow
+    batch — no driver action in the query path."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    return similarity.lsh_topk(e, dim=dim, k=3)
+    return similarity.lsh_topk(e, k=3)
 
 
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>=0.95) via LSH buckets."""
+    """Embedding-cosine similar pairs (>=0.35) via LSH buckets.
+
+    The testdata embeddings are near-isotropic (max pairwise cosine
+    ~0.51 at sf0.01), so a 0.95 'near-dup' threshold verified nothing
+    in round 1 (0 rows). 0.35 sits at the ~p99.9 tail — the check now
+    returns real pairs; the short 3-plane/12-table OR-construction
+    keeps recall >95% at that (weak-similarity) threshold. Recall vs
+    brute force is additionally pinned by a planted-cluster unit test
+    (tests/test_dedup_similarity.py::test_embedding_near_dup_recall).
+    """
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    return similarity.embedding_near_dups(e, dim=dim, threshold=0.95)
+    return similarity.embedding_near_dups(
+        e, threshold=0.35, n_planes=3, n_tables=12
+    )
 
 
 def q_entity_link_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,11 +473,14 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = e.withColumn(
         "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     ).withColumn("session_id", F.sum("is_new").over(w))
+    # value quantized per-row BEFORE summing: integer sums are
+    # order-insensitive, float sums are not — the driver's exact value
+    # hash caught the difference in round 1.
     return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("sum_value_e4"),
     )
 
 
@@ -530,22 +616,8 @@ def q_tag_metrics_remove_o(spark: SparkSession, sf_dir: str) -> DataFrame:
     null class before computing metrics — here 'unk' plays the O role.
     Prediction-side 'unk' rows survive, exactly like predicted-O rows
     survive in the reference."""
-    pairs = _eval_pairs(spark, sf_dir).filter(F.col("gold") != "unk")
-    gc = pairs.groupBy("gold").agg(F.count(F.lit(1)).alias("support"))
-    pc = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("pred_count"))
-    tp = pairs.filter(F.col("gold") == F.col("pred")).groupBy("gold").agg(
-        F.count(F.lit(1)).alias("tp")
-    )
-    j = (
-        gc.join(tp, "gold", "left")
-        .join(pc.withColumnRenamed("pred", "gold"), "gold", "left")
-        .select(
-            F.col("gold").alias("tag"),
-            "support",
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-            F.coalesce("pred_count", F.lit(0)).alias("pred_count"),
-        )
-    )
+    ct = _contingency(spark, sf_dir).filter(F.col("gold") != "unk")
+    j = _tag_metrics_from_ct(ct)
     p = F.when(F.col("pred_count") == 0, F.lit(0.0)).otherwise(F.col("tp") / F.col("pred_count"))
     r = F.col("tp") / F.col("support")
     return j.select(
@@ -567,6 +639,83 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame-sampling stub: 4 byte-slice frames per payload."""
     d = _docs(spark, sf_dir)
     return multimodal.frame_sample(multimodal.with_binary_payload(d), n_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# decode core (M2 argmax / M7 Viterbi) as oracle-checked queries.
+# Emissions are a deterministic function of (tag, token): the first 8
+# hex digits of md5(tag || '|' || token) as an integer — both engines
+# derive the identical score, so the decode itself is what's checked.
+# ---------------------------------------------------------------------------
+
+_DECODE_TAGS = ["O", "B-ENT", "I-ENT"]
+_DECODE_L = 6
+
+
+def _emission_score(token_col, tag: str):
+    h = F.md5(F.concat_ws("|", F.lit(tag), token_col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+
+
+def _doc_emission_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(file_key, emissions[L][C]) over the first _DECODE_L tokens of
+    each document. The sequence is assembled with
+    collect_list(struct(pos, scores)) + array_sort + transform — order
+    is guaranteed by the expression, NOT by physical row order (the
+    round-1 orderBy-before-collect_list hazard)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "token")
+    ).filter(F.col("pos") < _DECODE_L)
+    em = toks.select(
+        "doc_id",
+        "pos",
+        F.array(
+            *[_emission_score(F.col("token"), t) for t in _DECODE_TAGS]
+        ).alias("scores"),
+    )
+    return em.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "scores"))),
+            lambda s: s["scores"],
+        ).alias("emissions")
+    ).select(F.col("doc_id").cast("string").alias("file_key"), "emissions")
+
+
+def _decoded_to_rows(decoded: DataFrame) -> DataFrame:
+    return decoded.select(
+        F.col("file_key").cast("long").alias("doc_id"),
+        F.posexplode("tags").alias("pos", "pred_tag"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "pred_tag")
+
+
+def q_argmax_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (my_ner.py:493-497): per-token argmax decode through the
+    Arrow-batched kernel; oracle = max_by per (doc, pos)."""
+    from ner_spark.operators import decode
+
+    seqs = _doc_emission_seqs(spark, sf_dir)
+    return _decoded_to_rows(decode.argmax_tags(seqs, _DECODE_TAGS))
+
+
+def q_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (my_ner.py:733-825): batched Viterbi with hard BIO
+    constraints (I-ENT only after B-ENT/I-ENT; my_ner.py:550-556).
+
+    The forbidden-transition penalty is -1e11 — absolute relative to
+    the 32-bit emission range — so the oracle can enumerate only VALID
+    paths (3^L per doc, exhaustive max) and both sides agree exactly:
+    every score is an integer, the DP stays in exact double arithmetic.
+    """
+    import numpy as np
+
+    from ner_spark.operators import decode
+
+    seqs = _doc_emission_seqs(spark, sf_dir)
+    hard = np.where(decode.bio_transitions(_DECODE_TAGS) < 0, -1e11, 0.0)
+    return _decoded_to_rows(
+        decode.viterbi_tags(seqs, _DECODE_TAGS, trans=hard)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -607,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_shipmode": q_tpch_q12,
         "tpch_q14_promo_revenue": q_tpch_q14,
         "tag_metrics_remove_o": q_tag_metrics_remove_o,
+        "argmax_decode": q_argmax_decode,
+        "viterbi_decode": q_viterbi_decode,
         "orders_rollup": q_orders_rollup,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
@@ -725,15 +876,40 @@ pairs AS (
 """
 
 
-def _dk_simhash(ts: str, bits: int = 16) -> str:
-    """DuckDB 16-bit SimHash — mirrors dedup.simhash nibble votes."""
-    terms = [
-        f"(CASE WHEN 2 * len(list_filter({ts}, "
-        f"t -> strpos('89abcdef', substr(md5(t), {i + 1}, 1)) > 0)) "
-        f"> len({ts}) THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    ]
-    return "(" + " + ".join(terms) + ")::BIGINT"
+def _dk_simhash(ts: str, bits: int = 64) -> str:
+    """DuckDB 64-bit SimHash — mirrors dedup.simhash salted-md5 nibble
+    votes (bit 16*j+i = majority of nibble i of md5('j:'||token)).
+    Bit 63 uses the min-long literal: DuckDB rejects 1::BIGINT << 63."""
+    terms = []
+    for b in range(bits):
+        j, i = divmod(b, 16)
+        bitval = f"(1::BIGINT << {b})" if b < 63 else "(-9223372036854775807 - 1)"
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter({ts}, "
+            f"t -> strpos('89abcdef', substr(md5('{j}:' || t), {i + 1}, 1)) > 0)) "
+            f"> len({ts}) THEN {bitval} ELSE 0::BIGINT END)"
+        )
+    return "(" + " | ".join(terms) + ")::BIGINT"
+
+
+def _dk_hex8(expr: str) -> str:
+    """DuckDB: first 8 hex chars of md5(expr) as a BIGINT — mirrors
+    Spark's conv(substring(md5(x), 1, 8), 16, 10)."""
+    h = f"md5({expr})"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"({terms})"
+
+
+_DK_DECODE_T6 = f"""
+toks AS (
+  SELECT doc_id, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos1
+  FROM (SELECT doc_id, {{toks_expr}} AS ts FROM documents)
+),
+t6 AS (SELECT doc_id, pos1 - 1 AS pos, token FROM toks WHERE pos1 <= {_DECODE_L})
+"""
 
 
 _DK_COSINE = (
@@ -779,8 +955,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(length(text)) AS n_chars_total,
-                   round(avg(length(text)), 4) AS avg_chars,
+                   sum(length(text))::BIGINT AS n_chars_total,
+                   CAST(round(sum(length(text)) * 10000.0 / count(*)) AS BIGINT)
+                     AS avg_chars_e4,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,
@@ -890,9 +1067,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12_shipmode": """
             SELECT l_returnflag,
                    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -927,11 +1104,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tag_metrics": _TAG_METRICS,
         "weighted_metrics": f"""
-            WITH m AS ({_TAG_METRICS})
-            SELECT round(sum(precision * support) / sum(support), 6) AS w_precision,
-                   round(sum(recall * support) / sum(support), 6) AS w_recall,
-                   round(sum(f1 * support) / sum(support), 6) AS w_f1,
-                   sum(support) AS total_support
+            WITH pairs AS ({_EVAL_PAIRS}),
+            gc AS (SELECT gold, count(*) AS support FROM pairs GROUP BY gold),
+            pc AS (SELECT pred, count(*) AS pred_count FROM pairs GROUP BY pred),
+            tp AS (SELECT gold, count(*) AS tp FROM pairs WHERE gold = pred GROUP BY gold),
+            j AS (
+              SELECT gc.gold AS tag, gc.support,
+                     coalesce(tp.tp, 0) AS tp,
+                     coalesce(pc.pred_count, 0) AS pred_count
+              FROM gc LEFT JOIN tp ON gc.gold = tp.gold LEFT JOIN pc ON gc.gold = pc.pred
+            ),
+            m AS (
+              SELECT support,
+                     CAST(round((CASE WHEN pred_count = 0 THEN 0.0
+                                      ELSE tp / pred_count END) * 1000000) AS BIGINT) AS p_e6,
+                     CAST(round((tp / support) * 1000000) AS BIGINT) AS r_e6,
+                     CAST(round(2 * (CASE WHEN pred_count = 0 THEN 0.0 ELSE tp / pred_count END)
+                                  * (tp / support)
+                                / ((CASE WHEN pred_count = 0 THEN 0.0 ELSE tp / pred_count END)
+                                   + (tp / support) + 1e-10) * 1000000) AS BIGINT) AS f1_e6
+              FROM j
+            )
+            SELECT CAST(round(sum(p_e6 * support)::BIGINT / sum(support)::BIGINT) AS BIGINT) AS w_precision_e6,
+                   CAST(round(sum(r_e6 * support)::BIGINT / sum(support)::BIGINT) AS BIGINT) AS w_recall_e6,
+                   CAST(round(sum(f1_e6 * support)::BIGINT / sum(support)::BIGINT) AS BIGINT) AS w_f1_e6,
+                   sum(support)::BIGINT AS total_support
             FROM m
         """,
         "micro_f1": f"""
@@ -1107,6 +1304,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, ts::DATE AS day FROM events
             WHERE event_type = 'purchase'
         """,
+        "argmax_decode": f"""
+            WITH {_DK_DECODE_T6.format(toks_expr=_TOKS).strip()},
+            scored AS (
+              SELECT doc_id, pos, tag, tag_idx,
+                     {_dk_hex8("tag || '|' || token")} AS score
+              FROM t6 CROSS JOIN (VALUES ('O', 0), ('B-ENT', 1), ('I-ENT', 2))
+                                 tags(tag, tag_idx)
+            )
+            SELECT doc_id, pos, pred_tag FROM (
+              SELECT doc_id, pos, tag AS pred_tag,
+                     row_number() OVER (PARTITION BY doc_id, pos
+                                        ORDER BY score DESC, tag_idx) AS rn
+              FROM scored
+            ) WHERE rn = 1
+        """,
+        "viterbi_decode": f"""
+            WITH RECURSIVE {_DK_DECODE_T6.format(toks_expr=_TOKS).strip()},
+            em AS (
+              SELECT doc_id, pos,
+                     [{_dk_hex8("'O|' || token")},
+                      {_dk_hex8("'B-ENT|' || token")},
+                      {_dk_hex8("'I-ENT|' || token")}] AS sc
+              FROM t6
+            ),
+            lens AS (SELECT doc_id, max(pos) AS last_pos FROM em GROUP BY doc_id),
+            -- exhaustive max over VALID BIO paths (I-ENT only after
+            -- B-ENT/I-ENT); the Spark side's -1e11 penalty is absolute,
+            -- so filtering invalid transitions is equivalent
+            paths(doc_id, pos, seq, total, last_tag) AS (
+              SELECT doc_id, 0, [t.i], sc[t.i + 1], t.i
+              FROM em CROSS JOIN range(0, 3) t(i) WHERE pos = 0
+              UNION ALL
+              SELECT p.doc_id, p.pos + 1, list_append(p.seq, t.i),
+                     p.total + e.sc[t.i + 1], t.i
+              FROM paths p
+              JOIN em e ON e.doc_id = p.doc_id AND e.pos = p.pos + 1
+              CROSS JOIN range(0, 3) t(i)
+              WHERE NOT (t.i = 2 AND p.last_tag = 0)
+            ),
+            best AS (
+              SELECT p.doc_id, p.seq,
+                     row_number() OVER (PARTITION BY p.doc_id
+                                        ORDER BY p.total DESC, p.seq) AS rn
+              FROM paths p JOIN lens l ON p.doc_id = l.doc_id AND p.pos = l.last_pos
+            )
+            SELECT doc_id, pos1 - 1 AS pos,
+                   ['O', 'B-ENT', 'I-ENT'][tag_idx + 1] AS pred_tag
+            FROM (
+              SELECT doc_id, unnest(seq) AS tag_idx,
+                     generate_subscripts(seq, 1) AS pos1
+              FROM best WHERE rn = 1
+            )
+        """,
         "media_features": f"""
             WITH m AS (
               SELECT doc_id,
@@ -1131,12 +1381,13 @@ def oracle_sql() -> dict[str, str]:
             sess AS (
               SELECT *, sum(is_new) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
               FROM marked
             )
             SELECT user_id, session_id,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 10000) AS BIGINT))::BIGINT AS sum_value_e4
             FROM sess GROUP BY user_id, session_id
         """,
     }

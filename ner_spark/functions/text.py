@@ -65,6 +65,39 @@ def char_split(col) -> Column:
     return F.split(c, "")
 
 
+# ---- traditional -> simplified (P4, chinese_t2s.py:22,41-50) ---------------
+
+# Curated 1:1 traditional->simplified pairs (public Unicode knowledge).
+# The reference shells out to OpenCC; that dependency is unavailable
+# here, so the operator ships a built-in subset covering the frequent
+# single-char conversions and stays a zero-copy JVM translate(). For
+# full OpenCC parity (incl. one-to-many phrases) feed an external
+# conversion table through operators.dictionary.transliterate — same
+# relational plan, table-driven.
+_T2S_TRAD = (
+    "萬億貝見車長門馬鳥魚龍風雲電書學寫聽說讀話語誰請謝對時間問題國圖員圓"
+    "買賣錢銀鐵錯難雞離飛點熱愛體發頭頁順須顧簡紙級紅綠線經給結絲網這進遠"
+    "還邊過連東樂為麼來個們從會動務勞勝區醫華協單號處備復雜裡禮歷曆廠廣"
+)
+_T2S_SIMP = (
+    "万亿贝见车长门马鸟鱼龙风云电书学写听说读话语谁请谢对时间问题国图员圆"
+    "买卖钱银铁错难鸡离飞点热爱体发头页顺须顾简纸级红绿线经给结丝网这进远"
+    "还边过连东乐为么来个们从会动务劳胜区医华协单号处备复杂里礼历历厂广"
+)
+assert len(_T2S_TRAD) == len(_T2S_SIMP)
+
+
+def t2s(col) -> Column:
+    """Traditional -> simplified Chinese, per-char table translate.
+
+    P4 (chinese_t2s.py:41-50): the reference wraps OpenCC's t2s
+    profile; this is the native-expression equivalent over the built-in
+    1:1 subset table — one translate() per row, in codegen, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _T2S_TRAD, _T2S_SIMP)
+
+
 # ---- row invariant ---------------------------------------------------------
 
 def content_sha256(col) -> Column:

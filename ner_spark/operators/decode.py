@@ -79,22 +79,64 @@ def argmax_decode(emissions: np.ndarray) -> np.ndarray:
     return np.argmax(emissions, axis=-1)
 
 
+def argmax_tags(
+    df: DataFrame,
+    tags: list[str],
+    emissions_col: str = "emissions",
+    key_col: str = "file_key",
+) -> DataFrame:
+    """M2 as a DataFrame operator: per-token argmax decode
+    (my_ner.py:493-497) over (key, emissions[L][C]) -> (key, tags[L]).
+
+    Ties resolve to the lowest tag index (np.argmax first-max), exactly
+    the reference's torch.argmax convention.
+    """
+    tag_arr = list(tags)
+    schema = T.StructType(
+        [
+            T.StructField("file_key", T.StringType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            keys_out, tags_out = [], []
+            for key, em in zip(pdf[key_col], pdf[emissions_col]):
+                if len(em) == 0:
+                    keys_out.append(key)
+                    tags_out.append([])
+                    continue
+                mat = np.asarray([list(tok) for tok in em], dtype=np.float64)
+                ids = argmax_decode(mat[None, :, :])[0]
+                keys_out.append(key)
+                tags_out.append([tag_arr[i] for i in ids])
+            yield pd.DataFrame({"file_key": keys_out, "tags": tags_out})
+
+    return df.select(F.col(key_col), F.col(emissions_col)).mapInPandas(run, schema)
+
+
 def viterbi_tags(
     df: DataFrame,
     tags: list[str],
     emissions_col: str = "emissions",
     key_col: str = "file_key",
     constrained: bool = True,
+    trans: np.ndarray | None = None,
 ) -> DataFrame:
     """DataFrame operator: (key, emissions[L][C]) -> (key, tags[L]).
 
     Variable-length sequences are bucketed by length inside each Arrow
     batch so the batched kernel runs on rectangular tensors without
     padding waste — the relational analog of the reference's
-    length-sorted batching (my_ner.py:100-101).
+    length-sorted batching (my_ner.py:100-101). An explicit `trans`
+    matrix overrides the default BIO constraints (e.g. to make the
+    forbidden-transition penalty absolute rather than the reference's
+    soft -1e4).
     """
     tag_arr = list(tags)
-    trans = bio_transitions(tag_arr) if constrained else np.zeros((len(tag_arr),) * 2)
+    if trans is None:
+        trans = bio_transitions(tag_arr) if constrained else np.zeros((len(tag_arr),) * 2)
 
     schema = T.StructType(
         [

@@ -189,60 +189,94 @@ def near_dup_pairs(
 
 _HI_NIBBLES = "89abcdef"
 
-
-def _hi_nibble_count(hashes: Column, i: int) -> Column:
-    """Count of token hashes whose nibble #i is in [8, f].
-
-    Single-arg lambda on purpose: PySpark treats a two-parameter lambda
-    in F.filter as (element, index), which would shadow `i`.
-    """
-    return F.size(
-        F.filter(hashes, lambda h: F.substring(h, i + 1, 1).isin(*_HI_NIBBLES))
-    )
+# 64-bit fingerprint = 4 salted md5s per token, 16 majority-vote bits
+# each. Round 1 shipped a 16-bit hash; at sf0.1 it was SATURATED (the
+# largest pigeonhole band bucket held 54% of the corpus, making the
+# band self-join effectively quadratic and labeling 40% of all pairs
+# "near-dups"). 64 bits gives each Hamming<=2 band ~21 bits of
+# entropy — sparse buckets at any corpus size.
+SIMHASH_BITS = 64
+_NIBBLES_PER_HASH = 16
 
 
-def simhash(col, bits: int = 16) -> Column:
+def _n_salts(bits: int) -> int:
+    q, r = divmod(bits, _NIBBLES_PER_HASH)
+    return q + (1 if r else 0)
+
+
+def _salted_md5(tok: Column, j: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{j}:"), tok))
+
+
+def simhash(col, bits: int = SIMHASH_BITS) -> Column:
     """bits-bit SimHash over the distinct token set (long).
 
-    Bit i is the majority vote of nibble i of each token's md5:
-    vote +1 when the nibble is in [8, f], -1 otherwise; bit set when
-    the vote sum is strictly positive. Pure native expressions —
-    reproducible in ANSI SQL (the DuckDB oracle builds the identical
-    formula), zero shuffle, zero Python.
+    Bit b (= 16*j + i) is the majority vote of nibble #i of each
+    token's salted hash md5('j:' || token): vote +1 when the nibble is
+    in [8, f], -1 otherwise; bit set when the vote sum is strictly
+    positive. Pure native expressions — reproducible in ANSI SQL (the
+    DuckDB oracle builds the identical formula), zero shuffle, zero
+    Python.
     """
     ts = token_set(col)
-    # hash each token ONCE; the per-bit counts reuse the array (the
-    # giant expression otherwise falls out of codegen AND recomputes
-    # bits× md5s per token — 16x the work, interpreted)
-    hashes = F.transform(ts, F.md5)
     n = F.size(ts)
     acc = F.lit(0).cast("long")
-    for i in range(bits):
-        bit = (_hi_nibble_count(hashes, i) * 2 > n).cast("long")
-        acc = acc + F.shiftleft(bit, i)
+
+    # single-arg lambdas built through closures on purpose: PySpark
+    # treats a two-parameter lambda (even with a defaulted second
+    # param) in F.transform/F.filter as (element, index), which would
+    # bind the loop variable to the ARRAY INDEX
+    def salted(j: int) -> Column:
+        return F.transform(ts, lambda t: _salted_md5(t, j))
+
+    def hi_count(hashes: Column, i: int) -> Column:
+        return F.size(
+            F.filter(hashes, lambda h: F.substring(h, i + 1, 1).isin(*_HI_NIBBLES))
+        )
+
+    for j in range(_n_salts(bits)):
+        # hash each token ONCE per salt; the per-bit counts reuse the
+        # array (the giant expression otherwise falls out of codegen
+        # AND recomputes bits x md5s per token)
+        hashes = salted(j)
+        for i in range(min(_NIBBLES_PER_HASH, bits - j * _NIBBLES_PER_HASH)):
+            bit = (hi_count(hashes, i) * 2 > n).cast("long")
+            acc = acc.bitwiseOR(F.shiftleft(bit, j * _NIBBLES_PER_HASH + i))
     return acc
 
 
 def simhash_df(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(id, sh): relational SimHash — explode the token set, hash each
-    token once, aggregate per-bit hi-nibble counts with flat
+    token once per salt, aggregate per-bit hi-nibble counts with flat
     conditional sums. Same values as `simhash`, but codegen-friendly
     and map-side-partial at scale (the scalar expression interprets
-    16 nested array filters per row)."""
+    `bits` nested array filters per row)."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(token_set(F.col(text_col))).alias("t")
     )
-    h = toks.select("id", F.md5("t").alias("h"))
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.substring("h", i + 1, 1).isin(*_HI_NIBBLES).cast("int")).alias(f"c{i}")
-        for i in range(bits)
-    ]
+    n_salts = _n_salts(bits)
+    h = toks.select(
+        "id", *[_salted_md5(F.col("t"), j).alias(f"h{j}") for j in range(n_salts)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for b in range(bits):
+        j, i = divmod(b, _NIBBLES_PER_HASH)
+        aggs.append(
+            F.sum(
+                F.substring(f"h{j}", i + 1, 1).isin(*_HI_NIBBLES).cast("int")
+            ).alias(f"c{b}")
+        )
     g = h.groupBy("id").agg(*aggs)
     acc = F.lit(0).cast("long")
-    for i in range(bits):
-        acc = acc + F.shiftleft((F.col(f"c{i}") * 2 > F.col("n")).cast("long"), i)
+    for b in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft((F.col(f"c{b}") * 2 > F.col("n")).cast("long"), b)
+        )
     return g.select("id", acc.alias("sh"))
 
 
@@ -255,7 +289,7 @@ def simhash_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = SIMHASH_BITS,
     max_hamming: int = 2,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash distance <= max_hamming.
@@ -264,7 +298,10 @@ def simhash_dup_pairs(
     bands, so by pigeonhole any pair within the distance budget agrees
     on at least one whole band — the band equi-join finds every such
     pair while avoiding the all-pairs cross. Candidates are then
-    filtered by true Hamming distance.
+    filtered by true Hamming distance. With 64-bit hashes and
+    max_hamming=2 each band key carries ~21 bits of entropy, so
+    buckets stay sparse (the 16-bit version measurably saturated:
+    one bucket held 54% of the corpus at sf0.1).
     """
     n_bands = max_hamming + 1
     h = simhash_df(docs, id_col, text_col, bits)

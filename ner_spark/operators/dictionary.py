@@ -113,6 +113,116 @@ def build_radical_map(vocab: DataFrame, unihan: DataFrame, default_radical: int 
     )
 
 
+def radical_name_map(radindex: DataFrame, rad_vocab: DataFrame) -> DataFrame:
+    """D7: chained lookup rad_index -> radical char -> vocab id
+    (withW2V.py:289-294 `radindex_and_rad` + `ori_rad_id_2_w2v_rad_id`).
+
+    `radindex` is the S5 frame (rad_index, radical); `rad_vocab` maps
+    (token, id) — e.g. a w2v radical vocabulary. Returns
+    (rad_index, radical, rad_vocab_id). The reference raises KeyError
+    on a radical missing from the vocab; the inner join reproduces
+    "only resolvable radicals survive".
+    """
+    return radindex.join(
+        F.broadcast(rad_vocab.withColumnRenamed("token", "radical")),
+        "radical",
+    ).select("rad_index", "radical", F.col("id").alias("rad_vocab_id"))
+
+
+def build_radical_map_w2v(
+    vocab: DataFrame,
+    unihan: DataFrame,
+    radindex: DataFrame,
+    rad_vocab: DataFrame,
+    notzh: str = "<notZh>",
+) -> DataFrame:
+    """D8: the w2v-backed variant of D4 (withW2V.py:214-276
+    `build_one_radical`): char-id -> the *radical-vocabulary id* of its
+    KangXi radical, defaulting every unresolvable char (non-CJK chars,
+    sentinels, chars outside Unihan) to the vocab id of ``<notZh>`` —
+    the reference's explicit `w2v_rad_model.build_vocab([["<notZh>"]],
+    update=True)` fallback.
+
+    Output covers EVERY id in `vocab` exactly once (the reference's
+    dense ordered_radical list), so downstream embedding lookup is a
+    plain array index. All dictionary joins broadcast.
+    """
+    w = Window.partitionBy("char").orderBy("radical", "stroke")
+    uni = (
+        unihan.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("char", F.col("radical").alias("rad_index"))
+    )
+    names = radical_name_map(radindex, rad_vocab).select("rad_index", "rad_vocab_id")
+    notzh_id = (
+        rad_vocab.filter(F.col("token") == notzh).select("id").collect()[0][0]
+    )
+    return (
+        vocab.withColumnRenamed("token", "char")
+        .join(F.broadcast(uni), "char", "left")
+        .join(F.broadcast(names), "rad_index", "left")
+        .select(
+            "char",
+            "id",
+            F.coalesce(F.col("rad_vocab_id"), F.lit(notzh_id))
+            .cast("long")
+            .alias("rad_vocab_id"),
+        )
+        .orderBy("id")
+    )
+
+
+def transliterate(
+    df: DataFrame,
+    mapping: DataFrame,
+    text_col: str = "text",
+    out_col: str = "radical_text",
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """P6: rewrite a string char-by-char through a mapping table
+    (word_to_radical.py:46-68 `C2R.convert`: char -> radindex ->
+    radical char, composed into one (char, replacement) frame by the
+    caller).
+
+    Relational formulation: posexplode chars -> broadcast-join the
+    mapping -> reassemble with collect_list(struct(pos, char)) +
+    array_sort, so order is guaranteed by the expression rather than
+    physical row order. The reference crashes (KeyError) on unmapped
+    chars; here they pass through unchanged — the total-function
+    generalization (documented deviation).
+    """
+    chars = df.select(
+        *key_cols, F.posexplode(F.split(F.col(text_col), "")).alias("pos", "char")
+    )
+    mapped = chars.join(F.broadcast(mapping), "char", "left").select(
+        *key_cols, "pos", F.coalesce(F.col("replacement"), F.col("char")).alias("out")
+    )
+    rebuilt = mapped.groupBy(*key_cols).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                lambda s: s["out"],
+            ),
+        ).alias(out_col)
+    )
+    return df.join(rebuilt, list(key_cols), "left")
+
+
+def char_to_radical_mapping(unihan: DataFrame, radindex: DataFrame) -> DataFrame:
+    """Compose S3 x S5 into the P6 mapping frame (char, replacement):
+    char -> its KangXi radical CHARACTER (word_to_radical.py:62-66)."""
+    w = Window.partitionBy("char").orderBy("radical", "stroke")
+    uni = (
+        unihan.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("char", F.col("radical").alias("rad_index"))
+    )
+    return uni.join(F.broadcast(radindex), "rad_index").select(
+        "char", F.col("radical").alias("replacement")
+    )
+
+
 def dummy_radical_map(vocab: DataFrame) -> DataFrame:
     """D6: all-zeros radical table (feature disabled; my_ner.py:186-191)."""
     return vocab.select(F.col("token").alias("char"), "id", F.lit(0).alias("radical"))

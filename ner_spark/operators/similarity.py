@@ -80,7 +80,7 @@ _SIG_SCHEMA = T.StructType(
 
 def lsh_buckets(
     vectors: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 3,
     seed: int = 42,
@@ -95,17 +95,24 @@ def lsh_buckets(
 
     One numpy matmul per Arrow batch — the vectorized scale path; the
     hyperplane tensor is regenerated per worker from the seed (tiny),
-    so nothing non-deterministic is shipped.
+    so nothing non-deterministic is shipped. `dim` may be omitted: it
+    is read from the first vector of the first Arrow batch on each
+    worker (every worker derives the SAME planes from (seed, dim), so
+    no driver-side `.first()` action is needed in the query path).
     """
     def run(batches):
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_tables, dim, n_planes))
+        planes = None
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         for pdf in batches:
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             if len(mat) == 0:
                 yield pd.DataFrame({"vec_id": [], "table": [], "bucket": []})
                 continue
+            if planes is None:
+                d = dim if dim is not None else mat.shape[1]
+                planes = np.random.default_rng(seed).standard_normal(
+                    (n_tables, d, n_planes)
+                )
             ids = pdf[id_col].astype("int64").to_numpy()
             frames = []
             for t in range(n_tables):
@@ -122,7 +129,7 @@ def lsh_buckets(
 
 def _bucketed_pairs(
     corpus: DataFrame,
-    dim: int,
+    dim: int | None,
     n_planes: int,
     n_tables: int,
     seed: int,
@@ -159,7 +166,7 @@ def _bucketed_pairs(
 
 def lsh_topk(
     corpus: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 3,
@@ -185,7 +192,7 @@ def lsh_topk(
 
 def embedding_near_dups(
     corpus: DataFrame,
-    dim: int,
+    dim: int | None = None,
     threshold: float = 0.95,
     n_planes: int = 6,
     n_tables: int = 3,

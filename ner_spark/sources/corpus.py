@@ -103,6 +103,100 @@ def read_unihan_radicals(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_radical_index(spark: SparkSession, path: str) -> DataFrame:
+    """S5: radindex_rad.txt -> (rad_index, radical).
+
+    Reference quirk reproduced exactly (withW2V.py:279-287
+    `radindex_and_rad`): the key is the **1-based line number**, the
+    value is the line's FIRST whitespace field. Dictionary files are
+    tiny, so the line-order window is a single global sort at build
+    time only (same note as read_conll_tokens).
+    """
+    lines = (
+        spark.read.text(path)
+        .select(F.col("value").alias("line"))
+        .withColumn("line_id", F.monotonically_increasing_id())
+    )
+    w = Window.orderBy("line_id")
+    parts = F.split(F.regexp_replace(F.col("line"), r"^\s+|\s+$", ""), r"\s+")
+    return (
+        lines.filter(F.trim("line") != "")
+        .withColumn("rad_index", F.row_number().over(w))
+        .select(
+            F.col("rad_index").cast("int"),
+            F.element_at(parts, 1).alias("radical"),
+        )
+    )
+
+
+# basic wiki-markup cleanup: templates, link syntax, refs, entities.
+# The reference delegates to gensim.WikiCorpus (wiki_process.py:35-45);
+# this reproduces the article-extraction stage as native regexes so the
+# 100 TB dump never leaves the JVM.
+_WIKI_CLEANUPS: list[tuple[str, str]] = [
+    (r"(?s)\{\{[^{}]*\}\}", " "),          # flat templates
+    (r"\[\[(?:[^\[\]|]*\|)?([^\[\]|]*)\]\]", r"$1"),  # [[A|B]] -> B, [[A]] -> A
+    (r"(?s)<ref[^>]*>.*?</ref>", " "),
+    (r"<[^>]+>", " "),                      # residual tags
+    (r"&(?:amp|lt|gt|quot|nbsp);", " "),
+    (r"\s+", " "),
+]
+
+
+def read_wiki_articles(spark: SparkSession, path: str) -> DataFrame:
+    """S7: MediaWiki XML dump -> (title, text) article rows.
+
+    The dump is split on ``</page>`` at scan time (``lineSep`` — Spark
+    parallelizes the split across input blocks), then title/body are
+    one regexp_extract each and the markup cleanup is a fixed regex
+    chain. Redirects and empty pages are dropped, mirroring what
+    gensim's WikiCorpus iterator yields to the reference
+    (wiki_process.py:35-45).
+    """
+    pages = spark.read.option("lineSep", "</page>").text(path)
+    title = F.regexp_extract("value", r"<title>([^<]*)</title>", 1)
+    body = F.regexp_extract("value", r"(?s)<text[^>]*>(.*)</text>", 1)
+    out = pages.select(title.alias("title"), body.alias("text")).filter(
+        (F.col("title") != "") & (F.col("text") != "")
+    )
+    out = out.filter(~F.col("text").startswith("#REDIRECT"))
+    cleaned = F.col("text")
+    for pat, repl in _WIKI_CLEANUPS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return out.select("title", F.trim(cleaned).alias("text"))
+
+
+def read_span_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """S16: span-annotated JSON-lines corpus
+    (Dataset/Multimodal/valid.json: ``{"sentence": ..., "audio": ...,
+    "entity": [[begin, end, surface, type], ...], "speaker_info"}``)
+    -> mention-grain rows matching operators.mentions.MENTION_SCHEMA
+    (file_key, begin, end, surface, entity, ent_type, score).
+
+    The per-row invariant holds the sentence alongside each span so
+    downstream eval can re-derive surface == sentence[begin:end].
+    """
+    raw = spark.read.json(path)
+    span = F.explode("entity").alias("span")
+    return (
+        raw.select(
+            F.col("audio").alias("file_key"),
+            F.col("sentence"),
+            span,
+        )
+        .select(
+            "file_key",
+            "sentence",
+            F.element_at("span", 1).cast("int").alias("begin"),
+            F.element_at("span", 2).cast("int").alias("end"),
+            F.element_at("span", 3).alias("surface"),
+            F.element_at("span", 3).alias("entity"),
+            F.element_at("span", 4).alias("ent_type"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+
 def read_chise_ids(spark: SparkSession, path: str) -> DataFrame:
     """S4: CHISE IDS rows -> (char, decomposition) with []GTJKVH'
     annotations stripped (my_ner.py:203-210)."""

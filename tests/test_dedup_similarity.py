@@ -46,14 +46,20 @@ def test_exact_dup_jaccard_is_one(spark):
 def test_simhash_matches_pure_python(spark):
     import hashlib
 
-    def py_simhash(text: str, bits: int = 16) -> int:
+    def py_simhash(text: str, bits: int = 64) -> int:
         toks = sorted(set(text.lower().split()))
         acc = 0
-        for i in range(bits):
-            hi = sum(1 for t in toks if hashlib.md5(t.encode()).hexdigest()[i] in "89abcdef")
+        for b in range(bits):
+            j, i = divmod(b, 16)
+            hi = sum(
+                1
+                for t in toks
+                if hashlib.md5(f"{j}:{t}".encode()).hexdigest()[i] in "89abcdef"
+            )
             if hi * 2 > len(toks):
-                acc |= 1 << i
-        return acc
+                acc |= 1 << b
+        # Spark longs are signed 64-bit
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
 
     rows = (
         _docs(spark)
@@ -141,6 +147,47 @@ def test_embedding_near_dups(spark):
     }
     assert (0, 1) in got
     assert (2, 3) in got
+
+
+def test_embedding_near_dup_recall(spark):
+    """Planted near-dup clusters: LSH-bucketed pairs must recover >=90%
+    of the true >=0.95-cosine pairs found by brute force (the vacuous
+    0-row round-1 check, replaced by a real recall gate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_base, copies = 16, 40, 2
+    rows = []
+    vid = 0
+    for b in range(n_base):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(copies):
+            jit = base + rng.standard_normal(dim) * 0.08  # cosine ~0.97
+            rows.append((vid, [float(x) for x in jit]))
+            vid += 1
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    M = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    truth = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= 0.95
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dups(
+            v, threshold=0.95, n_planes=6, n_tables=3
+        ).collect()
+    }
+    assert not (got - truth), "LSH returned a pair brute force rejects"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} < 0.9 ({len(truth)} true pairs)"
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,207 @@
+"""Round-2 reference-parity operators: S5 radindex scan, D7 chained
+radical-name map, D8 w2v-backed radical table, P6 transliteration,
+P4 t2s, S7 wiki XML articles, S16 span-JSON corpus.
+
+Each test pins the reference quirk the operator must reproduce
+(file:line citations in the operator docstrings).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.functions import text as X
+from ner_spark.operators import dictionary as D
+from ner_spark.sources import corpus as S
+
+
+# --------------------------------------------------------------------------
+# S5: radindex reader (withW2V.py:279-287)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def radindex_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("rad") / "radindex_rad.txt"
+    # line format: "<radical> <name...>"; the 1-BASED line number is the key
+    p.write_text("一 one\n丨 line\n丶 dot\n丿 slash\n", encoding="utf-8")
+    return str(p)
+
+
+def test_radindex_reader_one_based(spark, radindex_file):
+    got = {r["rad_index"]: r["radical"] for r in S.read_radical_index(spark, radindex_file).collect()}
+    assert got == {1: "一", 2: "丨", 3: "丶", 4: "丿"}  # 1-based, first field
+
+
+# --------------------------------------------------------------------------
+# D7: chained radical-name lookup (withW2V.py:289-294)
+# --------------------------------------------------------------------------
+
+def _rad_vocab(spark):
+    # a tiny "w2v radical vocabulary": token -> id, with <notZh> appended
+    rows = [("一", 0), ("丨", 1), ("丶", 2), ("<notZh>", 3)]
+    return spark.createDataFrame(rows, "token string, id long")
+
+
+def test_radical_name_map_chains_lookups(spark, radindex_file):
+    radindex = S.read_radical_index(spark, radindex_file)
+    got = {
+        r["rad_index"]: r["rad_vocab_id"]
+        for r in D.radical_name_map(radindex, _rad_vocab(spark)).collect()
+    }
+    # index 4 ('丿') is NOT in the vocab -> dropped (reference KeyErrors)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+# --------------------------------------------------------------------------
+# D8: w2v-backed radical table (withW2V.py:214-276)
+# --------------------------------------------------------------------------
+
+def test_build_radical_map_w2v_default_and_dense(spark, radindex_file):
+    # char vocab: two CJK chars + one latin + <UNK>, ids 0..3
+    vocab = spark.createDataFrame(
+        [("中", 0), ("丙", 1), ("x", 2), ("<UNK>", 3)], "token string, id long"
+    )
+    # Unihan: 中 -> radical index 2 ('丨'), 丙 -> radical index 1 ('一')
+    unihan = spark.createDataFrame(
+        [("中", 2, 3), ("丙", 1, 4)], "char string, radical int, stroke int"
+    )
+    radindex = S.read_radical_index(spark, radindex_file)
+    got = {
+        r["id"]: r["rad_vocab_id"]
+        for r in D.build_radical_map_w2v(
+            vocab, unihan, radindex, _rad_vocab(spark)
+        ).collect()
+    }
+    # dense over ALL ids; unresolvable chars ('x', <UNK>) -> <notZh> id 3
+    assert got == {0: 1, 1: 0, 2: 3, 3: 3}
+
+
+# --------------------------------------------------------------------------
+# P6: transliteration (word_to_radical.py:46-68)
+# --------------------------------------------------------------------------
+
+def test_transliterate_string_rewrite(spark, radindex_file):
+    unihan = spark.createDataFrame(
+        [("中", 2, 3), ("丙", 1, 4)], "char string, radical int, stroke int"
+    )
+    radindex = S.read_radical_index(spark, radindex_file)
+    mapping = D.char_to_radical_mapping(unihan, radindex)
+    docs = spark.createDataFrame(
+        [(0, "中丙"), (1, "a中b")], "doc_id long, text string"
+    ).repartition(5)
+    got = {
+        r["doc_id"]: r["radical_text"]
+        for r in D.transliterate(docs, mapping).collect()
+    }
+    # 中 -> 丨, 丙 -> 一; unmapped chars pass through (ref would KeyError)
+    assert got == {0: "丨一", 1: "a丨b"}
+
+
+def test_transliterate_partitioning_invariant(spark, radindex_file):
+    unihan = spark.createDataFrame(
+        [("中", 2, 3), ("丙", 1, 4)], "char string, radical int, stroke int"
+    )
+    mapping = D.char_to_radical_mapping(
+        unihan, S.read_radical_index(spark, radindex_file)
+    )
+    docs = spark.createDataFrame(
+        [(i, "中丙" * 10) for i in range(20)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, D.transliterate(docs, mapping).collect()))
+    b = sorted(map(tuple, D.transliterate(docs.repartition(7), mapping).collect()))
+    assert a == b
+    assert a[0][2] == "丨一" * 10
+
+
+# --------------------------------------------------------------------------
+# P4: t2s (chinese_t2s.py:41-50)
+# --------------------------------------------------------------------------
+
+def test_t2s_converts_common_chars(spark):
+    df = spark.createDataFrame([("萬國車馬x",), ("學習簡體",)], "s string")
+    got = [r["t"] for r in df.select(X.t2s("s").alias("t")).collect()]
+    assert got[0] == "万国车马x"
+    assert got[1].startswith("学")  # 學 -> 学
+    assert "简" in got[1]           # 簡 -> 简
+
+
+# --------------------------------------------------------------------------
+# S7: wiki XML article source (wiki_process.py:35-45)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wiki_xml(tmp_path_factory):
+    p = tmp_path_factory.mktemp("wiki") / "dump.xml"
+    p.write_text(
+        """<mediawiki>
+  <page>
+    <title>Apache Spark</title>
+    <revision><text xml:space="preserve">'''Apache Spark''' is an engine.
+{{Infobox software|name=Spark}}
+See [[MapReduce|map reduce]] and [[Hadoop]].<ref>cite</ref></text></revision>
+  </page>
+  <page>
+    <title>Redirect page</title>
+    <revision><text>#REDIRECT [[Apache Spark]]</text></revision>
+  </page>
+  <page>
+    <title>Empty</title>
+    <revision><text></text></revision>
+  </page>
+</mediawiki>
+""",
+        encoding="utf-8",
+    )
+    return str(p)
+
+
+def test_wiki_articles_parse_and_clean(spark, wiki_xml):
+    rows = S.read_wiki_articles(spark, wiki_xml).collect()
+    by_title = {r["title"]: r["text"] for r in rows}
+    assert list(by_title) == ["Apache Spark"]  # redirect + empty dropped
+    text = by_title["Apache Spark"]
+    assert "map reduce" in text and "Hadoop" in text  # link targets kept
+    assert "Infobox" not in text and "<ref>" not in text and "[[" not in text
+
+
+# --------------------------------------------------------------------------
+# S16: span-annotated JSON corpus (Dataset/Multimodal/valid.json shape)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_json(tmp_path_factory):
+    p = tmp_path_factory.mktemp("spans") / "valid.json"
+    rows = [
+        {"sentence": "分别下降五点一", "audio": "A0", "entity": [], "speaker_info": "F"},
+        {
+            "sentence": "其在出行成都打车",
+            "audio": "A1",
+            "entity": [[4, 6, "成都", "LOC"]],
+            "speaker_info": "M",
+        },
+        {
+            "sentence": "央视和中超合作",
+            "audio": "A2",
+            "entity": [[0, 2, "央视", "ORG"], [3, 5, "中超", "ORG"]],
+            "speaker_info": "F",
+        },
+    ]
+    p.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in rows), encoding="utf-8")
+    return str(p)
+
+
+def test_span_corpus_reader(spark, span_json):
+    rows = S.read_span_corpus(spark, span_json).collect()
+    assert len(rows) == 3  # empty-entity sentence contributes no spans
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["file_key"], []).append(r)
+    assert set(by_key) == {"A1", "A2"}
+    a1 = by_key["A1"][0]
+    assert (a1["begin"], a1["end"], a1["surface"], a1["ent_type"]) == (4, 6, "成都", "LOC")
+    # span invariant: surface == sentence[begin:end]
+    for r in rows:
+        assert r["sentence"][r["begin"]:r["end"]] == r["surface"]

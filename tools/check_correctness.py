@@ -36,6 +36,9 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """STRICT compare: the driver hashes exact values (no tolerance), so
+    a float64 on one side vs int64 on the other, or a last-ulp float
+    difference, is a FAIL here even though the numbers are 'equal'."""
     errs = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         errs.append(f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
@@ -46,16 +49,23 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
-            if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-                af = av.astype(float).to_numpy()
-                bf = bv.astype(float).to_numpy()
-                bad = ~(np.isclose(af, bf, rtol=0, atol=1e-9) | (np.isnan(af) & np.isnan(bf)))
+            a_float = np.issubdtype(av.dtype, np.floating)
+            b_float = np.issubdtype(bv.dtype, np.floating)
+            if a_float != b_float:
+                errs.append(
+                    f"col {c}: dtype mismatch spark={av.dtype} duck={bv.dtype} "
+                    "(driver hash would differ: int vs float representation)"
+                )
+                continue
+            if a_float:
+                af, bf = av.to_numpy(), bv.to_numpy()
+                bad = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
             else:
                 bad = (av.astype(str) != bv.astype(str)).to_numpy()
             if bad.any():
                 i = int(np.argmax(bad))
                 errs.append(
-                    f"col {c}: {int(bad.sum())} mismatches, first at row {i}: "
+                    f"col {c}: {int(bad.sum())} exact mismatches, first at row {i}: "
                     f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}"
                 )
     return errs
