@@ -153,8 +153,13 @@ def run_scaling() -> dict:
             timeout=1800,
             env=env,
         )
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-        probe = json.loads(line)
+        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scale probe at {c} cpus failed (rc={r.returncode}): "
+                f"{r.stderr.strip()[-2000:]}"
+            )
+        probe = json.loads(lines[-1])
         if c not in best or probe["sec"] < best[c]["sec"]:
             best[c] = probe
     tps_lo = best[lo]["triples"] / best[lo]["sec"]

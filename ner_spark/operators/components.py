@@ -94,32 +94,33 @@ def canonicalize_aliases(
     gazetteer: DataFrame,
     min_sim: float = 0.5,
     n: int = 3,
+    max_gram_df: int | None = 256,
 ) -> DataFrame:
     """Canonical alias groups: CC over the alias char-ngram similarity
     self-join. Returns (alias, canonical) where canonical = the
     lexicographically smallest alias in the component.
 
-    The self-join is blocked on shared n-grams (same pattern as
-    linking.link_surfaces) — at dictionary scale (millions of aliases)
-    the block key spreads the shuffle; a hot gram (e.g. 'ing') is
-    split by AQE skew handling.
+    The self-join is blocked on shared n-grams with stop-grams above
+    `max_gram_df` dropped (linking.blocking_grams): a hot gram ('ing')
+    at millions of aliases otherwise makes ONE join key quadratic —
+    the exact skew AQE splitting cannot fix, because the blowup is the
+    candidate count itself, not task imbalance. Jaccard still scores
+    FULL gram sets.
     """
-    from ner_spark.operators.linking import char_ngrams, ngram_jaccard
+    from ner_spark.operators.linking import blocking_grams, char_ngrams, ngram_jaccard
 
     g = gazetteer.select("alias").distinct().select(
         "alias", char_ngrams("alias", n).alias("grams")
     )
+    bg = blocking_grams(g, "alias", "grams", max_gram_df)
     blocked = (
-        g.select(F.col("alias").alias("a"), F.col("grams").alias("ga"),
-                 F.explode("grams").alias("gram"))
-        .join(
-            g.select(F.col("alias").alias("b"), F.col("grams").alias("gb"),
-                     F.explode("grams").alias("gram")),
-            "gram",
-        )
+        bg.select(F.col("alias").alias("a"), F.col("gram").alias("gram"))
+        .join(bg.select(F.col("alias").alias("b"), F.col("gram").alias("gram")), "gram")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ga", "gb")
+        .select("a", "b")
         .distinct()
+        .join(g.select(F.col("alias").alias("a"), F.col("grams").alias("ga")), "a")
+        .join(g.select(F.col("alias").alias("b"), F.col("grams").alias("gb")), "b")
     )
     edges = blocked.select(
         F.col("a").alias("src"),

@@ -40,18 +40,51 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
     return (inter / F.greatest(union, F.lit(1))).cast("double")
 
 
+def blocking_grams(
+    alias_grams: DataFrame,
+    key_col: str = "alias",
+    grams_col: str = "a_grams",
+    max_gram_df: int | None = 256,
+) -> DataFrame:
+    """Exploded (key, gram) blocking table with stop-grams removed.
+
+    Prefix filtering: a gram carried by more than `max_gram_df` aliases
+    (e.g. 'ing', '_er' at dictionary scale) is useless as a blocking
+    key — it pairs everything with everything, making the blocked join
+    quadratic on one shuffle key before AQE can react. Dropping it
+    bounds per-gram candidate volume to max_gram_df x df_surface(gram),
+    i.e. linear in the probe side. Pairs whose ONLY shared gram is a
+    stop-gram are overwhelmingly below any useful similarity threshold
+    (they share the one gram everyone shares) — the standard prefix-
+    filtering trade. Scoring still uses FULL gram sets.
+    """
+    g = alias_grams.select(key_col, F.explode(grams_col).alias("gram"))
+    if max_gram_df is None:
+        return g
+    df_ok = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(key_col).alias("_df"))
+        .filter(F.col("_df") <= max_gram_df)
+        .select("gram")
+    )
+    return g.join(F.broadcast(df_ok), "gram")
+
+
 def link_surfaces(
     surfaces: DataFrame,
     gazetteer: DataFrame,
     surface_col: str = "surface",
     min_sim: float = 0.34,
     n: int = 3,
+    max_gram_df: int | None = 256,
 ) -> DataFrame:
     """Top-1 entity link per distinct surface: (surface, entity,
     ent_type, sim, is_exact). Below-threshold surfaces -> NIL.
 
     gazetteer: (alias, entity, ent_type). Blocking = shared n-gram
-    equi-join; scoring = n-gram Jaccard; exact alias match pins 1.0.
+    equi-join with stop-grams above `max_gram_df` removed (see
+    blocking_grams); scoring = n-gram Jaccard over full gram sets;
+    exact alias match pins 1.0.
     """
     surf = surfaces.select(F.col(surface_col).alias("surface")).distinct()
     surf_g = surf.select("surface", char_ngrams("surface", n).alias("s_grams"))
@@ -62,7 +95,7 @@ def link_surfaces(
     blocked = (
         surf_g.select("surface", "s_grams", F.explode("s_grams").alias("gram"))
         .join(
-            F.broadcast(gaz_g.select("alias", F.explode("a_grams").alias("gram"))),
+            F.broadcast(blocking_grams(gaz_g, "alias", "a_grams", max_gram_df)),
             "gram",
         )
         .select("surface", "alias")

@@ -74,8 +74,34 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def media_features(
     media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Per-payload metadata via one vectorized pass: byte length,
-    sha256, stub-decoded dimensions."""
+    """Per-payload metadata: byte length, sha256, stub-decoded dims.
+
+    Entirely NATIVE expressions — sha2/octet_length/conv stay in
+    whole-stage codegen; running Python hashlib per row for values the
+    JVM computes for free was round-1's one unnecessary mapInPandas
+    (its own oracle proved the native form exists). A real codec's
+    feature extraction belongs in `media_features_decoded` below.
+    """
+    sha = F.sha2(F.col(payload_col), 256)
+    dim = lambda pos: (  # noqa: E731 - two-nibble hex field -> [1, 512]
+        (F.conv(F.substring(sha, pos, 2), 16, 10).cast("int") % 512) + 1
+    )
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(payload_col).cast("long").alias("n_bytes"),
+        sha.alias("payload_sha256"),
+        dim(1).alias("width"),
+        dim(3).alias("height"),
+    )
+
+
+def media_features_decoded(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The Arrow-batched decode path: same output schema, but the
+    width/height come from the (stub) decoder inside mapInPandas — the
+    slot where a real PIL/ffmpeg kernel plugs in on a cluster image.
+    Values equal media_features() by construction of the stub."""
 
     def run(batches):
         for pdf in batches:

@@ -50,10 +50,16 @@ def get_spark(
         # load and every young GC triggers kernel page-commit storms
         # (observed Sys >> User in GC logs, ~4 s pauses at 32 threads).
         # Pre-touching commits all pages once at startup instead.
+        # -Xms defaults to the SAME value as spark.driver.memory so a
+        # user lowering SPARK_GRAFT_DRIVER_MEM can never end up with
+        # Xms > Xmx (opaque JVM launcher failure).
         .config(
             "spark.driver.extraJavaOptions",
             "-Dio.netty.tryReflectionSetAccessible=true "
-            + os.environ.get("SPARK_GRAFT_XMS", "-Xms20g")
+            + os.environ.get(
+                "SPARK_GRAFT_XMS",
+                "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
+            )
             + " -XX:+AlwaysPreTouch",
         )
         .config("spark.python.worker.faulthandler.enabled", "true")

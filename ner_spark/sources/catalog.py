@@ -10,8 +10,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime is actually on the classpath.
+
+    Py4j attribute access on a missing class returns a JavaPackage
+    object instead of raising, so the naive `spark._jvm.org...Table`
+    probe is always truthy; Class.forName raises a real
+    ClassNotFoundException when the jar is absent.
+    """
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

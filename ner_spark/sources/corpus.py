@@ -68,10 +68,21 @@ def read_conll_tokens(spark: SparkSession, path: str) -> DataFrame:
 
 def sentences_from_tokens(tokens: DataFrame, add_end_sentinel: bool = False) -> DataFrame:
     """Sentence-grain frame (sent_id, chars, tags) — the reference's
-    (char_list, tag_list) shape; optional <END> append (my_ner.py:89-91)."""
-    agg = tokens.orderBy("pos").groupBy("sent_id").agg(
-        F.collect_list("char").alias("chars"),
-        F.collect_list("tag").alias("tags"),
+    (char_list, tag_list) shape; optional <END> append (my_ner.py:89-91).
+
+    Within-sentence order is guaranteed by the EXPRESSION
+    (collect_list(struct(pos, ...)) + array_sort), not by physical row
+    order: Spark does not promise collect_list preserves a prior sort
+    across the aggregation exchange (partial buffers merge in shuffle-
+    fetch order), so the orderBy-then-collect idiom corrupts sentences
+    on a real cluster even though it happens to hold on local mode.
+    """
+    agg = tokens.groupBy("sent_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "char", "tag"))).alias("_toks")
+    ).select(
+        "sent_id",
+        F.transform("_toks", lambda s: s["char"]).alias("chars"),
+        F.transform("_toks", lambda s: s["tag"]).alias("tags"),
     )
     if add_end_sentinel:
         agg = agg.select(

@@ -176,6 +176,16 @@ def test_media_features_deterministic(spark, sf_dir):
         assert 1 <= m["width"] <= 512 and 1 <= m["height"] <= 512
 
 
+def test_media_features_native_equals_decoded(spark, sf_dir):
+    """The native projection and the Arrow-batched decode path must
+    produce identical metadata (same stub codec on both sides)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = multimodal.with_binary_payload(docs)
+    a = sorted(map(tuple, multimodal.media_features(media).collect()))
+    b = sorted(map(tuple, multimodal.media_features_decoded(media).collect()))
+    assert a == b
+
+
 def test_frame_sample_shape(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
     media = multimodal.with_binary_payload(docs)

@@ -249,6 +249,31 @@ def test_connected_components_partitioning_invariant(spark):
     assert a == b
 
 
+def test_blocking_gram_df_cap_drops_stop_grams(spark):
+    """Adversarial stop-gram fixture: 60 aliases all ending in 'ing'.
+    Without the df cap every pair shares the 'ing' block key -> the
+    blocked self-join is quadratic on one key; with the cap the hot
+    gram is excluded while rare grams (and the near-dup pair that
+    shares them) survive."""
+    aliases = [f"walk_{i:02d}ing" for i in range(60)] + ["tensorflow", "tensorflo"]
+    gaz = spark.createDataFrame([(a,) for a in aliases], "alias string")
+    g = gaz.select("alias", linking.char_ngrams("alias", 3).alias("grams"))
+
+    capped = linking.blocking_grams(g, "alias", "grams", max_gram_df=10)
+    kept = {r["gram"] for r in capped.select("gram").distinct().collect()}
+    assert "ing" not in kept          # carried by 60 aliases -> dropped
+    assert "rfl" in kept              # rare gram survives
+    # bounded candidate volume: no gram may pair more than cap aliases
+    per_gram = capped.groupBy("gram").count().agg(F.max("count")).collect()[0][0]
+    assert per_gram <= 10
+
+    got = {
+        r["alias"]: r["canonical"]
+        for r in canonicalize_aliases(gaz, min_sim=0.5, max_gram_df=10).collect()
+    }
+    assert got["tensorflow"] == got["tensorflo"]  # found via rare grams
+
+
 def test_canonicalize_aliases_groups_variants(spark):
     gaz = spark.createDataFrame(
         [("tensorflow",), ("tensor_flow",), ("numpy",), ("kafka",)], "alias string"

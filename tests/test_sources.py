@@ -35,6 +35,26 @@ def test_sentences_from_tokens_with_sentinel(spark, tmp_path):
     assert sents[1] == (["c", "<END>"], ["O", "<END>"])
 
 
+def test_sentences_order_survives_repartition(spark):
+    """Within-sentence order must come from the expression, not the
+    physical row order: a forced repartition(7) scrambles rows before
+    the aggregation, exactly like a real cluster's shuffle-fetch order
+    would (the round-1 orderBy-before-collect_list hazard)."""
+    rows = [
+        (s, p, f"c{s}_{p}", f"t{s}_{p}") for s in range(10) for p in range(30)
+    ]
+    toks = spark.createDataFrame(
+        rows, "sent_id long, pos long, char string, tag string"
+    ).repartition(7)
+    got = {
+        r["sent_id"]: (r["chars"], r["tags"])
+        for r in corpus.sentences_from_tokens(toks).collect()
+    }
+    for s in range(10):
+        assert got[s][0] == [f"c{s}_{p}" for p in range(30)]
+        assert got[s][1] == [f"t{s}_{p}" for p in range(30)]
+
+
 def test_read_unihan_radicals(spark, tmp_path):
     f = tmp_path / "unihan.txt"
     f.write_text(
