@@ -205,6 +205,14 @@ def q_cooccurs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t2s_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 traditional->simplified conversion (chinese_t2s.py:41-50) as
+    a per-document projection; non-Chinese rows pass through unchanged
+    (checked exactly — the oracle mirrors the translate table)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", X.t2s("text").alias("simplified"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language id per document (stopword + CJK-ratio rules)."""
     d = _docs(spark, sf_dir)
@@ -244,12 +252,18 @@ def _contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (E1-E9) derives from. The 5-regex language battery runs
     exactly ONCE over the content column; everything downstream
     re-aggregates a ~|tags|^2-row frame. At 100 TB this is the
-    difference between one content scan and one per metric (Catalyst
-    reuses the (gold, pred) exchange across the derived branches)."""
+    difference between one content scan and one per metric.
+
+    localCheckpoint(eager) materializes the tiny table once: Catalyst
+    does NOT reuse the (gold, pred) exchange across the gc/pc/tp
+    branches (the pred branch optimizes to a different subtree —
+    verified with explain), so without the checkpoint the plan would
+    still scan the corpus three times."""
     return (
         _eval_pairs(spark, sf_dir)
         .groupBy("gold", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -726,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_map_first_occurrence": q_build_map,
         "contains_triples": q_contains_triples,
         "cooccurs_triples": q_cooccurs_triples,
+        "t2s_text": q_t2s_text,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
@@ -1001,6 +1016,10 @@ def oracle_sql() -> dict[str, str]:
             FROM fe a JOIN fe b ON a.doc_id = b.doc_id AND a.entity < b.entity
         """,
         "lang_id": f"SELECT doc_id, {_LANG_CASE} AS pred_lang FROM documents",
+        "t2s_text": (
+            "SELECT doc_id, translate(text, "
+            f"'{X._T2S_TRAD}', '{X._T2S_SIMP}') AS simplified FROM documents"
+        ),
         "quality_score": """
             WITH f AS (
               SELECT doc_id,

@@ -158,6 +158,19 @@ See [[MapReduce|map reduce]] and [[Hadoop]].<ref>cite</ref></text></revision>
     return str(p)
 
 
+def test_wiki_corpus_stats_shape(spark, wiki_xml):
+    """E12-style corpus stats over the ingested wiki shape — the first
+    stage of the reference's ETL chain (§3.4) feeding the stats op."""
+    arts = S.read_wiki_articles(spark, wiki_xml)
+    row = arts.agg(
+        F.count(F.lit(1)).alias("n_articles"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct("title").alias("n_titles"),
+    ).collect()[0]
+    assert row["n_articles"] == 1 and row["n_titles"] == 1
+    assert row["n_chars"] > 20
+
+
 def test_wiki_articles_parse_and_clean(spark, wiki_xml):
     rows = S.read_wiki_articles(spark, wiki_xml).collect()
     by_title = {r["title"]: r["text"] for r in rows}
