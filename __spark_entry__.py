@@ -28,11 +28,14 @@ from ner_spark.plans import pipeline
 
 # queries with no ANSI-SQL-expressible oracle (approximate LSH physical
 # plans whose candidate set depends on seeded hyperplanes); the driver
-# records the weaker rows-only check for these.
-# - LSH queries: candidate sets depend on seeded hyperplanes
-# - frame_sample: byte-offset blob slicing is not expressible in this
-#   DuckDB build (substring is VARCHAR/character-based only)
-NO_ORACLE = ("ann_lsh_topk", "embedding_near_dups_lsh", "frame_sample")
+# records the weaker rows-only check for these. Their recall is pinned
+# test-side instead (planted-cluster >= 0.9 vs brute force).
+# frame_sample DOES have an oracle: DuckDB substring() is character-
+# based, but the driver corpus is pure ASCII (verified: 0 docs where
+# octet_length(encode(text)) <> length(text)), where char slicing ==
+# the operator's byte slicing. The IVF ANN path (ann_ivf_topk) is
+# deterministic end-to-end and fully oracle-checked.
+NO_ORACLE = ("ann_lsh_topk", "embedding_near_dups_lsh")
 
 TOKEN_RE = X.TOKEN_RE
 
@@ -732,6 +735,149 @@ def q_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram-shingle Jaccard dedup blocked on the winnow
+    fingerprint (1-permutation MinHash) — the third dedup family next
+    to banded MinHash-LSH and SimHash."""
+    d = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_dups(d, k=5, threshold=0.4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse centroids (vec_id % 25 == 0) -> inverted lists
+    -> probe the 2 nearest lists per query. Same query set as
+    `ann_topk`, so the two results measure IVF recall directly."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 25 == 0)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
+
+
+def q_embedding_lookup_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (my_ner.py:354-420): per-token embedding lookup + concat —
+    the reference concatenates char + radical + component vectors per
+    position; here the token vector and the 'radical' vector (first
+    character's) are looked up in the embeddings table by md5-mod id
+    and concatenated.
+
+    The concat is verified exactly but compactly: each element is
+    floor-quantized to an e4 integer and summed (integer sums are
+    order-insensitive, so the driver's exact value hash is stable),
+    plus the concatenated dimension. Both lookups are broadcast joins
+    — at 100 TB the token stream never shuffles."""
+    d = _docs(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    nv = e.agg(F.count(F.lit(1)).alias("_nv"))
+
+    def _md5_mod(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.col("_nv")
+
+    toks = (
+        d.select("doc_id", F.posexplode(X.tokens("text")).alias("pos", "token"))
+        .filter(F.col("pos") < 4)
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "token",
+            _md5_mod(F.col("token")).alias("tok_vid"),
+            _md5_mod(F.substring(F.col("token"), 1, 1)).alias("rad_vid"),
+        )
+    )
+    tv = e.select(F.col("vec_id").alias("tok_vid"), F.col("embedding").alias("tok_vec"))
+    rv = e.select(F.col("vec_id").alias("rad_vid"), F.col("embedding").alias("rad_vec"))
+    cat = F.concat(F.col("tok_vec"), F.col("rad_vec"))
+    qsum = F.aggregate(
+        F.transform(cat, lambda x: F.floor(x.cast("double") * 10000)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        toks.join(F.broadcast(tv), "tok_vid")
+        .join(F.broadcast(rv), "rad_vid")
+        .select(
+            "doc_id",
+            "pos",
+            "token",
+            F.size(cat).cast("long").alias("dim"),
+            qsum.alias("qsum_e4"),
+        )
+    )
+
+
+def q_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/D9 (withW2V.py:112-117): extend a 'pretrained' vocabulary
+    (tokens of docs 0-249, first-occurrence ids) with the unseen
+    tokens of the full corpus, old ids preserved, new ids appended in
+    token order — gensim build_vocab(update=True) as one lazy plan."""
+    from ner_spark.operators.dictionary import build_map, union_vocab
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.posexplode(X.tokens("text")).alias("pos", "token"))
+    old = build_map(
+        tok.filter(F.col("doc_id") < 250),
+        token_col="token",
+        order_cols=("doc_id", "pos"),
+    )
+    return union_vocab(old, tok.select("token"))
+
+
+def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (my_ner.py:1006-1060): the printed classification report as
+    a frame — per-tag rows plus 'macro avg' / 'weighted avg' / 'micro
+    avg' summary rows, all e6-quantized integer metrics derived from
+    the one-scan contingency table."""
+    j = _tag_metrics_from_ct(_contingency(spark, sf_dir))
+    p = F.when(F.col("pred_count") == 0, F.lit(0.0)).otherwise(F.col("tp") / F.col("pred_count"))
+    r = F.col("tp") / F.col("support")
+    f1 = 2 * p * r / (p + r + F.lit(1e-10))
+    per_tag = j.select(
+        F.col("tag").alias("row_label"),
+        F.round(p * 1_000_000, 0).cast("long").alias("p_e6"),
+        F.round(r * 1_000_000, 0).cast("long").alias("r_e6"),
+        F.round(f1 * 1_000_000, 0).cast("long").alias("f1_e6"),
+        "support",
+        "tp",
+    )
+    macro = per_tag.agg(
+        F.round(F.avg("p_e6"), 0).cast("long").alias("p_e6"),
+        F.round(F.avg("r_e6"), 0).cast("long").alias("r_e6"),
+        F.round(F.avg("f1_e6"), 0).cast("long").alias("f1_e6"),
+        F.sum("support").alias("support"),
+        F.sum("tp").alias("tp"),
+    ).withColumn("row_label", F.lit("macro avg"))
+    weighted = per_tag.agg(
+        F.round(F.sum(F.col("p_e6") * F.col("support")) / F.sum("support"), 0)
+        .cast("long")
+        .alias("p_e6"),
+        F.round(F.sum(F.col("r_e6") * F.col("support")) / F.sum("support"), 0)
+        .cast("long")
+        .alias("r_e6"),
+        F.round(F.sum(F.col("f1_e6") * F.col("support")) / F.sum("support"), 0)
+        .cast("long")
+        .alias("f1_e6"),
+        F.sum("support").alias("support"),
+        F.sum("tp").alias("tp"),
+    ).withColumn("row_label", F.lit("weighted avg"))
+    acc = F.round(F.sum("tp") * 1_000_000 / F.sum("support"), 0).cast("long")
+    micro = per_tag.agg(
+        acc.alias("p_e6"),
+        F.sum("support").alias("support"),
+        F.sum("tp").alias("tp"),
+    ).select(
+        F.lit("micro avg").alias("row_label"),
+        F.col("p_e6"),
+        F.col("p_e6").alias("r_e6"),
+        F.col("p_e6").alias("f1_e6"),
+        "support",
+        "tp",
+    )
+    return (
+        per_tag.unionByName(macro).unionByName(weighted).unionByName(micro)
+        .drop("tp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -777,6 +923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
         "clickers_minus_buyers": q_clickers_minus_buyers,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_lookup_concat": q_embedding_lookup_concat,
+        "vocab_union": q_vocab_union,
+        "eval_report": q_eval_report,
     }
 
 
@@ -1408,5 +1559,171 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 10000) AS BIGINT))::BIGINT AS sum_value_e4
             FROM sess GROUP BY user_id, session_id
+        """,
+        # char-based substring == the operator's byte slicing because
+        # the driver corpus is pure ASCII (see NO_ORACLE note).
+        "frame_sample": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n,
+                     greatest(length(text) // 4, 1) AS step
+              FROM documents
+            )
+            SELECT doc_id,
+                   k.i::INT AS frame_idx,
+                   least(k.i * step, greatest(n - 1, 0))::BIGINT AS offset_bytes,
+                   sha256(substring(text,
+                                    least(k.i * step, greatest(n - 1, 0)) + 1,
+                                    step)) AS frame_sha256
+            FROM d CROSS JOIN range(0, 4) k(i)
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_sort(list_distinct(grams)) AS sh,
+                     list_min(list_transform(grams, s -> md5(s))) AS fp
+              FROM (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                      i -> array_to_string(toks[i:i+4], ' ')) AS grams
+                FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+              )
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round({_dk_jaccard('a.sh', 'b.sh')}, 6) AS jaccard
+              FROM sh a JOIN sh b ON a.fp = b.fp AND a.id < b.id
+            ) WHERE jaccard >= 0.4
+        """,
+        "ann_ivf_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            c AS (SELECT vec_id AS list_id, vec AS cent FROM v WHERE vec_id % 25 = 0),
+            assign AS (
+              SELECT vec_id, list_id,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY round(list_dot_product(vec, cent) /
+                                greatest(sqrt(list_dot_product(vec, vec)) *
+                                         sqrt(list_dot_product(cent, cent)), 1e-12), 6)
+                                DESC, list_id) AS rn
+              FROM v CROSS JOIN c
+            ),
+            home AS (SELECT vec_id AS neighbor_id, list_id FROM assign WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, list_id FROM assign
+                       WHERE rn <= 2 AND vec_id % 50 = 0),
+            cand AS (
+              SELECT DISTINCT query_id, neighbor_id
+              FROM probes JOIN home USING (list_id)
+              WHERE query_id <> neighbor_id
+            ),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(q.vec, n.vec) /
+                           greatest(sqrt(list_dot_product(q.vec, q.vec)) *
+                                    sqrt(list_dot_product(n.vec, n.vec)), 1e-12), 6)
+                       AS cosine_sim
+              FROM cand
+              JOIN v q ON q.vec_id = query_id
+              JOIN v n ON n.vec_id = neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine_sim DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 5
+        """,
+        "embedding_lookup_concat": f"""
+            WITH nv AS (SELECT count(*) AS n FROM embeddings),
+            toks AS (
+              SELECT doc_id, unnest(ts) AS token,
+                     generate_subscripts(ts, 1) - 1 AS pos
+              FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+            ),
+            t4 AS (
+              SELECT doc_id, pos::BIGINT AS pos, token,
+                     {_dk_hex8('token')} % (SELECT n FROM nv) AS tok_vid,
+                     {_dk_hex8("substr(token, 1, 1)")} % (SELECT n FROM nv) AS rad_vid
+              FROM toks WHERE pos < 4
+            ),
+            cat AS (
+              SELECT doc_id, pos, token,
+                     list_cat(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) AS cv
+              FROM t4
+              JOIN embeddings e1 ON e1.vec_id = tok_vid
+              JOIN embeddings e2 ON e2.vec_id = rad_vid
+            )
+            SELECT doc_id, pos, token,
+                   len(cv)::BIGINT AS dim,
+                   list_aggregate(list_transform(cv, x -> CAST(floor(x * 10000) AS BIGINT)),
+                                  'sum')::BIGINT AS qsum_e4
+            FROM cat
+        """,
+        "vocab_union": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos
+              FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+            ),
+            old_first AS (
+              SELECT token, min(doc_id * 1000000 + pos) AS first_occ
+              FROM toks WHERE doc_id < 250 GROUP BY token
+            ),
+            old AS (
+              SELECT token, row_number() OVER (ORDER BY first_occ) - 1 AS id
+              FROM old_first
+            ),
+            fresh AS (
+              SELECT DISTINCT token FROM toks
+              WHERE token NOT IN (SELECT token FROM old)
+            )
+            SELECT token, id FROM old
+            UNION ALL
+            SELECT token,
+                   row_number() OVER (ORDER BY token) - 1
+                     + (SELECT max(id) + 1 FROM old) AS id
+            FROM fresh
+        """,
+        "eval_report": f"""
+            WITH pairs AS ({_EVAL_PAIRS}),
+            gc AS (SELECT gold, count(*) AS support FROM pairs GROUP BY gold),
+            pc AS (SELECT pred, count(*) AS pred_count FROM pairs GROUP BY pred),
+            tp AS (SELECT gold, count(*) AS tp FROM pairs WHERE gold = pred GROUP BY gold),
+            j AS (
+              SELECT gc.gold AS tag, gc.support,
+                     coalesce(tp.tp, 0) AS tp,
+                     coalesce(pc.pred_count, 0) AS pred_count
+              FROM gc LEFT JOIN tp ON gc.gold = tp.gold LEFT JOIN pc ON gc.gold = pc.pred
+            ),
+            m AS (
+              SELECT tag AS row_label, support, tp,
+                     CAST(round((CASE WHEN pred_count = 0 THEN 0.0
+                                      ELSE tp / pred_count END) * 1000000) AS BIGINT) AS p_e6,
+                     CAST(round((tp / support) * 1000000) AS BIGINT) AS r_e6,
+                     CAST(round(2 * (CASE WHEN pred_count = 0 THEN 0.0 ELSE tp / pred_count END)
+                                  * (tp / support)
+                                / ((CASE WHEN pred_count = 0 THEN 0.0 ELSE tp / pred_count END)
+                                   + (tp / support) + 1e-10) * 1000000) AS BIGINT) AS f1_e6
+              FROM j
+            )
+            SELECT row_label, p_e6, r_e6, f1_e6, support FROM m
+            UNION ALL
+            SELECT 'macro avg',
+                   CAST(round(avg(p_e6)) AS BIGINT),
+                   CAST(round(avg(r_e6)) AS BIGINT),
+                   CAST(round(avg(f1_e6)) AS BIGINT),
+                   sum(support)::BIGINT
+            FROM m
+            UNION ALL
+            SELECT 'weighted avg',
+                   CAST(round(sum(p_e6 * support) / sum(support)) AS BIGINT),
+                   CAST(round(sum(r_e6 * support) / sum(support)) AS BIGINT),
+                   CAST(round(sum(f1_e6 * support) / sum(support)) AS BIGINT),
+                   sum(support)::BIGINT
+            FROM m
+            UNION ALL
+            SELECT 'micro avg',
+                   CAST(round(sum(tp) * 1000000 / sum(support)) AS BIGINT),
+                   CAST(round(sum(tp) * 1000000 / sum(support)) AS BIGINT),
+                   CAST(round(sum(tp) * 1000000 / sum(support)) AS BIGINT),
+                   sum(support)::BIGINT
+            FROM m
         """,
     }

@@ -340,3 +340,48 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup with min-shingle-hash blocking
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): word-k-gram-shingle Jaccard >= threshold,
+    blocked on winnow-fingerprint equality (the min shingle hash).
+
+    The block key is a 1-permutation MinHash: two docs can only be
+    candidates if their minimum shingle hash agrees, which holds with
+    probability = their true Jaccard — high-overlap pairs are caught,
+    unrelated ones almost never collide, and the self-join stays
+    near-linear (each fingerprint bucket is a handful of docs). The
+    complement of the banded multi-hash LSH in near_dup_pairs: cheaper
+    index (one hash per doc, no posexplode), lower recall at mid
+    similarity, the standard first-pass shape for crawl dedup.
+    """
+    from ner_spark.functions.text import shingles, winnow_fingerprint
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprint(F.col(text_col), k=k).alias("fp"),
+        F.array_sort(F.array_distinct(shingles(F.col(text_col), k=k))).alias("sh"),
+    )
+    a = d.select(F.col("id").alias("id_a"), "fp", F.col("sh").alias("sh_a"))
+    b = d.select(F.col("id").alias("id_b"), "fp", F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

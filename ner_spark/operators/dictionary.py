@@ -75,15 +75,25 @@ def apply_map(df: DataFrame, vocab: DataFrame, token_col: str,
 
 def union_vocab(old: DataFrame, new_tokens: DataFrame, token_col: str = "token") -> DataFrame:
     """D9: extend an existing vocab with unseen tokens, preserving old ids
-    (gensim `build_vocab(update=True)`, withW2V.py:112-117)."""
-    start = old.agg(F.max("id")).collect()[0][0] + 1
+    (gensim `build_vocab(update=True)`, withW2V.py:112-117).
+
+    Fully lazy: the next-id offset rides along as a broadcast one-row
+    crossJoin instead of a driver `.collect()`, so building the union
+    triggers no job of its own and composes into larger plans."""
+    start_df = old.agg((F.max("id") + 1).alias("_start"))
     fresh = (
         new_tokens.select(F.col(token_col).alias("token"))
         .distinct()
         .join(old.select("token"), "token", "left_anti")
     )
     w = Window.orderBy("token")
-    fresh_ids = fresh.select("token", (F.row_number().over(w) - 1 + start).cast("long").alias("id"))
+    fresh_ids = (
+        fresh.crossJoin(F.broadcast(start_df))
+        .select(
+            "token",
+            (F.row_number().over(w) - 1 + F.col("_start")).cast("long").alias("id"),
+        )
+    )
     return old.unionByName(fresh_ids)
 
 

@@ -214,3 +214,106 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> inverted lists -> probe
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id, rank): each vector's `nprobe` nearest coarse
+    centroids by cosine (rank 1 = the vector's home inverted list).
+
+    `centroids` must be small (broadcast): sqrt(n)-ish coarse codebook.
+    Ties break on centroid id, so assignment is deterministic — which
+    is what makes the whole IVF index oracle-checkable in SQL. Scoring
+    runs in the same float64 fold as the ANN queries (vectors.cosine).
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        id_col,
+        "list_id",
+        F.round(cosine(F.col(vec_col), F.col("cent_vec")), ROUND).alias("cent_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("list_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .select(id_col, "list_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: score each query only against vectors whose home
+    list is among the query's `nprobe` nearest lists.
+
+    The scale path of ANN search when sign-LSH recall is not enough:
+    the corpus is scanned ONCE to build (vec_id, list_id) — at 100 TB
+    that table is the index, persisted/bucketed by list_id — and every
+    query touches nprobe/n_lists of the corpus instead of all of it.
+    The join key is list_id (a few thousand keys at scale), so the
+    probe is a plain shuffle-on-list join Catalyst can plan; a hot
+    list (skewed cluster) is split by AQE. Here the coarse codebook is
+    a deterministic corpus subset; on a real cluster you'd fit it with
+    pyspark.ml KMeans — the index/probe plan is identical either way.
+    Exactness caveat (same as any IVF): recall < 1 when a true
+    neighbor's home list is outside the query's probed lists; the
+    planted-cluster test pins sibling recall at 1.0 and overall
+    top-3 recall >= 0.8 on the fixture.
+    """
+    home = ivf_assign(corpus, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+    probes = ivf_assign(queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    cand = (
+        probes.select(F.col(id_col).alias("query_id"), "list_id")
+        .join(
+            home.select(F.col(id_col).alias("neighbor_id"), "list_id"),
+            "list_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    qvecs = queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    scored = (
+        cand.join(
+            F.broadcast(qvecs.withColumnRenamed("_vid", "query_id").withColumnRenamed("_vec", "q_vec")),
+            "query_id",
+        )
+        .join(
+            vecs.withColumnRenamed("_vid", "neighbor_id").withColumnRenamed("_vec", "c_vec"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )

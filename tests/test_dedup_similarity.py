@@ -281,3 +281,88 @@ def test_canonicalize_aliases_groups_variants(spark):
     got = {r["alias"]: r["canonical"] for r in canonicalize_aliases(gaz, min_sim=0.5).collect()}
     assert got["tensorflow"] == got["tensor_flow"]
     assert got["numpy"] != got["kafka"]
+
+
+# --------------------------------------------------------------------------
+# IVF ANN
+# --------------------------------------------------------------------------
+
+def test_ivf_assign_home_list_and_nprobe(spark):
+    v = _vecs(spark)
+    cents = v.filter("vec_id in (0, 4)")  # e0 and -e0 as the two lists
+    home = similarity.ivf_assign(v, cents, nprobe=1).collect()
+    by_id = {r["vec_id"]: r["list_id"] for r in home}
+    assert by_id[1] == 0  # 0.9/0.1 vector -> e0's list
+    assert by_id[4] == 4  # -e0 -> its own list
+    probes = similarity.ivf_assign(v.filter("vec_id = 1"), cents, nprobe=2).collect()
+    assert sorted((r["rank"], r["list_id"]) for r in probes) == [(1, 0), (2, 4)]
+
+
+def test_ivf_topk_recall_on_planted_clusters(spark):
+    """IVF with sqrt(n)-ish deterministic centroids and nprobe=2 must
+    recover ALL planted near-duplicate siblings (the dedup guarantee:
+    a query and its copies land in / probe the same coarse list) and
+    >=80% of the full brute-force top-3 pairs (the third neighbor is a
+    random far vector whose home list may legitimately go unprobed —
+    that miss is the IVF recall/cost trade, not a defect)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_base, copies = 16, 30, 3
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(copies):
+            vec = base + rng.standard_normal(dim) * 0.05
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = v.filter("vec_id % 10 = 0")
+    cents = v.filter("vec_id % 9 = 0")  # 10 coarse lists for 90 vectors
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(v, q, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(v, q, cents, k=3, nprobe=2).collect()
+    }
+    siblings = {
+        (qid, nid) for qid, nid in truth if qid // copies == nid // copies
+    }
+    assert siblings and siblings <= got        # planted copies: recall 1.0
+    assert len(got & truth) / len(truth) >= 0.8
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard dedup (winnow-fingerprint blocking)
+# --------------------------------------------------------------------------
+
+def test_ngram_jaccard_dups_blocks_and_verifies(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dups(_docs(spark), k=5, threshold=0.3).collect()
+    }
+    assert got[(0, 1)] == 1.0  # exact dup: same shingle set
+    assert all(3 not in p and 4 not in p for p in got)  # unrelated never collide
+
+
+def test_ngram_jaccard_matches_manual(spark):
+    """Blocked candidates score the same Jaccard a direct all-pairs
+    computation gives."""
+    d = _docs(spark)
+    from ner_spark.functions.text import shingles
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in d.select("doc_id", shingles("text", k=5).alias("sh")).collect()
+    }
+    manual = len(sh[0] & sh[2]) / len(sh[0] | sh[2])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dups(d, k=5, threshold=0.0).collect()
+    }
+    if (0, 2) in got:  # candidate only if min-hash agrees
+        assert math.isclose(got[(0, 2)], manual, abs_tol=1e-6)
