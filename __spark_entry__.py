@@ -162,6 +162,30 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning funnel a pretraining pipeline runs before
+    tokenization, as ONE content scan: language filter (en) -> quality
+    gate (score >= 0.5, e6-rounded on both sides so the boundary can't
+    flip between engines) -> exact-dedup keep-first. Everything is
+    native (regex battery + md5 + one groupBy), so at 100 TB this is a
+    single codegen scan feeding a single fingerprint exchange."""
+    d = _docs(spark, sf_dir)
+    feats = X.quality_features("text")
+    enriched = d.select(
+        "doc_id",
+        X.lang_id("text").alias("pred_lang"),
+        X.fingerprint_md5("text").alias("fp"),
+        X.ws_token_count("text").alias("ws_tokens"),
+        F.round(feats["quality_score"], 6).alias("q"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("q") >= 0.5))
+    return enriched.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("ws_tokens", "doc_id").alias("ws_tokens"),
+        F.round(F.min_by("q", "doc_id") * 1_000_000, 0).cast("long").alias("quality_e6"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 def q_build_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 first-occurrence-ordered vocab ids over document tokens
     (my_ner.py:119-129 semantics, distributed)."""
@@ -822,6 +846,30 @@ def q_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_vocab(old, tok.select("token"))
 
 
+def q_w2v_extend_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (withW2V.py:110-141 build_new_map): char2id from a pretrained
+    w2v vocabulary — pretrained tokens keep their model-order ids, the
+    corpus's unseen tokens get the next ids, and the <UNK>/<PAD>
+    sentinels come last, in list order. The 'model order' here is the
+    md5-of-token permutation over the tokens of every 7th document (a
+    deterministic stand-in for gensim's frequency order, which is a
+    corpus-derived permutation either way)."""
+    from pyspark.sql import Window
+
+    from ner_spark.operators.dictionary import build_new_map
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    w = Window.orderBy(F.md5("token"))
+    pre = (
+        tok.filter(F.col("doc_id") % 7 == 0)
+        .select("token")
+        .distinct()
+        .select("token", (F.row_number().over(w) - 1).cast("long").alias("id"))
+    )
+    return build_new_map(pre, tok.select("token"))
+
+
 def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10 (my_ner.py:1006-1060): the printed classification report as
     a frame — per-tag rows plus 'macro avg' / 'weighted avg' / 'micro
@@ -883,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1,
         "corpus_stats": q_corpus_stats,
         "exact_dedup": q_exact_dedup,
+        "training_data_prep": q_training_data_prep,
         "build_map_first_occurrence": q_build_map,
         "contains_triples": q_contains_triples,
         "cooccurs_triples": q_cooccurs_triples,
@@ -927,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_lookup_concat": q_embedding_lookup_concat,
         "vocab_union": q_vocab_union,
+        "w2v_extend_vocab": q_w2v_extend_vocab,
         "eval_report": q_eval_report,
     }
 
@@ -1132,6 +1182,40 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "training_data_prep": f"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|was|for|with|that)\\b')) AS n_stop
+              FROM documents
+            ), g AS (
+              SELECT doc_id, text, n_chars, n_words,
+                     n_punct / greatest(n_chars, 1) AS punct_ratio,
+                     n_stop / greatest(n_words, 1) AS stop_ratio,
+                     n_chars / greatest(n_words, 1) AS mean_word_len
+              FROM f
+            ), e AS (
+              SELECT doc_id,
+                     {_LANG_CASE} AS pred_lang,
+                     md5({_NORM}) AS fp,
+                     n_words AS ws_tokens,
+                     round(CASE WHEN n_chars < 20 THEN 0.0 ELSE
+                       least(1.0, n_chars / 2000.0) * 0.4
+                       + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END)
+                       + least(1.0, stop_ratio * 5) * 0.1 END, 6) AS q
+              FROM g
+            ), kept AS (
+              SELECT * FROM e WHERE pred_lang = 'en' AND q >= 0.5
+            )
+            SELECT fp, min(doc_id) AS doc_id,
+                   arg_min(ws_tokens, doc_id) AS ws_tokens,
+                   CAST(round(arg_min(q, doc_id) * 1000000) AS BIGINT) AS quality_e6,
+                   count(*) AS n_copies
+            FROM kept GROUP BY fp
         """,
         "build_map_first_occurrence": f"""
             WITH toks AS (
@@ -1680,6 +1764,35 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY token) - 1
                      + (SELECT max(id) + 1 FROM old) AS id
             FROM fresh
+        """,
+        "w2v_extend_vocab": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            pre_tokens AS (
+              SELECT DISTINCT token FROM toks WHERE doc_id % 7 = 0
+            ),
+            pre AS (
+              SELECT token, row_number() OVER (ORDER BY md5(token)) - 1 AS id
+              FROM pre_tokens
+            ),
+            fresh AS (
+              SELECT DISTINCT token FROM toks
+              WHERE token NOT IN (SELECT token FROM pre)
+            ),
+            base AS (
+              SELECT token, id FROM pre
+              UNION ALL
+              SELECT token,
+                     row_number() OVER (ORDER BY token) - 1
+                       + (SELECT max(id) + 1 FROM pre) AS id
+              FROM fresh
+            )
+            SELECT token, id FROM base
+            UNION ALL
+            SELECT '<UNK>', (SELECT max(id) + 1 FROM base)
+            UNION ALL
+            SELECT '<PAD>', (SELECT max(id) + 2 FROM base)
         """,
         "eval_report": f"""
             WITH pairs AS ({_EVAL_PAIRS}),

@@ -368,16 +368,28 @@ def ngram_jaccard_dups(
     """
     from ner_spark.functions.text import shingles, winnow_fingerprint
 
-    d = docs.select(
+    fp = docs.select(
         F.col(id_col).alias("id"),
         winnow_fingerprint(F.col(text_col), k=k).alias("fp"),
+    )
+    # block on the slim (id, fp) frame so the self-join shuffles 2
+    # small columns; the full shingle arrays are attached AFTER the
+    # candidate set exists (same O(corpus) index / O(candidates)
+    # verification shape as near_dup_pairs) — shuffling every doc's
+    # shingle set through the fp join would move ~the whole corpus.
+    cand = (
+        fp.select(F.col("id").alias("id_a"), "fp")
+        .join(fp.select(F.col("id").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(shingles(F.col(text_col), k=k))).alias("sh"),
     )
-    a = d.select(F.col("id").alias("id_a"), "fp", F.col("sh").alias("sh_a"))
-    b = d.select(F.col("id").alias("id_b"), "fp", F.col("sh").alias("sh_b"))
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select(
             "id_a",
             "id_b",

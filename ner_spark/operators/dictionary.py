@@ -97,6 +97,35 @@ def union_vocab(old: DataFrame, new_tokens: DataFrame, token_col: str = "token")
     return old.unionByName(fresh_ids)
 
 
+def build_new_map(
+    w2v_vocab: DataFrame,
+    corpus_tokens: DataFrame,
+    token_col: str = "token",
+    sentinels: tuple[str, ...] = (UNK, PAD),
+) -> DataFrame:
+    """D3 (withW2V.py:110-141): char2id from a pretrained w2v vocabulary.
+
+    The reference updates the gensim model vocab with the corpus chars,
+    then the sentinel list, and maps every token to its ``index_to_key``
+    position — pretrained tokens keep their original w2v ids, new
+    corpus tokens get the next ids, sentinels come last
+    (``build_new_map``, withW2V.py:133-141). Reproduced as two vocab
+    unions over the (token, id) frame from ``read_w2v_text``; the only
+    deliberate difference is that fresh tokens are appended in sorted
+    token order (deterministic) instead of gensim's internal update
+    order.
+    """
+    out = union_vocab(
+        w2v_vocab.select("token", "id"), corpus_tokens, token_col=token_col
+    )
+    # sentinels keep their list order, not alphabetical: one union each
+    # (<= 3 one-row frames; the whole thing stays a single lazy plan).
+    spark = w2v_vocab.sparkSession
+    for s in sentinels:
+        out = union_vocab(out, spark.createDataFrame([(s,)], "token string"))
+    return out
+
+
 def build_radical_map(vocab: DataFrame, unihan: DataFrame, default_radical: int = 0) -> DataFrame:
     """D4: char-id -> radical index with default 0 fill (my_ner.py:132-183).
 

@@ -208,6 +208,41 @@ def read_span_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_w2v_text(spark: SparkSession, path: str) -> DataFrame:
+    """S6: word2vec text-format vectors -> (w2v_id, token, vector).
+
+    The format gensim writes with ``save_word2vec_format(binary=False)``
+    (the public interchange form of the reference's ``Word60.model``,
+    withW2V.py:61-65): a ``"<count> <dim>"`` header line, then one
+    ``"<token> <v1> ... <vdim>"`` line per word, line order == gensim's
+    ``wv.index_to_key`` order. ``w2v_id`` reproduces that order (it is
+    the id `build_new_map` assigns, withW2V.py:133-141).
+
+    The header is dropped structurally (fewer than 3 fields), not by
+    position, so the filter is order-independent; the line-order window
+    is the same dictionary-size-only global sort as the other readers.
+    """
+    lines = (
+        spark.read.text(path)
+        .select(F.col("value").alias("line"))
+        .withColumn("line_id", F.monotonically_increasing_id())
+    )
+    parts = F.split(F.regexp_replace(F.col("line"), r"^\s+|\s+$", ""), r"\s+")
+    w = Window.orderBy("line_id")
+    return (
+        lines.withColumn("_parts", parts)
+        .filter(F.size("_parts") >= 3)
+        .withColumn("w2v_id", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "w2v_id",
+            F.element_at("_parts", 1).alias("token"),
+            F.transform(F.slice("_parts", 2, 1_000_000), lambda s: s.cast("float")).alias(
+                "vector"
+            ),
+        )
+    )
+
+
 def read_chise_ids(spark: SparkSession, path: str) -> DataFrame:
     """S4: CHISE IDS rows -> (char, decomposition) with []GTJKVH'
     annotations stripped (my_ner.py:203-210)."""

@@ -218,3 +218,51 @@ def test_span_corpus_reader(spark, span_json):
     # span invariant: surface == sentence[begin:end]
     for r in rows:
         assert r["sentence"][r["begin"]:r["end"]] == r["surface"]
+
+
+# --------------------------------------------------------------------------
+# S6: word2vec text-format reader + D3 build_new_map (withW2V.py:61-65,
+# 110-141)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def w2v_text_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("w2v") / "vectors.txt"
+    # gensim save_word2vec_format(binary=False): "count dim" header,
+    # then "<token> <v1> ... <vdim>" in index_to_key order
+    p.write_text(
+        "4 3\n"
+        "的 0.1 0.2 0.3\n"
+        "一 0.4 0.5 0.6\n"
+        "是 -0.7 0.8 0.9\n"
+        "了 1.0 -1.1 1.2\n",
+        encoding="utf-8",
+    )
+    return str(p)
+
+
+def test_read_w2v_text_order_and_vectors(spark, w2v_text_file):
+    rows = S.read_w2v_text(spark, w2v_text_file).orderBy("w2v_id").collect()
+    assert [r["token"] for r in rows] == ["的", "一", "是", "了"]  # file order
+    assert [r["w2v_id"] for r in rows] == [0, 1, 2, 3]           # 0-based ids
+    assert rows[2]["vector"] == pytest.approx([-0.7, 0.8, 0.9])
+    assert all(len(r["vector"]) == 3 for r in rows)               # header dropped
+
+
+def test_build_new_map_w2v_order_then_corpus_then_sentinels(spark, w2v_text_file):
+    w2v = (
+        S.read_w2v_text(spark, w2v_text_file)
+        .select("token", F.col("w2v_id").alias("id"))
+    )
+    corpus = spark.createDataFrame(
+        [("是",), ("新",), ("字",)], "token string"
+    )
+    got = {r["token"]: r["id"] for r in D.build_new_map(w2v, corpus).collect()}
+    # pretrained tokens keep their w2v ids (是 NOT re-assigned)
+    assert {got[t] for t in ("的", "一", "是", "了")} == {0, 1, 2, 3}
+    assert got["是"] == 2
+    # fresh corpus tokens appended next, sorted: 字 < 新 in codepoint order
+    assert {got["字"], got["新"]} == {4, 5}
+    assert got["字"] < got["新"]
+    # sentinels come last, in list order (withW2V.py:114-117)
+    assert got["<UNK>"] == 6 and got["<PAD>"] == 7
