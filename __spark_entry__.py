@@ -35,7 +35,7 @@ from ner_spark.plans import pipeline
 # octet_length(encode(text)) <> length(text)), where char slicing ==
 # the operator's byte slicing. The IVF ANN path (ann_ivf_topk) is
 # deterministic end-to-end and fully oracle-checked.
-NO_ORACLE = ("ann_lsh_topk", "embedding_near_dups_lsh")
+NO_ORACLE = ("ann_lsh_topk",)
 
 TOKEN_RE = X.TOKEN_RE
 
@@ -67,7 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _doc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    # same single-input-split compensation as _docs: without it the
+    # token explode + gazetteer probe serialize on one task
+    return _docs(spark, sf_dir).select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
         F.col("text").alias("content"),
@@ -457,21 +459,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, k=3)
 
 
-def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine similar pairs (>=0.35) via LSH buckets.
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine similar pairs (>=0.35), exact blocked all-pairs.
 
     The testdata embeddings are near-isotropic (max pairwise cosine
-    ~0.51 at sf0.01), so a 0.95 'near-dup' threshold verified nothing
-    in round 1 (0 rows). 0.35 sits at the ~p99.9 tail — the check now
-    returns real pairs; the short 3-plane/12-table OR-construction
-    keeps recall >95% at that (weak-similarity) threshold. Recall vs
-    brute force is additionally pinned by a planted-cluster unit test
-    (tests/test_dedup_similarity.py::test_embedding_near_dup_recall).
-    """
+    ~0.51 at sf0.01), so 0.35 sits at the ~p99.9 tail — real pairs,
+    non-vacuous. At this weak threshold LSH's pruning exponent rho -> 1
+    and any bucketed plan degenerates into all-pairs plus overhead
+    (round 2 measured the 3-plane/12-table variant at 8.3 s vs ~2 s
+    exact), so the query runs similarity.exact_near_pairs: a tiled
+    cross product scored in codegen, fully oracle-checkable because the
+    float64 fold matches DuckDB's list_dot_product bit-for-bit. The
+    sign-LSH operator (embedding_near_dups) remains the scale path for
+    the actual dedup regime (>= 0.9, planted-cluster recall test)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(
-        e, threshold=0.35, n_planes=3, n_tables=12
-    )
+    # B=8 -> 36 tiles: plenty of parallelism for the local corpus while
+    # minimizing the n*(B+1) duplicated tile rows; B grows ~sqrt(n) on
+    # a real cluster (measured locally: B=8 1.3s, B=16 2.1s, B=32 4.8s)
+    return similarity.exact_near_pairs(e, threshold=0.35, n_blocks=8)
 
 
 def q_entity_link_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,6 +875,136 @@ def q_w2v_extend_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_new_map(pre, tok.select("token"))
 
 
+def _token_ngrams(tok_array, n: int):
+    """Positional n-grams of a token array as 'a b c' strings — native
+    transform over a sequence, so shingling stays in codegen (no UDF,
+    no explode-then-self-join)."""
+    parts = lambda i: [F.element_at(tok_array, i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        F.size(tok_array) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_array) - (n - 1)),
+            lambda i: F.concat_ws(" ", *parts(i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit — the check every LLM data
+    pipeline runs before training: which eval documents share verbatim
+    token n-grams with the training split? Split = doc_id % 10 (0 =
+    eval). Shingling is a native array transform (one scan per side of
+    the same cached-free plan); the overlap is ONE shuffle join keyed
+    by gram. At 100 TB the train side is huge but the join key is the
+    gram itself, so partial aggregation dedupes map-side and the eval
+    side (always the small side) broadcasts when it fits. k=3 here so
+    the tiny word-soup corpus yields real hits; production uses k=8-13
+    with the identical plan."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(_token_ngrams(X.tokens("text"), 3)).alias("gram")
+    ).distinct()
+    ev = grams.filter(F.col("doc_id") % 10 == 0)
+    tr = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
+    hits = ev.join(tr, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams") * 1_000_000, 0)
+        .cast("long")
+        .alias("contamination_e6"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates per document: distinct-token
+    fraction, top-token fraction, top-bigram fraction (Rae et al. 2021,
+    'duplicated n-gram fraction' family), each e6-quantized, plus the
+    composite repetitive flag. Two explode+groupBy passes over the same
+    scan, both with map-side partials keyed by (doc_id, gram) — no doc
+    is ever materialized whole on one executor beyond its own row."""
+    d = _docs(spark, sf_dir)
+    uni = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("count").alias("top_tok"),
+        )
+    )
+    big = (
+        d.select("doc_id", F.explode(_token_ngrams(X.tokens("text"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_big"), F.sum("count").alias("n_bigrams"))
+    )
+    e6 = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        e6(F.col("n_distinct") / F.col("n_tokens")).alias("distinct_frac_e6"),
+        e6(F.col("top_tok") / F.col("n_tokens")).alias("top_token_frac_e6"),
+        e6(F.col("top_big") / F.col("n_bigrams")).alias("top_bigram_frac_e6"),
+        (
+            (F.col("top_tok") / F.col("n_tokens") > 0.2)
+            | (F.col("top_big") / F.col("n_bigrams") > 0.18)
+        ).alias("is_repetitive"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling — the reproducible
+    'take X% per language' primitive a corpus pipeline needs (random
+    sample() is neither stable across retries nor portable across
+    engines). Membership = first md5 byte of the content < 0x2A
+    (42/256 = 16.4%), so the sample is a pure projection decided at
+    scan time: no shuffle for membership, one tiny agg to report per-
+    stratum rates."""
+    d = _t(spark, sf_dir, "documents")
+    kept = F.substring(F.md5("text"), 1, 2) < "2a"
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.round(F.sum(kept.cast("long")) / F.count(F.lit(1)) * 1_000_000, 0)
+        .cast("long")
+        .alias("rate_e6"),
+    )
+
+
+def q_declares_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file-DECLARES-symbol triples (the third triple family of the
+    north star; triples.declares_triples is what entry() runs over the
+    synthetic code corpus). The driver tables carry no source code, so
+    both engines first derive a deterministic pseudo-source per
+    document (def <tok1> / class <TOK2> headers) and the oracle then
+    checks the REAL operator: the multiline declaration-regex capture,
+    explode, and distinct exchange."""
+    from ner_spark.operators.triples import declares_triples
+
+    files = _doc_files(spark, sf_dir)
+    t = X.tokens("content")
+    pseudo = files.filter(F.size(t) >= 2).select(
+        "repo",
+        "path",
+        F.concat(
+            F.lit("def "),
+            F.element_at(t, 1),
+            F.lit("(x):\n    pass\nclass "),
+            F.upper(F.element_at(t, 2)),
+            F.lit(":\n    pass\n"),
+        ).alias("content"),
+    )
+    return declares_triples(pseudo)
+
+
 def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10 (my_ner.py:1006-1060): the printed classification report as
     a frame — per-tag rows plus 'macro avg' / 'weighted avg' / 'micro
@@ -952,7 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "entity_link_top1": q_entity_link_top1,
         "tfidf_links": q_tfidf_links,
         "alias_canonical": q_alias_canonical,
@@ -978,6 +1113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_union": q_vocab_union,
         "w2v_extend_vocab": q_w2v_extend_vocab,
         "eval_report": q_eval_report,
+        "contamination_overlap": q_contamination_overlap,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "declares_triples": q_declares_triples,
     }
 
 
@@ -1436,6 +1575,16 @@ def oracle_sql() -> dict[str, str]:
             FROM h a JOIN h b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 2
         """,
+        "embedding_near_dups": f"""
+            WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS qv
+                       FROM embeddings),
+            b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS cv
+                  FROM embeddings)
+            SELECT id_a, id_b, cosine_sim FROM (
+              SELECT id_a, id_b, {_DK_COSINE} AS cosine_sim
+              FROM a JOIN b ON id_a < id_b
+            ) WHERE cosine_sim >= 0.35
+        """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id % 50 = 0),
@@ -1838,5 +1987,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(tp) * 1000000 / sum(support)) AS BIGINT),
                    sum(support)::BIGINT
             FROM m
+        """,
+        "contamination_overlap": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [] END) AS gram
+              FROM t
+            ),
+            ev AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
+            tr AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 0),
+            hits AS (
+              SELECT doc_id, count(*) AS n_contaminated
+              FROM ev JOIN tr USING (gram) GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+            SELECT tot.doc_id, n_grams,
+                   coalesce(n_contaminated, 0) AS n_contaminated,
+                   CAST(round(coalesce(n_contaminated, 0) * 1000000.0 / n_grams)
+                        AS BIGINT) AS contamination_e6
+            FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+        """,
+        "repetition_stats": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ),
+            uni AS (
+              SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                     max(c) AS top_tok
+              FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+                GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            ),
+            big AS (
+              SELECT doc_id, max(c) AS top_big, sum(c) AS n_bigrams
+              FROM (
+                SELECT doc_id, g, count(*) AS c
+                FROM (
+                  SELECT doc_id,
+                         unnest(CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                           ELSE [] END) AS g
+                  FROM t
+                ) GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            )
+            SELECT uni.doc_id,
+                   n_tokens::BIGINT AS n_tokens,
+                   CAST(round(n_distinct * 1000000.0 / n_tokens) AS BIGINT) AS distinct_frac_e6,
+                   CAST(round(top_tok * 1000000.0 / n_tokens) AS BIGINT) AS top_token_frac_e6,
+                   CAST(round(top_big * 1000000.0 / n_bigrams) AS BIGINT) AS top_bigram_frac_e6,
+                   (top_tok * 1.0 / n_tokens > 0.2 OR top_big * 1.0 / n_bigrams > 0.18)
+                     AS is_repetitive
+            FROM uni JOIN big ON uni.doc_id = big.doc_id
+        """,
+        "stratified_sample": """
+            SELECT lang,
+                   count(*) AS n_total,
+                   sum(CASE WHEN substr(md5(text), 1, 2) < '2a' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_kept,
+                   CAST(round(sum(CASE WHEN substr(md5(text), 1, 2) < '2a' THEN 1 ELSE 0 END)
+                              * 1000000.0 / count(*)) AS BIGINT) AS rate_e6
+            FROM documents GROUP BY lang
+        """,
+        "declares_triples": f"""
+            WITH f AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT repo || '/' || path AS subj,
+                     'def ' || t[1] || '(x):' || chr(10) || '    pass' || chr(10)
+                       || 'class ' || upper(t[2]) || ':' || chr(10) || '    pass'
+                       || chr(10) AS content
+              FROM f WHERE len(t) >= 2
+            ),
+            x AS (
+              SELECT subj,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^(?:def|class|func|void|public\\s+\\w+)\\s+([A-Za-z_][A-Za-z0-9_]*)',
+                       1)) AS obj
+              FROM p
+            )
+            SELECT DISTINCT subj, 'DECLARES' AS pred, obj FROM x
         """,
     }

@@ -190,6 +190,102 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def exact_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold — exact.
+
+    Weak-threshold near-pair search is the regime where LSH stops
+    helping: at cos ~0.35 the collision probabilities of similar and
+    dissimilar pairs nearly coincide (LSH exponent rho -> 1), so any
+    bucketed plan degenerates to all-pairs WITH the hashing, distinct
+    and re-join overhead stacked on top (round 2 measured the
+    3-plane/12-table LSH at 8.3 s, and a naive codegen-fold cross join
+    at 42 s). O(n^2) *work* is inherent to the semantics here; what is
+    NOT inherent is doing it slowly or unscalably:
+
+    filter — deterministic block tiling (block = vec_id % n_blocks;
+      each unordered pair lands in exactly one of the B(B+1)/2 tiles),
+      one Arrow-batched GEMM per tile (numpy float64, ~100x the fold's
+      throughput). No driver collect, no broadcast of a full side: a
+      tile holds 2n/B vectors, so memory per task is bounded and B
+      scales with sqrt(n) on a real cluster.
+    verify — survivors (a ~1e-4 fraction at the p99.9 threshold) are
+      re-scored with the sequential float64 fold, which matches
+      DuckDB's list_dot_product bit-for-bit — the GEMM's summation
+      order never touches the reported value, it only prunes, with a
+      2e-6 margin (>> 1e-12 float divergence) so it cannot drop a true
+      pair.
+
+    The sublinear paths for thresholds where pruning IS possible are
+    embedding_near_dups (sign-LSH, >= 0.9) and ivf_topk (IVF).
+    """
+    import numpy as np
+    import pandas as pd
+
+    margin = 2.0 / (10**ROUND)
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    blocks = v.groupBy("_blk").agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+    tiles = (
+        blocks.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
+        .join(
+            blocks.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def score(batches):
+        for pdf in batches:
+            outs_a, outs_b = [], []
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.array([r["_id"] for r in rows_a], dtype=np.int64)
+                A = np.array([r["_v"] for r in rows_a], dtype=np.float64)
+                ids_b = np.array([r["_id"] for r in rows_b], dtype=np.int64)
+                B = np.array([r["_v"] for r in rows_b], dtype=np.float64)
+                na = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+                nb = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+                sims = (A @ B.T) / np.outer(na, nb)
+                ia, ib = np.nonzero(sims >= threshold - margin)
+                if same:
+                    keep = ia < ib  # each unordered pair once, no self-pairs
+                    ia, ib = ia[keep], ib[keep]
+                ga, gb = ids_a[ia], ids_b[ib]
+                outs_a.append(np.minimum(ga, gb))
+                outs_b.append(np.maximum(ga, gb))
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(outs_a) if outs_a else np.array([], dtype=np.int64),
+                    "id_b": np.concatenate(outs_b) if outs_b else np.array([], dtype=np.int64),
+                }
+            )
+
+    cand = tiles.mapInPandas(score, "id_a bigint, id_b bigint")
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    return (
+        cand.join(
+            vecs.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("_va")), "id_a"
+        )
+        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("_vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), ROUND).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int | None = None,

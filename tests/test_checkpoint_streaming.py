@@ -209,3 +209,39 @@ def test_decode_image_stub_raises(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+# --------------------------------------------------------------------------
+# incremental KG stream (streaming/kg_stream.py)
+# --------------------------------------------------------------------------
+
+def test_kg_stream_incremental_matches_batch(spark, tmp_path):
+    """Two parquet drops -> streamed triples == batch triples; restart
+    resumes from the checkpoint (no reprocessing of consumed drops)."""
+    from ner_spark.plans.pipeline import extract_triples
+    from ner_spark.streaming import kg_stream
+
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "triples")
+    ck = str(tmp_path / "ck")
+
+    d1 = synth.synth_files(spark, 20)
+    d2 = synth.synth_files(spark, 30).exceptAll(d1)
+    d1.coalesce(2).write.mode("append").parquet(drops)
+
+    kg_stream.run_incremental(spark, drops, out, ck)
+    got1 = {tuple(r) for r in kg_stream.consolidated_triples(spark, out).collect()}
+    want1 = {tuple(r) for r in extract_triples(d1).collect()}
+    assert got1 == want1
+
+    # idempotent re-run: checkpoint says everything is consumed
+    raw1 = spark.read.parquet(out).count()
+    kg_stream.run_incremental(spark, drops, out, ck)
+    assert spark.read.parquet(out).count() == raw1
+
+    # second drop: only the new files are processed, union is batch-equal
+    d2.coalesce(2).write.mode("append").parquet(drops)
+    kg_stream.run_incremental(spark, drops, out, ck)
+    got2 = {tuple(r) for r in kg_stream.consolidated_triples(spark, out).collect()}
+    want2 = {tuple(r) for r in extract_triples(synth.synth_files(spark, 30)).collect()}
+    assert got2 == want2

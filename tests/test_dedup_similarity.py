@@ -366,3 +366,43 @@ def test_ngram_jaccard_matches_manual(spark):
     }
     if (0, 2) in got:  # candidate only if min-hash agrees
         assert math.isclose(got[(0, 2)], manual, abs_tol=1e-6)
+
+
+def test_exact_near_pairs_matches_brute_force(spark):
+    """Tiled GEMM filter + fold verify == naive all-pairs, any n_blocks."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ground truth from the float32-stored values (what Spark reads back)
+    stored = np.array([r["embedding"] for r in v.collect()], dtype=np.float64)
+    n = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if round(sims[i, j], 6) >= 0.35
+    }
+    assert want  # fixture must exercise real pairs
+
+    for n_blocks in (1, 3, 16):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.exact_near_pairs(
+                v, threshold=0.35, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+    # partitioning invariance: same result off a 7-partition input
+    got7 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.exact_near_pairs(
+            v.repartition(7), threshold=0.35, n_blocks=4
+        ).collect()
+    }
+    assert got7 == want
