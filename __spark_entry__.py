@@ -875,6 +875,54 @@ def q_w2v_extend_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_new_map(pre, tok.select("token"))
 
 
+def q_sentence_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 sentence grouping (my_ner.py:60-91): token stream ->
+    (sent_id, ordered char list, ordered tag list, <END> appended).
+    Order inside a sentence is guaranteed by the expression
+    (collect_list(struct(pos,...)) + array_sort), NOT by physical row
+    order — the exact contract the round-1 advice flagged. Arrays are
+    emitted '|'-joined so the value hash is canonical on both engines."""
+    from ner_spark.sources.corpus import sentences_from_tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.col("doc_id").alias("sent_id"),
+        F.posexplode(X.tokens("text")).alias("pos", "char"),
+    ).withColumn("tag", F.upper(F.substring("char", 1, 1)))
+    sents = sentences_from_tokens(toks, add_end_sentinel=True)
+    return sents.select(
+        "sent_id",
+        F.concat_ws("|", "chars").alias("chars_cat"),
+        F.concat_ws("|", "tags").alias("tags_cat"),
+        F.size("chars").cast("long").alias("n_toks"),
+    )
+
+
+def q_radical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 build_one_radical (my_ner.py:132-183): vocab-id -> radical
+    index, default-0 fill for chars absent from the (synthetic) Unihan
+    side, first-wins dedupe on (radical, stroke). The Unihan analog is
+    derived deterministically from even-doc tokens so both engines
+    build the identical dictionary."""
+    from ner_spark.operators.dictionary import build_radical_map
+
+    vocab = q_build_map(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    uni = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(X.tokens("text")).alias("char"))
+        .distinct()
+        .select(
+            "char",
+            (F.ascii(F.substring("char", 1, 1)) % 7 + 1).alias("radical"),
+            F.length("char").alias("stroke"),
+        )
+    )
+    return build_radical_map(vocab, uni).select(
+        "char", "id", F.col("radical").cast("long").alias("radical")
+    )
+
+
 def _token_ngrams(tok_array, n: int):
     """Positional n-grams of a token array as 'a b c' strings — native
     transform over a sequence, so shingling stays in codegen (no UDF,
@@ -1117,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "declares_triples": q_declares_triples,
+        "sentence_grouping": q_sentence_grouping,
+        "radical_map": q_radical_map,
     }
 
 
@@ -2080,5 +2130,42 @@ def oracle_sql() -> dict[str, str]:
               FROM p
             )
             SELECT DISTINCT subj, 'DECLARES' AS pred, obj FROM x
+        """,
+        "sentence_grouping": f"""
+            WITH toks AS (
+              SELECT doc_id AS sent_id, unnest(ts) AS ch,
+                     generate_subscripts(ts, 1) AS pos
+              FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+            )
+            SELECT sent_id,
+                   array_to_string(list_append(list(ch ORDER BY pos), '<END>'), '|')
+                     AS chars_cat,
+                   array_to_string(list_append(
+                     list(upper(substr(ch, 1, 1)) ORDER BY pos), '<END>'), '|')
+                     AS tags_cat,
+                   (count(*) + 1)::BIGINT AS n_toks
+            FROM toks GROUP BY sent_id
+        """,
+        "radical_map": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos
+              FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+            ),
+            first AS (
+              SELECT token, min(doc_id * 1000000 + pos) AS first_occ
+              FROM toks GROUP BY token
+            ),
+            vocab AS (
+              SELECT token AS char, row_number() OVER (ORDER BY first_occ) - 1 AS id
+              FROM first
+            ),
+            uni AS (
+              SELECT DISTINCT token AS char,
+                     (ascii(substr(token, 1, 1)) % 7 + 1) AS radical
+              FROM toks WHERE doc_id % 2 = 0
+            )
+            SELECT v.char, v.id,
+                   coalesce(u.radical, 0)::BIGINT AS radical
+            FROM vocab v LEFT JOIN uni u USING (char)
         """,
     }
