@@ -1109,6 +1109,146 @@ def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass every training corpus runs:
+    email/IPv4/phone counts + the redacted text (md5'd for a compact
+    hash). The word-soup corpus carries no natural PII, so both
+    engines first plant deterministic PII on doc_id%5 / doc_id%7
+    subsets (disclosed enrichment, NOT a fixture hack: the operator
+    under test is the count/redact battery, which is all-native
+    regexp_count/regexp_replace — one codegen scan at any scale)."""
+    d = _docs(spark, sf_dir)
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact "),
+                F.substring(F.md5("text"), 1, 8),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" tel 202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", enriched.alias("txt"))
+    counts = X.pii_counts("txt")
+    return t.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(X.redact_pii("txt")).alias("redacted_md5"),
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing (256-token
+    windows, packed per source shard — see operators/packing.py for
+    why per-shard, not global)."""
+    from ner_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.size(X.tokens("text")).alias("n_tokens"))
+    return packing.pack_sequences(docs, chunk=256)
+
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sampling weights toward a uniform target mixture —
+    the 'how much do I upsample each domain' table before training."""
+    from ner_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("source", F.size(X.tokens("text")).alias("n_tokens"))
+    return packing.domain_mix_weights(docs)
+
+
+def q_asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively, composed per the
+    brief): each click matched to the user's latest purchase at or
+    before it, within 2 h — one union + one window, one shuffle total
+    (operators/temporal.py). Deterministic tie-break: max event_id
+    among equal-ts purchases."""
+    from ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = temporal.asof_join(
+        clicks, buys, key="user_id", ts="ts",
+        right_cols=("event_id",), tiebreak="event_id", tolerance_sec=7200,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.coalesce("asof_event_id", F.lit(-1)).cast("long").alias("purchase_id"),
+        F.coalesce(
+            temporal.micros("ts") - temporal.micros("asof_ts"), F.lit(-1)
+        ).cast("long").alias("gap_us"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: (click, purchase) pairs of the same user
+    within ±15 min, via bucket-and-expand (equi-join on (user, time
+    bucket) with the purchase side exploded to 3 adjacent buckets) —
+    never an inequality cross product (operators/temporal.py)."""
+    from ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = temporal.range_join(
+        clicks, buys, key="user_id", ts="ts", window_sec=900,
+        left_cols=("event_id",), right_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "gap_us",
+    )
+
+
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the entity ADJACENCY graph (consecutive
+    gazetteer tokens; edge weight = adjacency count), in EXACT integer
+    arithmetic (operators/graph.py) so the iterative result is
+    bit-identical across engines and partitionings — the KG-analytics
+    step after construction. Doc-grain COOCCURS is a complete graph on
+    this corpus (uniform ranks prove nothing); adjacency counts vary
+    ~2x, so the ranks are a real discrimination of the algorithm."""
+    from ner_spark.operators.graph import pagerank_int
+
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "doc_id", F.posexplode(X.tokens("content")).alias("pos", "alias")
+    )
+    gaz = _gazetteer_df(spark)
+    ent = toks.join(F.broadcast(gaz), "alias").select("doc_id", "pos", "entity")
+    a, b = ent.alias("a"), ent.alias("b")
+    adj = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("b.pos") == F.col("a.pos") + 1)
+               & (F.col("a.entity") != F.col("b.entity")))
+        .groupBy(F.col("a.entity").alias("src"), F.col("b.entity").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pagerank_int(adj, weight_col="n", n_iter=3).select(
+        F.col("node").alias("entity"), F.col("rank").alias("pagerank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1167,6 +1307,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declares_triples": q_declares_triples,
         "sentence_grouping": q_sentence_grouping,
         "radical_map": q_radical_map,
+        "pii_redaction": q_pii_redaction,
+        "sequence_packing": q_sequence_packing,
+        "domain_mix_weights": q_domain_mix_weights,
+        "asof_purchase_before_click": q_asof_purchase_before_click,
+        "range_join_events": q_range_join_events,
+        "entity_pagerank": q_entity_pagerank,
     }
 
 
@@ -2167,5 +2313,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.char, v.id,
                    coalesce(u.radical, 0)::BIGINT AS radical
             FROM vocab v LEFT JOIN uni u USING (char)
+        """,
+        "pii_redaction": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0 THEN
+                          ' contact ' || substr(md5(text), 1, 8)
+                          || '@example.com ip 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          ' tel 202-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS txt
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(txt, '{X.EMAIL_RE}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(txt, '{X.IPV4_RE}'))::BIGINT AS n_ips,
+                   len(regexp_extract_all(txt, '{X.PHONE_RE}'))::BIGINT AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                     txt, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{X.IPV4_RE}', '<IP>', 'g'),
+                     '{X.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+            FROM t
+        """,
+        "sequence_packing": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     len({_TOKS})::BIGINT AS n_tokens
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, source, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens)::BIGINT AS start_offset
+              FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id, source, n_tokens, start_offset,
+                   (start_offset // 256)::BIGINT AS first_chunk,
+                   ((start_offset + n_tokens - 1) // 256)::BIGINT AS last_chunk,
+                   ((start_offset + n_tokens - 1) // 256
+                    - start_offset // 256 + 1)::BIGINT AS n_chunks_spanned,
+                   ((start_offset + n_tokens - 1) // 256
+                    > start_offset // 256) AS is_split
+            FROM s
+        """,
+        "domain_mix_weights": f"""
+            WITH per AS (
+              SELECT source AS domain, count(*) AS n_docs,
+                     sum(len({_TOKS}))::BIGINT AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(n_tokens)::BIGINT AS total,
+                           count(*)::BIGINT AS nd FROM per)
+            SELECT domain, n_docs, n_tokens,
+                   CAST(round((n_tokens * 1.0 / total) * 1000000) AS BIGINT)
+                     AS natural_share_e6,
+                   CAST(round(((1.0 / nd) / (n_tokens * 1.0 / total)) * 1000000)
+                     AS BIGINT) AS weight_e6
+            FROM per, tot
+        """,
+        "asof_purchase_before_click": """
+            WITH c AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase'),
+            m AS (
+              SELECT c.event_id AS click_id, p.event_id AS pid, p.ts AS pts,
+                     row_number() OVER (PARTITION BY c.event_id
+                                        ORDER BY p.ts DESC, p.event_id DESC) AS rn
+              FROM c JOIN p ON c.user_id = p.user_id
+                           AND p.ts <= c.ts
+                           AND p.ts >= c.ts - INTERVAL 7200 SECONDS
+            )
+            SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+                   coalesce(m.pid, -1)::BIGINT AS purchase_id,
+                   coalesce(epoch_us(c.ts) - epoch_us(m.pts), -1)::BIGINT AS gap_us
+            FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+              ON c.event_id = m.click_id
+        """,
+        "range_join_events": """
+            SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                   (epoch_us(c.ts) - epoch_us(p.ts))::BIGINT AS gap_us
+            FROM (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 900 * 1000000
+        """,
+        "entity_pagerank": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok,
+                           generate_subscripts(ts, 1) AS pos FROM t),
+            ent AS (SELECT doc_id, pos, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            e AS (
+              SELECT a.entity AS src, b.entity AS dst, count(*)::BIGINT AS w
+              FROM ent a JOIN ent b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               AND a.entity <> b.entity
+              GROUP BY a.entity, b.entity
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM e
+                      UNION SELECT DISTINCT dst FROM e),
+            deg AS (SELECT src, sum(w)::BIGINT AS deg FROM e GROUP BY src),
+            ew AS (
+              SELECT e.src, e.dst, d.deg, e.w
+              FROM e JOIN deg d ON e.src = d.src
+              UNION ALL
+              SELECT node, node, 1::BIGINT, 0::BIGINT FROM nodes
+            ),
+            pr0 AS (SELECT node, 1000000000000::BIGINT AS r FROM nodes),
+            pr1 AS (SELECT ew.dst AS node,
+                           (150000000000::BIGINT
+                            + (sum((pr0.r // ew.deg) * ew.w) * 17) // 20)::BIGINT AS r
+                    FROM pr0 JOIN ew ON pr0.node = ew.src GROUP BY ew.dst),
+            pr2 AS (SELECT ew.dst AS node,
+                           (150000000000::BIGINT
+                            + (sum((pr1.r // ew.deg) * ew.w) * 17) // 20)::BIGINT AS r
+                    FROM pr1 JOIN ew ON pr1.node = ew.src GROUP BY ew.dst),
+            pr3 AS (SELECT ew.dst AS node,
+                           (150000000000::BIGINT
+                            + (sum((pr2.r // ew.deg) * ew.w) * 17) // 20)::BIGINT AS r
+                    FROM pr2 JOIN ew ON pr2.node = ew.src GROUP BY ew.dst)
+            SELECT node AS entity, r AS pagerank FROM pr3
         """,
     }

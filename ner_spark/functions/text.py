@@ -230,3 +230,39 @@ def winnow_fingerprint(col, k: int = 5) -> Column:
     this is one array expression per row, no shuffle, no Python.
     """
     return F.array_min(F.transform(shingles(col, k), F.md5))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax shared verbatim by Java regex (Spark)
+# and RE2 (DuckDB oracle): char classes, bounded reps, \b, \d — no
+# backrefs or lookaround, so both engines match identical spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-row PII hit counts (pre-redaction) — pure JVM regexp_count,
+    stays in whole-stage codegen at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
+def redact_pii(col) -> Column:
+    """Replace emails -> <EMAIL>, IPv4 -> <IP>, phones -> <PHONE>.
+
+    Order matters: emails first (their local part could otherwise be
+    clipped by the phone pattern), then IPs (dots), then phones. Each
+    pass is a native regexp_replace — three chained JVM projections,
+    zero Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

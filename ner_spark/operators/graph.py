@@ -1,0 +1,80 @@
+"""Graph analytics over the materialized KG — iterative PageRank as
+DataFrame joins, in EXACT integer arithmetic.
+
+Float PageRank cannot pass an exact cross-engine value hash: partial
+sums merge in shuffle order, and last-ulp drift flips any rounding.
+This variant keeps every quantity a BIGINT so both engines (and any
+partitioning) produce bit-identical ranks:
+
+    r0(v)   = SCALE                      (1e12)
+    contrib = r div out_deg              (integer floor division)
+    r'(v)   = (SCALE * 3) div 20  +  (sum(contrib) * 17) div 20
+              -- i.e. 0.15 + 0.85 * S, both terms floored
+
+Self-loop rows with weight 0 are appended to the edge list so every
+node — including ones with no in-edges — receives a group row each
+round; that keeps the iteration a single join + groupBy over ONE
+edge-shaped table (and makes the DuckDB recursive-CTE oracle legal:
+the recursive term references the rank table exactly once).
+
+Scale shape per iteration: one broadcast-able join (ranks are
+node-sized, edges corpus-sized) + one groupBy(dst) shuffle with
+map-side partial sums. Fixed iteration count — rank deltas, not
+convergence detection, so no driver action inside the loop.
+Overflow headroom: sum(contrib) <= SCALE * n_nodes, so BIGINT holds
+up to ~9e6 nodes at SCALE=1e12; drop SCALE for larger graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12: rank fixed-point scale
+BASE = SCALE * 3 // 20  # floor(0.15 * SCALE)
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node, rank) after `n_iter` exact-integer PageRank rounds.
+
+    `edges` is DIRECTED input (pass both directions for an undirected
+    graph). Node set = all endpoints. Duplicate edges count double by
+    design; `weight_col` (integer) generalizes that to weighted edges:
+    contrib = (rank div sum-of-weights) * w, still exact-integer.
+    """
+    wexpr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), wexpr.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    real = e.join(deg, "src")
+    selfs = nodes.select(
+        F.col("node").alias("src"),
+        F.col("node").alias("dst"),
+        F.lit(1).cast("long").alias("deg"),  # never divides anything (w=0)
+        F.lit(0).cast("long").alias("w"),
+    )
+    ew = real.unionByName(selfs)
+
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = ew.join(ranks, ew.src == ranks.node).select(
+            "dst", (F.expr("rank div deg") * F.col("w")).alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(BASE) + F.expr("sum(c) * 17 div 20")).alias("rank")
+        ).withColumnRenamed("dst", "node")
+    return ranks
