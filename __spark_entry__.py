@@ -1249,6 +1249,50 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table (operators/lm.py): global bigram counts +
+    left-context totals in one corpus scan + one agg shuffle; the
+    context totals aggregate the (small) bigram table, never the
+    corpus. The emitted LM is vocabulary-sized, so downstream scoring
+    broadcasts it."""
+    from ner_spark.operators import lm
+
+    return lm.bigram_counts(_docs(spark, sf_dir))
+
+
+def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LM fluency for training-data curation: train the bigram
+    LM on the even-doc_id half, score EVERY doc against it (so OOV is
+    non-zero and discriminative). Exact integer micro-probabilities —
+    floor division matches DuckDB `//` bit-for-bit, so the result is
+    independent of partitioning and summation order."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    model = lm.bigram_counts(d.filter(F.col("doc_id") % 2 == 0))
+    return lm.score_docs(d, model)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training iteration: global adjacent
+    char-pair counts within words — explode words, per-word pair array
+    built inside codegen (no Python), one agg shuffle keyed by pair."""
+    from ner_spark.operators import lm
+
+    return lm.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: first occurrence of every
+    20-token paragraph corpus-wide wins (content-derived order:
+    (doc_id, para_idx)); per-doc survival with exact integer
+    kept-fraction. One shuffle keyed by paragraph hash + one per-doc
+    agg (operators/lm.py)."""
+    from ner_spark.operators import lm
+
+    return lm.paragraph_dedup(_docs(spark, sf_dir), chunk=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1313,6 +1357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_before_click": q_asof_purchase_before_click,
         "range_join_events": q_range_join_events,
         "entity_pagerank": q_entity_pagerank,
+        "bigram_lm": q_bigram_lm,
+        "doc_fluency": q_doc_fluency,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -2442,5 +2490,87 @@ def oracle_sql() -> dict[str, str]:
                             + (sum((pr2.r // ew.deg) * ew.w) * 17) // 20)::BIGINT AS r
                     FROM pr2 JOIN ew ON pr2.node = ew.src GROUP BY ew.dst)
             SELECT node AS entity, r AS pagerank FROM pr3
+        """,
+        "bigram_lm": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram),
+            w AS (SELECT bigram, split_part(bigram, ' ', 1) AS ctx, n FROM c),
+            tot AS (SELECT ctx, sum(n)::BIGINT AS ctx_n FROM w GROUP BY ctx)
+            SELECT w.bigram, w.ctx, w.n, tot.ctx_n
+            FROM w JOIN tot ON w.ctx = tot.ctx
+        """,
+        "doc_fluency": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg
+                  WHERE doc_id % 2 = 0 GROUP BY bigram),
+            w AS (SELECT bigram, split_part(bigram, ' ', 1) AS ctx, n FROM c),
+            tot AS (SELECT ctx, sum(n)::BIGINT AS ctx_n FROM w GROUP BY ctx),
+            lm AS (SELECT w.bigram, w.n, tot.ctx_n
+                   FROM w JOIN tot ON w.ctx = tot.ctx),
+            s AS (
+              SELECT bg.doc_id,
+                     CASE WHEN lm.bigram IS NULL THEN 1 ELSE 0 END AS oov,
+                     coalesce(lm.n * 1000000, 0) // coalesce(lm.ctx_n, 1) AS p_e6
+              FROM bg LEFT JOIN lm ON bg.bigram = lm.bigram
+            ),
+            a AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(oov)::BIGINT AS n_oov,
+                     sum(p_e6)::BIGINT AS sum_prob_e6
+              FROM s GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams, n_oov, sum_prob_e6,
+                   (sum_prob_e6 // n_bigrams)::BIGINT AS avg_prob_e6
+            FROM a
+        """,
+        "bpe_pair_counts": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            w AS (SELECT unnest(ts) AS w FROM t),
+            c AS (SELECT regexp_extract_all(w, '.') AS cs FROM w),
+            p AS (
+              SELECT unnest(list_transform(range(1, len(cs)),
+                            i -> cs[i] || ' ' || cs[i + 1])) AS pair
+              FROM c
+            )
+            SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+        """,
+        "paragraph_dedup": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            idx AS (
+              SELECT doc_id, ts,
+                     unnest(range(0, CAST(ceil(len(ts) / 20.0) AS BIGINT))) AS i
+              FROM t
+            ),
+            p AS (
+              SELECT doc_id, i AS para_idx,
+                     array_to_string(list_slice(ts, i * 20 + 1, i * 20 + 20), ' ') AS para
+              FROM idx
+            ),
+            k AS (
+              SELECT doc_id,
+                     CASE WHEN row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, para_idx) = 1
+                     THEN 1 ELSE 0 END AS kept
+              FROM p
+            ),
+            a AS (
+              SELECT doc_id, count(*)::BIGINT AS n_paras,
+                     sum(kept)::BIGINT AS n_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT doc_id, n_paras, n_kept,
+                   (n_kept * 1000000 // n_paras)::BIGINT AS kept_frac_e6
+            FROM a
         """,
     }

@@ -1,0 +1,97 @@
+"""Bigram LM scoring, BPE merge learning, paragraph dedup
+(ner_spark/operators/lm.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.operators import lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_counts_and_context_totals(spark):
+    d = _docs(spark, [(1, "a b a b c"), (2, "a b x")])
+    got = {r["bigram"]: (r["n"], r["ctx_n"]) for r in lm.bigram_counts(d).collect()}
+    # bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x"
+    assert got["a b"] == (3, 3)        # ctx 'a' total = 3
+    assert got["b a"] == (1, 3)        # ctx 'b' total = 1+1+1
+    assert got["b c"] == (1, 3)
+    assert got["b x"] == (1, 3)
+
+
+def test_score_docs_exact_integer_semantics(spark):
+    d = _docs(spark, [(1, "a b a b c"), (2, "z z")])
+    model = lm.bigram_counts(d)
+    got = {r["doc_id"]: r.asDict() for r in lm.score_docs(d, model).collect()}
+    # doc 1 pairs: a-b (2/2=1.0), b-a (1/2), a-b (1.0), b-c (1/2)
+    assert got[1]["n_bigrams"] == 4 and got[1]["n_oov"] == 0
+    assert got[1]["sum_prob_e6"] == 2 * 1_000_000 + 2 * 500_000
+    assert got[1]["avg_prob_e6"] == 3_000_000 // 4
+    # doc 2: bigram "z z" (count 1, ctx total 1) -> exactly 1.0
+    assert got[2]["sum_prob_e6"] == 1_000_000 and got[2]["n_oov"] == 0
+
+
+def test_score_docs_oov_against_foreign_lm(spark):
+    train = _docs(spark, [(1, "a b")])
+    test = _docs(spark, [(9, "q r s")])
+    model = lm.bigram_counts(train)
+    row = lm.score_docs(test, model).collect()[0]
+    assert row["n_bigrams"] == 2 and row["n_oov"] == 2 and row["sum_prob_e6"] == 0
+
+
+def test_doc_perplexity_matches_numpy(spark):
+    d = _docs(spark, [(1, "a b a c")])
+    model = lm.bigram_counts(d)
+    row = lm.doc_perplexity(d, model, alpha=0.5).collect()[0]
+    # bigrams: a-b (1, ctx 'a' total 2), b-a (1, ctx 'b' total 1),
+    # a-c (1, ctx 'a' total 2); V = countDistinct(ctx) = 2
+    nll = [-math.log((1 + 0.5) / (2 + 0.5 * 2)),
+           -math.log((1 + 0.5) / (1 + 0.5 * 2)),
+           -math.log((1 + 0.5) / (2 + 0.5 * 2))]
+    want = sum(nll) / 3
+    assert row["avg_nll"] == pytest.approx(want, rel=1e-12)
+    assert row["perplexity"] == pytest.approx(math.exp(want), rel=1e-12)
+
+
+def test_bpe_pair_counts_first_iteration(spark):
+    d = _docs(spark, [(1, "low low lower")])
+    got = {r["pair"]: r["n"] for r in lm.bpe_pair_counts(d).collect()}
+    assert got["l o"] == 3 and got["o w"] == 3 and got["w e"] == 1 and got["e r"] == 1
+
+
+def test_bpe_learn_merges_in_frequency_order(spark):
+    d = _docs(spark, [(1, "low low low lower newer newer")])
+    merges = lm.bpe_learn(d, n_merges=3)
+    # 'l o' and 'o w' both appear 4x; lexicographic tie-break -> 'l o'
+    # first, after which 'lo w' appears 4x and wins round 2.
+    assert [m[0] for m in merges[:2]] == ["l o", "lo w"]
+    assert merges[0][1] == 4 and merges[1][1] == 4
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    # "aaa" = [a,a,a]: merging (a,a) greedily left-to-right gives
+    # [aa, a], never [a, aa]
+    d = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = d.select(lm._merge_pair(F.col("syms"), "a", "a").alias("m")).collect()
+    assert out[0]["m"] == ["aa", "a"]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    # chunk=2 paragraphs; doc 2 repeats doc 1's first paragraph
+    d = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+    got = {r["doc_id"]: r.asDict() for r in lm.paragraph_dedup(d, chunk=2).collect()}
+    assert got[1]["n_paras"] == 2 and got[1]["n_kept"] == 2
+    assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
+    assert got[2]["kept_frac_e6"] == 500_000
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    rows = [(i, f"w{i % 3} x{i % 3} common common") for i in range(30)]
+    d = _docs(spark, rows)
+    a = lm.paragraph_dedup(d, chunk=2).orderBy("doc_id").collect()
+    b = lm.paragraph_dedup(d.repartition(7), chunk=2).orderBy("doc_id").collect()
+    assert a == b
