@@ -1230,20 +1230,7 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2x, so the ranks are a real discrimination of the algorithm."""
     from ner_spark.operators.graph import pagerank_int
 
-    files = _doc_files(spark, sf_dir)
-    toks = files.select(
-        "doc_id", F.posexplode(X.tokens("content")).alias("pos", "alias")
-    )
-    gaz = _gazetteer_df(spark)
-    ent = toks.join(F.broadcast(gaz), "alias").select("doc_id", "pos", "entity")
-    a, b = ent.alias("a"), ent.alias("b")
-    adj = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("b.pos") == F.col("a.pos") + 1)
-               & (F.col("a.entity") != F.col("b.entity")))
-        .groupBy(F.col("a.entity").alias("src"), F.col("b.entity").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    adj = _adjacency_edges(spark, sf_dir)
     return pagerank_int(adj, weight_col="n", n_iter=3).select(
         F.col("node").alias("entity"), F.col("rank").alias("pagerank")
     )
@@ -1291,6 +1278,157 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_spark.operators import lm
 
     return lm.paragraph_dedup(_docs(spark, sf_dir), chunk=20)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary selection: global top-100 tokens
+    by corpus frequency (rank tiebreak: token asc). One explode + one
+    agg shuffle with map-side partials; the global top-k is a
+    TakeOrdered over the (vocab-sized) count table, and the rank
+    window runs on the 100 surviving rows only — never on the corpus."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length percentiles (p50/p90/p99) — the
+    curation dashboard's 'how long are my documents' table. Spark's
+    exact `percentile` and DuckDB's `quantile_cont` share the same
+    linear interpolation at rank (n-1)*q; quantized to e6 longs so the
+    value hash is representation-stable."""
+    d = _t(spark, sf_dir, "documents")
+    e6 = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    p = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").alias("p")
+    )
+    return p.select(
+        "lang",
+        e6(F.col("p")[0]).alias("p50_e6"),
+        e6(F.col("p")[1]).alias("p90_e6"),
+        e6(F.col("p")[2]).alias("p99_e6"),
+    )
+
+
+def q_domain_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (top-3 by length, doc_id tiebreak) —
+    the 'keep the best N per source' selection step of corpus mixing.
+    One window shuffle keyed by source; no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-integer Lloyd k-means step (k=8) over the embeddings
+    table — the codebook-training half of the IVF ANN index
+    (operators/similarity.py:kmeans_iteration). Broadcast centroids,
+    codegen integer distance folds, map-side-combinable argmin, one
+    (centroid, dim)-keyed agg."""
+    return similarity.kmeans_iteration(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: 6-way join (3 broadcast dims),
+    revenue summed in exact e4 integers (per-row quantize, then sum —
+    associative, so partitioning cannot flip the hash)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    lost to returns in a quarter. Filters pushed to both fact scans;
+    nation broadcast; deterministic top-20 via (revenue desc, custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_e2"),
+        )
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def _adjacency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted entity-adjacency edges (consecutive gazetteer tokens)
+    shared by the KG-analytics queries (pagerank, triangles)."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "doc_id", F.posexplode(X.tokens("content")).alias("pos", "alias")
+    )
+    gaz = _gazetteer_df(spark)
+    ent = toks.join(F.broadcast(gaz), "alias").select("doc_id", "pos", "entity")
+    a, b = ent.alias("a"), ent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1)
+            & (F.col("a.entity") != F.col("b.entity")),
+        )
+        .groupBy(F.col("a.entity").alias("src"), F.col("b.entity").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts over the (undirected) adjacency
+    graph — KG community-cohesion analytics via the oriented two-hop
+    join (operators/graph.py:triangle_counts)."""
+    from ner_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_adjacency_edges(spark, sf_dir)).select(
+        F.col("node").alias("entity"), "n_triangles"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1361,6 +1499,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fluency": q_doc_fluency,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
+        "vocab_topk": q_vocab_topk,
+        "length_quantiles": q_length_quantiles,
+        "domain_top_docs": q_domain_top_docs,
+        "kmeans_iteration": q_kmeans_iteration,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q10_returned_items": q_tpch_q10,
+        "cooccur_triangles": q_cooccur_triangles,
     }
 
 
@@ -2572,5 +2717,130 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_paras, n_kept,
                    (n_kept * 1000000 // n_paras)::BIGINT AS kept_frac_e6
             FROM a
+        """,
+        "vocab_topk": f"""
+            WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM t GROUP BY token),
+            r AS (SELECT token, n,
+                         row_number() OVER (ORDER BY n DESC, token) AS rank
+                  FROM c)
+            SELECT token, n, rank::BIGINT AS rank FROM r WHERE rank <= 100
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   CAST(round(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+                   CAST(round(quantile_cont(n_chars, 0.9) * 1000000) AS BIGINT) AS p90_e6,
+                   CAST(round(quantile_cont(n_chars, 0.99) * 1000000) AS BIGINT) AS p99_e6
+            FROM documents GROUP BY lang
+        """,
+        "domain_top_docs": """
+            SELECT source, doc_id, n_chars, rk FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 3
+        """,
+        "kmeans_iteration": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            d AS (
+              SELECT e.vec_id, cent.cid, e.v,
+                     CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])))
+                       AS BIGINT) AS dist
+              FROM e CROSS JOIN cent
+            ),
+            a AS (
+              SELECT cid, v,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d
+            ),
+            m AS (
+              SELECT cid, s['pos'] AS pos, s['val'] AS comp
+              FROM (SELECT cid,
+                           unnest(list_transform(range(1, len(v) + 1),
+                             i -> {'pos': i - 1, 'val': v[i]})) AS s
+                    FROM a WHERE rn = 1)
+            )
+            SELECT cid AS centroid_id, pos::BIGINT AS pos,
+                   (sum(comp) // count(*))::BIGINT AS val,
+                   count(*)::BIGINT AS n_members
+            FROM m GROUP BY cid, pos
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT))::BIGINT AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT))::BIGINT AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name, acctbal_e2
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
+        """,
+        "cooccur_triangles": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok,
+                           generate_subscripts(ts, 1) AS pos FROM t),
+            ent AS (SELECT doc_id, pos, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            adj AS (
+              SELECT a.entity AS src, b.entity AS dst
+              FROM ent a JOIN ent b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               AND a.entity <> b.entity
+              GROUP BY a.entity, b.entity
+            ),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM adj
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+            ),
+            pern AS (
+              SELECT node, count(*)::BIGINT AS n_triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            ),
+            nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+            SELECT nodes.node AS entity,
+                   coalesce(pern.n_triangles, 0)::BIGINT AS n_triangles
+            FROM nodes LEFT JOIN pern ON nodes.node = pern.node
         """,
     }

@@ -312,6 +312,76 @@ def embedding_near_dups(
     )
 
 
+def kmeans_iteration(
+    corpus: DataFrame,
+    k: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One exact-integer Lloyd k-means step (assign + centroid update):
+    (centroid_id, pos, val, n_members) — the recomputed centroid
+    unrolled one row per dimension.
+
+    The codebook-training half of the IVF index (ivf_assign/ivf_topk
+    are the serve half). Everything is BIGINT so the result is
+    bit-identical across engines, partitionings and summation orders —
+    which is what makes a *training* step oracle-checkable:
+
+      quantize   v_q[i]  = round(v[i] * scale)            (per row)
+      assign     argmin_c sum_i (v_q[i] - c_q[i])^2       (exact longs;
+                 ties break on centroid id)
+      update     c'[i]   = sum(v_q[i]) div n_members      (`div` =
+                 truncate-toward-zero, same as DuckDB `//`)
+
+    Initial centroids are the k lowest-id vectors (deterministic
+    seeding, same role as kmeans|| seeding on a real run). Physical
+    shape: centroids broadcast (k rows), distance folds run inside
+    whole-stage codegen, argmin is a map-side-combinable min(struct)
+    agg keyed by vector id, and the update is one posexplode +
+    groupBy(centroid, pos) — dims * k output rows. No driver action,
+    no Python UDF. Overflow headroom: per-dim squared deltas are
+    <= (2 * scale * |x|max)^2; at scale=1e6 and unit-norm-ish inputs a
+    64-dim fold stays ~1e15 << 2^63, and the update sum holds ~9e12
+    members per (centroid, dim) before overflow.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        # explicit float->double BEFORE the multiply: float32*int stays
+        # single-precision in some engines, flipping last-ulp rounds
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("_v"),
+    )
+    cent = q.filter(F.col("_id") < k).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        q.crossJoin(F.broadcast(cent))
+        .select("_id", F.struct(dist.alias("dist"), "cid", "_v").alias("_s"))
+        .groupBy("_id")
+        .agg(F.min("_s").alias("b"))  # (dist, cid) unique per group -> _v inert
+        .select(F.col("b.cid").alias("cid"), F.col("b._v").alias("_v"))
+    )
+    return (
+        best.select("cid", F.posexplode("_v").alias("pos", "comp"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("comp").alias("_s"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr("_s div n_members").alias("val"),
+            "n_members",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer -> inverted lists -> probe
 # ---------------------------------------------------------------------------

@@ -406,3 +406,60 @@ def test_exact_near_pairs_matches_brute_force(spark):
         ).collect()
     }
     assert got7 == want
+
+
+# ---------------------------------------------------------------------------
+# kmeans_iteration (exact-integer Lloyd step)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_iteration_exact_small(spark):
+    """Hand-checkable: 2 centroids (ids 0,1), 4 vectors in 2D."""
+    from ner_spark.operators.similarity import kmeans_iteration
+
+    rows = [
+        (0, [0.0, 0.0]),       # centroid 0
+        (1, [10.0, 10.0]),     # centroid 1
+        (2, [1.0, 1.0]),       # nearer 0
+        (3, [9.0, 8.5]),       # nearer 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["centroid_id"], r["pos"]): (r["val"], r["n_members"])
+        for r in kmeans_iteration(df, k=2).collect()
+    }
+    # cluster 0 = {v0, v2}: mean_e6 = (0 + 1e6) div 2, (0 + 1e6) div 2
+    # cluster 1 = {v1, v3}: (10e6 + 9e6) div 2, (10e6 + 8.5e6) div 2
+    assert got == {
+        (0, 0): (500_000, 2),
+        (0, 1): (500_000, 2),
+        (1, 0): (9_500_000, 2),
+        (1, 1): (9_250_000, 2),
+    }
+
+
+def test_kmeans_iteration_tie_breaks_to_lower_centroid(spark):
+    from ner_spark.operators.similarity import kmeans_iteration
+
+    rows = [
+        (0, [0.0]),
+        (1, [2.0]),
+        (2, [1.0]),  # equidistant from both -> centroid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["centroid_id"], r["pos"]): (r["val"], r["n_members"])
+        for r in kmeans_iteration(df, k=2).collect()
+    }
+    assert got == {(0, 0): (500_000, 2), (1, 0): (2_000_000, 1)}
+
+
+def test_kmeans_iteration_partitioning_invariant(spark):
+    from ner_spark.operators.similarity import kmeans_iteration
+
+    rows = [(i, [float(i % 7) / 3.0, float((i * 13) % 5) - 2.5]) for i in range(60)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(11)
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    ra = sorted(map(tuple, kmeans_iteration(a, k=4).collect()))
+    rb = sorted(map(tuple, kmeans_iteration(b, k=4).collect()))
+    assert ra == rb

@@ -188,3 +188,33 @@ def test_pagerank_isolated_node_keeps_base_rank(spark):
     e = spark.createDataFrame(edges, "src string, dst string, n long")
     got = {r["node"]: r["rank"] for r in pagerank_int(e, n_iter=1).collect()}
     assert got["z"] == BASE
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_known_graph(spark):
+    from ner_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant 'e'
+    # (0 triangles) and a duplicate/reversed edge to test canonicalization
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("b", "a"), ("a", "b"),  # dup + reverse
+        ("d", "e"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from ner_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
