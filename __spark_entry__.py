@@ -1431,6 +1431,133 @@ def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel: users counted at a
+    stage only if it happens strictly AFTER the previous stage's first
+    event. One user-keyed agg (conditional min ts per stage, map-side
+    combinable) + a single-row rollup; conversion as exact e6 integer
+    ratios. The corpus-scan shape of product analytics at 100 TB: no
+    window, no self-join, one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_s"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_p"),
+    )
+    hit_s = F.col("t_s").isNotNull()
+    hit_c = hit_s & F.col("t_c").isNotNull() & (F.col("t_c") > F.col("t_s"))
+    hit_p = hit_c & F.col("t_p").isNotNull() & (F.col("t_p") > F.col("t_c"))
+    agg = stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(hit_s.cast("long")).alias("n_signup"),
+        F.sum(hit_c.cast("long")).alias("n_click_after"),
+        F.sum(hit_p.cast("long")).alias("n_purchase_funnel"),
+    )
+    return agg.select(
+        "n_users", "n_signup", "n_click_after", "n_purchase_funnel",
+        F.expr("n_click_after * 1000000 div n_signup").alias("click_conv_e6"),
+        F.expr("n_purchase_funnel * 1000000 div n_signup").alias("purchase_conv_e6"),
+    )
+
+
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue window over the daily purchase rollup.
+    The corpus scan reduces to a date-grain table FIRST (one agg
+    shuffle); the unpartitioned window then runs over ~365 rows/year —
+    at 100 TB you'd partition the window by month and stitch the 6-row
+    boundary, but the daily rollup is never more than date-cardinality
+    regardless of input size. Exact e4 integers throughout."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("rev_e4")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "rev_e4",
+        F.sum("rev_e4").over(w).alias("ma7_sum_e4"),
+        F.count(F.lit(1)).over(w).alias("ma7_n"),
+    ).withColumn("ma7_avg_e4", F.expr("ma7_sum_e4 div ma7_n"))
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: left outer join
+    (customers with zero orders kept) + two cascaded aggs."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume orders: quantity rollup feeds a
+    selective semi-filter (sum > 300), then joins shrink to the
+    survivors. Quantities summed as exact e2 integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_e2")
+    )
+    big = qty.filter(F.col("qty_e2") > 300 * 100)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("totalprice_e2"),
+            "qty_e2",
+        )
+        .orderBy(F.col("totalprice_e2").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: OR-of-ANDs predicate over a
+    broadcast part join — the classic disjunctive-pushdown shape
+    (adapted to this part schema: brand + size + quantity bands)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return j.filter(band).agg(F.sum(rev_e4).alias("revenue_e4"))
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS distances from the 'agg' entity over the adjacency
+    graph — exact-integer label relaxation (operators/graph.py:
+    bfs_distances); unreached nodes report -1."""
+    from ner_spark.operators.graph import bfs_distances
+
+    return bfs_distances(_adjacency_edges(spark, sf_dir), source="agg").select(
+        F.col("node").alias("entity"), "dist"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1506,6 +1633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q10_returned_items": q_tpch_q10,
         "cooccur_triangles": q_cooccur_triangles,
+        "funnel_conversion": q_funnel_conversion,
+        "moving_avg_revenue": q_moving_avg_revenue,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q18_large_orders": q_tpch_q18,
+        "tpch_q19_discounted_revenue": q_tpch_q19,
+        "bfs_distances": q_bfs_distances,
     }
 
 
@@ -2842,5 +2975,127 @@ def oracle_sql() -> dict[str, str]:
             SELECT nodes.node AS entity,
                    coalesce(pern.n_triangles, 0)::BIGINT AS n_triangles
             FROM nodes LEFT JOIN pern ON nodes.node = pern.node
+        """,
+        "funnel_conversion": """
+            WITH stage AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+              FROM events GROUP BY user_id
+            ),
+            hits AS (
+              SELECT
+                (t_s IS NOT NULL) AS h_s,
+                (t_s IS NOT NULL AND t_c IS NOT NULL AND t_c > t_s) AS h_c,
+                (t_s IS NOT NULL AND t_c IS NOT NULL AND t_c > t_s
+                 AND t_p IS NOT NULL AND t_p > t_c) AS h_p
+              FROM stage
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n_users,
+                     sum(CASE WHEN h_s THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                     sum(CASE WHEN h_c THEN 1 ELSE 0 END)::BIGINT AS n_click_after,
+                     sum(CASE WHEN h_p THEN 1 ELSE 0 END)::BIGINT AS n_purchase_funnel
+              FROM hits
+            )
+            SELECT n_users, n_signup, n_click_after, n_purchase_funnel,
+                   (n_click_after * 1000000 // n_signup)::BIGINT AS click_conv_e6,
+                   (n_purchase_funnel * 1000000 // n_signup)::BIGINT AS purchase_conv_e6
+            FROM a
+        """,
+        "moving_avg_revenue": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS day,
+                     sum(CAST(round(value * 10000) AS BIGINT))::BIGINT AS rev_e4
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT day, rev_e4,
+                   (sum(rev_e4) OVER w)::BIGINT AS ma7_sum_e4,
+                   (count(*) OVER w)::BIGINT AS ma7_n,
+                   ((sum(rev_e4) OVER w) // (count(*) OVER w))::BIGINT AS ma7_avg_e4
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "tpch_q13_order_distribution": """
+            WITH per AS (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM per GROUP BY c_count
+        """,
+        "tpch_q18_large_orders": """
+            WITH qty AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_e2
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_e2,
+                   qty_e2
+            FROM qty
+            JOIN orders ON qty.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE qty_e2 > 30000
+            ORDER BY totalprice_e2 DESC, o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19_discounted_revenue": """
+            SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT))::BIGINT AS revenue_e4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "bfs_distances": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok,
+                           generate_subscripts(ts, 1) AS pos FROM t),
+            ent AS (SELECT doc_id, pos, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            adj AS (
+              SELECT a.entity AS src, b.entity AS dst
+              FROM ent a JOIN ent b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               AND a.entity <> b.entity
+              GROUP BY a.entity, b.entity
+            ),
+            und AS (
+              SELECT src AS s, dst AS t FROM adj
+              UNION SELECT dst, src FROM adj
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            d0 AS (SELECT node,
+                          CASE WHEN node = 'agg' THEN 0
+                               ELSE 1000000000 END::BIGINT AS d
+                   FROM nodes),
+            d1 AS (SELECT node, min(d)::BIGINT AS d FROM (
+                     SELECT node, d FROM d0
+                     UNION ALL
+                     SELECT und.t AS node, d0.d + 1 AS d
+                     FROM und JOIN d0 ON und.s = d0.node
+                   ) GROUP BY node),
+            d2 AS (SELECT node, min(d)::BIGINT AS d FROM (
+                     SELECT node, d FROM d1
+                     UNION ALL
+                     SELECT und.t AS node, d1.d + 1 AS d
+                     FROM und JOIN d1 ON und.s = d1.node
+                   ) GROUP BY node),
+            d3 AS (SELECT node, min(d)::BIGINT AS d FROM (
+                     SELECT node, d FROM d2
+                     UNION ALL
+                     SELECT und.t AS node, d2.d + 1 AS d
+                     FROM und JOIN d2 ON und.s = d2.node
+                   ) GROUP BY node)
+            SELECT node AS entity,
+                   CASE WHEN d >= 1000000000 THEN -1 ELSE d END::BIGINT AS dist
+            FROM d3
         """,
     }

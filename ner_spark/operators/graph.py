@@ -134,3 +134,55 @@ def triangle_counts(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+INF = 1_000_000_000  # "unreached" sentinel during BFS iteration
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node, dist): exact hop distance from `source` over the
+    undirected graph, computed with `n_iter` label-relaxation rounds
+    (so dist is exact for nodes within n_iter hops; farther nodes
+    report -1). All-integer — bit-identical across engines and
+    partitionings, like pagerank_int above.
+
+    Per round: one join of the edge list against the (node-sized)
+    distance table + one groupBy(node) min — the same broadcast-able
+    join + map-side-combinable agg shape as a PageRank round. Fixed
+    iteration count, no driver action in the loop; on a real cluster
+    n_iter = graph diameter bound, and the distance table stays
+    node-sized (tiny next to edges) throughout.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+    und = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct()
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0))
+        .otherwise(F.lit(INF))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(n_iter):
+        relaxed = und.join(dist, und.s == dist.node).select(
+            F.col("t").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        "node",
+        F.when(F.col("d") >= INF, F.lit(-1)).otherwise(F.col("d"))
+        .cast("long")
+        .alias("dist"),
+    )

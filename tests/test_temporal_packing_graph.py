@@ -218,3 +218,40 @@ def test_triangle_counts_no_triangles(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
     assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_distances_path_graph(spark):
+    from ner_spark.operators.graph import bfs_distances
+
+    # path a-b-c-d-e (undirected given one direction), source a, 3 rounds
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, "a", n_iter=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": -1}  # e beyond 3 hops
+
+
+def test_bfs_distances_unreachable_component(spark):
+    from ner_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, "a", n_iter=3).collect()}
+    assert got == {"a": 0, "b": 1, "x": -1, "y": -1}
+
+
+def test_bfs_distances_takes_shortest_of_two_routes(spark):
+    from ner_spark.operators.graph import bfs_distances
+
+    # a-b-c-d and a shortcut a-d: dist(d) must be 1, not 3
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, "a", n_iter=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1}
