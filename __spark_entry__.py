@@ -1558,6 +1558,155 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations (NATION_1 <->
+    NATION_2 in this synthetic nation table), grouped by year. Two
+    broadcast nation joins with the pair-filter applied post-join on
+    the (supp_nation, cust_nation) tuple — dims pruned to 2 rows each
+    before broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pair = ("NATION_1", "NATION_2")
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_8's share of ECONOMY-part
+    revenue per year, as an exact e6 integer ratio (numerator and
+    denominator summed as e4 longs first — the ratio of two exact sums
+    is computed once per year-row, so no float accumulation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_e4.alias("rev_e4"),
+            (F.col("supp_nation") == "NATION_8").cast("long").alias("is_target"),
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.sum(F.col("rev_e4") * F.col("is_target")).alias("nation_rev_e4"),
+        F.sum("rev_e4").alias("total_rev_e4"),
+    ).select(
+        "o_year", "nation_rev_e4", "total_rev_e4",
+        F.expr("nation_rev_e4 * 1000000 div total_rev_e4").alias("mkt_share_e6"),
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue, exact-integer: the
+    correlated 'quantity < 0.2 * avg(quantity per part)' rewritten as
+    qty_e2 * 5 * n < sum_qty_e2 (multiply through by 5n — no float
+    average ever materialized). Per-part stats shuffle once on
+    l_partkey; at scale that is the canonical self-agg-join (the stats
+    side is part-cardinality, far smaller than lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("sum_qty_e2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = li.select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_e2"),
+        F.round(F.col("l_extendedprice") * 10000, 0).cast("long").alias("price_e4"),
+    )
+    small = rows.join(stats, "l_partkey").filter(
+        F.col("qty_e2") * 5 * F.col("n") < F.col("sum_qty_e2")
+    )
+    return small.agg(F.sum("price_e4").alias("total_price_e4")).select(
+        "total_price_e4",
+        F.expr("total_price_e4 div 7").alias("avg_yearly_e4"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week, counted
+    distinct-active in each later week offset. Two shuffles total
+    (per-user signup min; cohort x offset distinct-count) — the
+    product-analytics retention matrix at corpus scale."""
+    e = _t(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    j = signup.join(active, "user_id").filter(F.col("act_week") >= F.col("cohort_week"))
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+def q_train_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split + global shuffle order for
+    training: the split bucket and shard come from a content md5 (so
+    the assignment is reproducible across engines, retries and
+    partitionings — never rand()), and the within-shard position is a
+    shard-partitioned window (no global sort; shards are the
+    parallelism unit a writer would emit)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("shuffle:"), F.col("text"))), 1, 8), 16, 10).cast("long")
+    b = d.select(
+        "doc_id",
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        F.when(F.col("h") % 100 < 80, "train")
+        .when(F.col("h") % 100 < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+        (F.expr("h div 100") % 8).alias("shard"),
+        "h",
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return b.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        "doc_id", "split", "shard", "pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1639,6 +1788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18,
         "tpch_q19_discounted_revenue": q_tpch_q19,
         "bfs_distances": q_bfs_distances,
+        "tpch_q7_nation_volume": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "cohort_retention": q_cohort_retention,
+        "train_split_shuffle": q_train_split_shuffle,
     }
 
 
@@ -3097,5 +3251,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS entity,
                    CASE WHEN d >= 1000000000 THEN -1 ELSE d END::BIGINT AS dist
             FROM d3
+        """,
+        "tpch_q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT))::BIGINT AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY n1.n_name, n2.n_name, l_year
+        """,
+        "tpch_q8_market_share": """
+            WITH base AS (
+              SELECT year(o_orderdate)::BIGINT AS o_year,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT) AS rev_e4,
+                     CASE WHEN n_name = 'NATION_8' THEN 1 ELSE 0 END AS is_target
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_type = 'ECONOMY'
+            ),
+            a AS (
+              SELECT o_year,
+                     sum(rev_e4 * is_target)::BIGINT AS nation_rev_e4,
+                     sum(rev_e4)::BIGINT AS total_rev_e4
+              FROM base GROUP BY o_year
+            )
+            SELECT o_year, nation_rev_e4, total_rev_e4,
+                   (nation_rev_e4 * 1000000 // total_rev_e4)::BIGINT AS mkt_share_e6
+            FROM a
+        """,
+        "tpch_q17_small_qty": """
+            WITH stats AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_e2,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY l_partkey
+            ),
+            r AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+                     CAST(round(l_extendedprice * 10000) AS BIGINT) AS price_e4
+              FROM lineitem
+            ),
+            a AS (
+              SELECT sum(price_e4)::BIGINT AS total_price_e4
+              FROM r JOIN stats USING (l_partkey)
+              WHERE qty_e2 * 5 * n < sum_qty_e2
+            )
+            SELECT total_price_e4,
+                   (total_price_e4 // 7)::BIGINT AS avg_yearly_e4
+            FROM a
+        """,
+        "cohort_retention": """
+            WITH signup AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+              FROM events
+            ),
+            j AS (
+              SELECT s.cohort_week, a.act_week, s.user_id
+              FROM signup s JOIN active a ON s.user_id = a.user_id
+              WHERE a.act_week >= s.cohort_week
+            )
+            SELECT cohort_week,
+                   (date_diff('day', cohort_week, act_week) // 7)::BIGINT AS week_n,
+                   count(DISTINCT user_id)::BIGINT AS n_active
+            FROM j GROUP BY cohort_week, week_n
+        """,
+        "train_split_shuffle": f"""
+            WITH b AS (
+              SELECT doc_id, {_dk_hex8("'shuffle:' || text")} AS h FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN h % 100 < 80 THEN 'train'
+                          WHEN h % 100 < 90 THEN 'valid'
+                          ELSE 'test' END AS split,
+                     (h // 100) % 8 AS shard, h
+              FROM b
+            )
+            SELECT doc_id, split, shard::BIGINT AS shard,
+                   (row_number() OVER (
+                      PARTITION BY shard ORDER BY h, doc_id))::BIGINT AS pos
+            FROM s
         """,
     }
