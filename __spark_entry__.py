@@ -1707,6 +1707,184 @@ def q_train_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window / 30 min slide) — the batch
+    twin of streaming/windowed.sliding_rollup, so the overlap
+    semantics the stream emits are oracle-checked here. Each event
+    lands in exactly 2 windows; Spark expands window instances
+    BEFORE the agg shuffle (map-side), so the exchange carries
+    (window, type)-keyed partials, not raw events x2."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias(
+                "sum_value_e4"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_e4"
+        )
+    )
+
+
+def q_token_df_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc vocabulary rarity: mean corpus document-frequency of
+    the doc's distinct tokens, as an exact integer (sum_df * 1e6 div
+    n_distinct). Low = rare vocabulary (candidate for dedup review or
+    domain upweighting); the integer form needs no log/float. One
+    distinct-explode + one df agg + one hash join back."""
+    d = _docs(spark, sf_dir)
+    dt = d.select("doc_id", F.explode(F.array_distinct(X.tokens("text"))).alias("token"))
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dt.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"), F.sum("df").alias("sum_df"))
+        .select(
+            "doc_id", "n_distinct", "sum_df",
+            F.expr("sum_df * 1000000 div n_distinct").alias("avg_df_e6"),
+        )
+    )
+
+
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair association lift over doc-grain co-occurrence:
+    lift = P(a,b) / (P(a) P(b)), emitted as the exact integer
+    n_ab * N * 1e6 div (n_a * n_b) — PMI's argument without the log,
+    so no float ever enters. Doc-entity incidence is computed once;
+    marginals broadcast back onto the pair counts."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    de = toks.join(F.broadcast(gaz), "alias").select("doc_id", "entity").distinct()
+    n_docs = files.agg(F.count(F.lit(1)).alias("n_total"))
+    singles = de.groupBy("entity").agg(F.count(F.lit(1)).alias("n_e"))
+    a, b = de.alias("a"), de.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(F.col("a.entity").alias("ent_a"), F.col("b.entity").alias("ent_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("entity").alias("ent_a"), F.col("n_e").alias("n_a"))),
+            "ent_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("entity").alias("ent_b"), F.col("n_e").alias("n_b"))),
+            "ent_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "ent_a", "ent_b", "n_ab", "n_a", "n_b",
+            F.expr("n_ab * n_total * 1000000 div (n_a * n_b)").alias("lift_e6"),
+        )
+    )
+
+
+def q_lang_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID profile training: top-10 character trigrams per
+    language label (the classic n-gram LM profile). Trigrams are
+    generated inside codegen (sequence + transform + explode — no
+    Python), counted with one (lang, gram) agg; the per-lang top-10 is
+    a lang-partitioned window over the (small) count table."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "gram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+def q_orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab shape: order counts + exact e2 totalprice by
+    priority x status, statuses unpivoted into columns via conditional
+    aggregation (engine-portable; Spark .pivot() would infer column
+    order at plan time with an extra pass)."""
+    o = _t(spark, sf_dir, "orders")
+    price_e2 = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def st(code: str) -> F.Column:
+        return (F.col("o_orderstatus") == code).cast("long")
+
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(st("O")).alias("n_open"),
+        F.sum(st("F")).alias("n_filled"),
+        F.sum(st("P")).alias("n_pending"),
+        F.sum(price_e2 * st("O")).alias("open_price_e2"),
+        F.sum(price_e2 * st("F")).alias("filled_price_e2"),
+        F.sum(price_e2 * st("P")).alias("pending_price_e2"),
+    )
+
+
+def q_domain_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the domain mixture: per-doc integer copy count from the
+    per-domain weight (floor(w) guaranteed copies + one more iff the
+    doc's content-md5 uniform draw falls under frac(w)) — the
+    deterministic resampling step that turns domain_mix_weights into an
+    actual training corpus. Weights broadcast; the decision is a pure
+    projection at scan time (no shuffle, no rand())."""
+    from ner_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.size(X.tokens("text")).alias("n_tokens"), "text")
+    wts = packing.domain_mix_weights(docs).select(
+        F.col("domain").alias("source"), "weight_e6"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("text"))), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    )
+    return docs.join(F.broadcast(wts), "source").select(
+        "doc_id", "source", "weight_e6",
+        (
+            F.expr("weight_e6 div 1000000")
+            + (u < F.col("weight_e6") % 1000000).cast("long")
+        ).alias("n_copies"),
+    )
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column null + exact distinct counts in
+    ONE scan (single agg row, unpivoted with stack — never one scan
+    per column). Exact count_distinct expands the agg per column; at
+    100 TB swap in approx_count_distinct (HLL) — same plan shape,
+    sketches merge map-side."""
+    e = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    a = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"dist_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return a.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+        ),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1793,6 +1971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "cohort_retention": q_cohort_retention,
         "train_split_shuffle": q_train_split_shuffle,
+        "events_sliding": q_events_sliding,
+        "token_df_rarity": q_token_df_rarity,
+        "cooccur_lift": q_cooccur_lift,
+        "lang_char_trigrams": q_lang_char_trigrams,
+        "orders_status_pivot": q_orders_status_pivot,
+        "domain_downsample": q_domain_downsample,
+        "events_profile": q_events_profile,
     }
 
 
@@ -3160,7 +3345,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "moving_avg_revenue": """
             WITH daily AS (
-              SELECT date_trunc('day', ts) AS day,
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                      sum(CAST(round(value * 10000) AS BIGINT))::BIGINT AS rev_e4
               FROM events WHERE event_type = 'purchase' GROUP BY 1
             )
@@ -3315,11 +3500,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cohort_retention": """
             WITH signup AS (
-              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              SELECT user_id,
+                     CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
               FROM events WHERE event_type = 'signup' GROUP BY user_id
             ),
             active AS (
-              SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
               FROM events
             ),
             j AS (
@@ -3348,5 +3535,144 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (
                       PARTITION BY shard ORDER BY h, doc_id))::BIGINT AS pos
             FROM s
+        """,
+        "events_sliding": """
+            WITH c AS (
+              SELECT ts, event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS v_e4,
+                     unnest([
+                       CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800) AS TIMESTAMP),
+                       CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800) AS TIMESTAMP)
+                     ]) AS window_start
+              FROM events
+            )
+            SELECT window_start, event_type,
+                   count(*)::BIGINT AS n,
+                   sum(v_e4)::BIGINT AS sum_value_e4
+            FROM c
+            WHERE ts >= window_start
+              AND ts < window_start + INTERVAL 1 HOUR
+            GROUP BY window_start, event_type
+        """,
+        "token_df_rarity": f"""
+            WITH dt AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+              FROM documents
+            ),
+            dfreq AS (SELECT token, count(*)::BIGINT AS df FROM dt GROUP BY token),
+            a AS (
+              SELECT doc_id, count(*)::BIGINT AS n_distinct,
+                     sum(df)::BIGINT AS sum_df
+              FROM dt JOIN dfreq USING (token) GROUP BY doc_id
+            )
+            SELECT doc_id, n_distinct, sum_df,
+                   (sum_df * 1000000 // n_distinct)::BIGINT AS avg_df_e6
+            FROM a
+        """,
+        "cooccur_lift": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            de AS (SELECT DISTINCT doc_id, entity
+                   FROM tok JOIN gaz ON tok = alias),
+            n_docs AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+            singles AS (SELECT entity, count(*)::BIGINT AS n_e
+                        FROM de GROUP BY entity),
+            pairs AS (
+              SELECT a.entity AS ent_a, b.entity AS ent_b,
+                     count(*)::BIGINT AS n_ab
+              FROM de a JOIN de b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+              GROUP BY a.entity, b.entity
+            )
+            SELECT ent_a, ent_b, n_ab,
+                   sa.n_e AS n_a, sb.n_e AS n_b,
+                   (n_ab * n_total * 1000000 // (sa.n_e * sb.n_e))::BIGINT AS lift_e6
+            FROM pairs
+            JOIN singles sa ON sa.entity = ent_a
+            JOIN singles sb ON sb.entity = ent_b
+            CROSS JOIN n_docs
+        """,
+        "lang_char_trigrams": """
+            WITH g AS (
+              SELECT lang,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(lower(text)) - 2, 0)),
+                       i -> substr(lower(text), i, 3))) AS gram
+              FROM documents
+            ),
+            c AS (SELECT lang, gram, count(*)::BIGINT AS n
+                  FROM g GROUP BY lang, gram),
+            r AS (SELECT lang, gram, n,
+                         row_number() OVER (
+                           PARTITION BY lang ORDER BY n DESC, gram) AS rk
+                  FROM c)
+            SELECT lang, gram, n, rk::BIGINT AS rk FROM r WHERE rk <= 10
+        """,
+        "orders_status_pivot": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_pending,
+                   sum(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS open_price_e2,
+                   sum(CASE WHEN o_orderstatus = 'F'
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS filled_price_e2,
+                   sum(CASE WHEN o_orderstatus = 'P'
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS pending_price_e2
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "domain_downsample": f"""
+            WITH per AS (
+              SELECT source AS domain, count(*) AS n_docs,
+                     sum(len({_TOKS}))::BIGINT AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(n_tokens)::BIGINT AS total,
+                           count(*)::BIGINT AS nd FROM per),
+            wts AS (
+              SELECT domain AS source,
+                     CAST(round(((1.0 / nd) / (n_tokens * 1.0 / total)) * 1000000)
+                       AS BIGINT) AS weight_e6
+              FROM per, tot
+            ),
+            d AS (
+              SELECT doc_id, source,
+                     {_dk_hex8("'mix:' || text")} % 1000000 AS u_e6
+              FROM documents
+            )
+            SELECT doc_id, d.source, weight_e6,
+                   ((weight_e6 // 1000000)
+                    + CASE WHEN u_e6 < weight_e6 % 1000000 THEN 1 ELSE 0 END
+                   )::BIGINT AS n_copies
+            FROM d JOIN wts ON d.source = wts.source
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                   count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+            UNION ALL
+            SELECT 'ts', count(*)::BIGINT,
+                   sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT ts)::BIGINT FROM events
+            UNION ALL
+            SELECT 'user_id', count(*)::BIGINT,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT user_id)::BIGINT FROM events
+            UNION ALL
+            SELECT 'event_type', count(*)::BIGINT,
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT event_type)::BIGINT FROM events
+            UNION ALL
+            SELECT 'value', count(*)::BIGINT,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT value)::BIGINT FROM events
+            UNION ALL
+            SELECT 'props', count(*)::BIGINT,
+                   sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT props)::BIGINT FROM events
         """,
     }
