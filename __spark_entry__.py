@@ -1885,6 +1885,68 @@ def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of purchase values per event type — the
+    exact-integer histogram primitive (bin = value_e4 div width). One
+    scan, one (type, bin) agg with map-side partials; the t-digest /
+    equi-depth variants at 100 TB keep this same plan shape with
+    sketch merge instead of count."""
+    e = _t(spark, sf_dir, "events")
+    width_e4 = 10 * 10000  # 10-unit bins, in e4 fixed-point
+    v_e4 = F.round(F.col("value") * 10000, 0).cast("long")
+    return (
+        e.select("event_type", v_e4.alias("v_e4"))
+        .groupBy(
+            "event_type",
+            F.expr(f"v_e4 div {width_e4}").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v_e4").alias("min_v_e4"),
+            F.max("v_e4").alias("max_v_e4"),
+        )
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (status, priority) with grouping-set ids —
+    all 4 subtotal combinations in one pass (Spark expands grouping
+    sets map-side; never 4 scans). Nulls from the cube are
+    distinguished from data nulls via grouping()."""
+    o = _t(spark, sf_dir, "orders")
+    price_e2 = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price_e2).alias("total_price_e2"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: ntile(10) over exact e2 spend
+    (deterministic tiebreak on custkey), plus per-decile totals — the
+    segmentation primitive. The per-customer rollup shuffles once; the
+    ntile window is global (single partition) — fine at customer grain
+    here; at 100 TB customers, derive the 9 decile boundaries from
+    exact/approx percentiles and assign by range join instead."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_e2")
+    )
+    w = Window.orderBy(F.col("spend_e2").desc(), "o_custkey")
+    d = spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_e2").alias("decile_spend_e2"),
+        F.min("spend_e2").alias("min_spend_e2"),
+        F.max("spend_e2").alias("max_spend_e2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1978,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_status_pivot": q_orders_status_pivot,
         "domain_downsample": q_domain_downsample,
         "events_profile": q_events_profile,
+        "value_histogram": q_value_histogram,
+        "orders_cube": q_orders_cube,
+        "customer_deciles": q_customer_deciles,
     }
 
 
@@ -3674,5 +3739,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'props', count(*)::BIGINT,
                    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT props)::BIGINT FROM events
+        """,
+        "value_histogram": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS v_e4
+              FROM events
+            )
+            SELECT event_type, (v_e4 // 100000)::BIGINT AS bin,
+                   count(*)::BIGINT AS n,
+                   min(v_e4)::BIGINT AS min_v_e4,
+                   max(v_e4)::BIGINT AS max_v_e4
+            FROM v GROUP BY event_type, bin
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                     AS total_price_e2,
+                   GROUPING(o_orderstatus)::BIGINT AS g_status,
+                   GROUPING(o_orderpriority)::BIGINT AS g_priority
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "customer_deciles": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS spend_e2
+              FROM orders GROUP BY o_custkey
+            ),
+            d AS (
+              SELECT spend_e2,
+                     ntile(10) OVER (ORDER BY spend_e2 DESC, o_custkey) AS decile
+              FROM spend
+            )
+            SELECT decile::BIGINT AS decile,
+                   count(*)::BIGINT AS n_customers,
+                   sum(spend_e2)::BIGINT AS decile_spend_e2,
+                   min(spend_e2)::BIGINT AS min_spend_e2,
+                   max(spend_e2)::BIGINT AS max_spend_e2
+            FROM d GROUP BY decile
         """,
     }
