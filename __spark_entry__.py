@@ -1947,6 +1947,93 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap histogram per event type (lag window keyed by
+    (user, type), minute-grain buckets capped at 60+) — the latency /
+    usage-cadence distribution. One window shuffle + one tiny agg;
+    exact integer microsecond arithmetic."""
+    from ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = temporal.micros("ts") - temporal.micros(F.lag("ts").over(w))
+    g = e.select("event_type", gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    return (
+        g.select(
+            "event_type",
+            F.least(F.expr("gap_us div 60000000"), F.lit(60).cast("long")).alias(
+                "gap_min_bucket"
+            ),
+        )
+        .groupBy("event_type", "gap_min_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel (k=29, 3 rounds) of the token-adjacency graph —
+    separates the dense vocabulary nucleus from peripheral tokens
+    (operators/graph.py:kcore_flags; node-sized state per round)."""
+    from ner_spark.operators.graph import kcore_flags
+
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    return kcore_flags(bg, k=29).select(
+        F.col("node").alias("token"), "in_core"
+    )
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm² stats in exact e6-quantized integer
+    arithmetic (codegen fold, no Python) — the sanity pass before any
+    ANN/clustering job (catches unnormalized or degenerate vectors)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as bigint)),"
+            " cast(0 as bigint), (acc, v) -> acc + v * v)"
+        ).alias("norm2_e12"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("norm2_e12").alias("min_norm2_e12"),
+        F.max("norm2_e12").alias("max_norm2_e12"),
+        F.sum("norm2_e12").alias("sum_norm2_e12"),
+    )
+
+
+def q_alias_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity linking: distinct corpus tokens matched to
+    gazetteer aliases at Levenshtein <= 2, blocked on the first
+    character so the candidate cross is |tokens-per-letter| x
+    |aliases-per-letter|, never all-pairs. Complements the char-ngram
+    Jaccard linker (linking.py) with the exact-edit-cost scorer."""
+    d = _docs(spark, sf_dir)
+    surf = d.select(F.explode(X.tokens("text")).alias("surface")).distinct()
+    gaz = _gazetteer_df(spark).select("alias", "entity").distinct()
+    j = surf.join(
+        F.broadcast(gaz),
+        F.substring("surface", 1, 1) == F.substring("alias", 1, 1),
+    )
+    return (
+        j.select(
+            "surface", "alias", "entity",
+            F.levenshtein("surface", "alias").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2043,6 +2130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "orders_cube": q_orders_cube,
         "customer_deciles": q_customer_deciles,
+        "event_gap_histogram": q_event_gap_histogram,
+        "token_kcore": q_token_kcore,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "alias_edit_distance": q_alias_edit_distance,
     }
 
 
@@ -3780,5 +3871,76 @@ def oracle_sql() -> dict[str, str]:
                    min(spend_e2)::BIGINT AS min_spend_e2,
                    max(spend_e2)::BIGINT AS max_spend_e2
             FROM d GROUP BY decile
+        """,
+        "event_gap_histogram": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+              FROM events
+            )
+            SELECT event_type,
+                   least(gap_us // 60000000, 60)::BIGINT AS gap_min_bucket,
+                   count(*)::BIGINT AS n
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type, gap_min_bucket
+        """,
+        "token_kcore": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                     i -> {{'a': ts[i], 'b': ts[i + 1]}})) AS p
+              FROM t
+            ),
+            und AS (
+              SELECT DISTINCT p['a'] AS s, p['b'] AS t FROM bg WHERE p['a'] <> p['b']
+              UNION
+              SELECT DISTINCT p['b'], p['a'] FROM bg WHERE p['a'] <> p['b']
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            a0 AS (SELECT node FROM nodes),
+            a1 AS (
+              SELECT s AS node FROM und
+              JOIN a0 x ON und.s = x.node JOIN a0 y ON und.t = y.node
+              GROUP BY s HAVING count(*) >= 29
+            ),
+            a2 AS (
+              SELECT s AS node FROM und
+              JOIN a1 x ON und.s = x.node JOIN a1 y ON und.t = y.node
+              GROUP BY s HAVING count(*) >= 29
+            ),
+            a3 AS (
+              SELECT s AS node FROM und
+              JOIN a2 x ON und.s = x.node JOIN a2 y ON und.t = y.node
+              GROUP BY s HAVING count(*) >= 29
+            )
+            SELECT nodes.node AS token,
+                   CASE WHEN a3.node IS NULL THEN 0 ELSE 1 END::BIGINT AS in_core
+            FROM nodes LEFT JOIN a3 ON nodes.node = a3.node
+        """,
+        "embedding_norm_stats": """
+            WITH q AS (
+              SELECT label,
+                     CAST(list_sum(list_transform(
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+                       v -> v * v)) AS BIGINT) AS norm2_e12
+              FROM embeddings
+            )
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   min(norm2_e12)::BIGINT AS min_norm2_e12,
+                   max(norm2_e12)::BIGINT AS max_norm2_e12,
+                   sum(norm2_e12)::BIGINT AS sum_norm2_e12
+            FROM q GROUP BY label
+        """,
+        "alias_edit_distance": f"""
+            WITH {_GAZ_CTE},
+            surf AS (SELECT DISTINCT unnest({_TOKS}) AS surface FROM documents),
+            g AS (SELECT DISTINCT alias, entity FROM gaz)
+            SELECT surface, alias, entity,
+                   levenshtein(surface, alias)::BIGINT AS edit_dist
+            FROM surf JOIN g ON substr(surface, 1, 1) = substr(alias, 1, 1)
+            WHERE levenshtein(surface, alias) <= 2
         """,
     }

@@ -186,3 +186,42 @@ def bfs_distances(
         .cast("long")
         .alias("dist"),
     )
+
+
+def kcore_flags(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node, in_core): survivors of `n_iter` rounds of iterative
+    degree-< k pruning over the undirected simple graph — the k-core
+    peel, the KG-analytics step that separates the dense entity
+    nucleus from peripheral mentions. Fixed rounds bound the cascade
+    depth (exact k-core once pruning reaches a fixed point; report
+    in_core = 0/1 as of round n_iter either way — deterministic and
+    engine-mirrorable via iterated CTEs).
+
+    Per round: filter the edge list to alive endpoints (two node-sized
+    semi-joins, broadcast-able), one groupBy(degree) shuffle. Edges
+    are corpus-sized but the alive/degree state stays node-sized
+    throughout — same scale shape as pagerank_int/bfs_distances above.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+    und = (
+        e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    alive = nodes
+    for _ in range(n_iter):
+        e_alive = und.join(
+            alive.select(F.col("node").alias("s")), "s"
+        ).join(alive.select(F.col("node").alias("t")), "t")
+        deg = e_alive.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= k).select(F.col("s").alias("node"))
+    return nodes.join(
+        alive.withColumn("_in", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_in", F.lit(0)).cast("long").alias("in_core"))

@@ -255,3 +255,34 @@ def test_bfs_distances_takes_shortest_of_two_routes(spark):
     )
     got = {r["node"]: r["dist"] for r in bfs_distances(e, "a", n_iter=3).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 1}
+
+
+# ---------------------------------------------------------------------------
+# kcore_flags
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_clique_survives_tail_unravels(spark):
+    from ner_spark.operators.graph import kcore_flags
+
+    # K4 clique {a,b,c,d} (degree 3 each) + chain tail d-e-f.
+    # k=2: e has deg 2 initially (d,f), f has 1 -> f pruned round 1,
+    # e drops to 1 -> pruned round 2; clique survives (2-core = K4).
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["in_core"] for r in kcore_flags(e, k=2, n_iter=3).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1, "e": 0, "f": 0}
+
+
+def test_kcore_full_unravel(spark):
+    from ner_spark.operators.graph import kcore_flags
+
+    # path graph: 2-core is empty (unravels end-in)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["in_core"] for r in kcore_flags(e, k=2, n_iter=3).collect()}
+    assert set(got.values()) == {0}
