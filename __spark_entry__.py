@@ -2034,6 +2034,82 @@ def q_alias_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull $.k out of the JSON props
+    column (JVM-side get_json_object — no Python) and aggregate per
+    event type. The schema-on-read path every event pipeline needs;
+    at scale prefer from_json with an explicit schema so the parse
+    runs once per row, not once per extracted field."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three event types (by ts,
+    deterministic event_id tiebreak) concatenated into a path, counted
+    across users. One user-keyed window + one path-keyed agg — funnel
+    discovery without enumerating sequences by hand."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+    paths = (
+        first3.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(rk, event_type))),"
+                    " s -> s.event_type)"
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous revenue days: |x - mean| > 2 sigma, decided ENTIRELY
+    in integer arithmetic — (n*x - sum)^2 > 4*(n*sumsq - sum^2)
+    multiplies the z-test through by n^2 so no float mean/stddev ever
+    exists (the squares run in decimal(38,0) = int128 on both
+    engines). The daily rollup is date-cardinality; the stats row
+    broadcasts back onto it."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("rev_e2")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_e2").alias("s"),
+        F.sum(F.col("rev_e2").cast("decimal(38,0)") * F.col("rev_e2")).alias("sq"),
+    )
+    j = daily.crossJoin(F.broadcast(stats))
+    dev = F.col("n").cast("decimal(38,0)") * F.col("rev_e2") - F.col("s")
+    thresh = (
+        F.col("n").cast("decimal(38,0)") * F.col("sq")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return j.select(
+        "day",
+        "rev_e2",
+        (dev * dev > 4 * thresh).cast("long").alias("is_anomaly"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2134,6 +2210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kcore": q_token_kcore,
         "embedding_norm_stats": q_embedding_norm_stats,
         "alias_edit_distance": q_alias_edit_distance,
+        "props_json_stats": q_props_json_stats,
+        "session_paths": q_session_paths,
+        "revenue_anomaly_days": q_revenue_anomaly_days,
     }
 
 
@@ -3942,5 +4021,50 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(surface, alias)::BIGINT AS edit_dist
             FROM surf JOIN g ON substr(surface, 1, 1) = substr(alias, 1, 1)
             WHERE levenshtein(surface, alias) <= 2
+        """,
+        "props_json_stats": """
+            WITH k AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k,
+                   max(k)::BIGINT AS max_k
+            FROM k WHERE k IS NOT NULL
+            GROUP BY event_type
+        """,
+        "session_paths": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rk
+              FROM events
+            ),
+            p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rk) AS path
+              FROM r WHERE rk <= 3 GROUP BY user_id
+            )
+            SELECT path, count(*)::BIGINT AS n_users
+            FROM p GROUP BY path
+        """,
+        "revenue_anomaly_days": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS rev_e2
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            st AS (
+              SELECT count(*)::HUGEINT AS n, sum(rev_e2)::HUGEINT AS s,
+                     sum(rev_e2::HUGEINT * rev_e2)::HUGEINT AS sq
+              FROM daily
+            )
+            SELECT day, rev_e2,
+                   CASE WHEN (n * rev_e2 - s) * (n * rev_e2 - s)
+                             > 4 * (n * sq - s * s)
+                        THEN 1 ELSE 0 END::BIGINT AS is_anomaly
+            FROM daily, st
         """,
     }
