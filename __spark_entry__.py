@@ -26,16 +26,16 @@ from ner_spark.operators import dedup, linking, multimodal, similarity
 from ner_spark.operators.components import canonicalize_aliases, connected_components
 from ner_spark.plans import pipeline
 
-# queries with no ANSI-SQL-expressible oracle (approximate LSH physical
-# plans whose candidate set depends on seeded hyperplanes); the driver
-# records the weaker rows-only check for these. Their recall is pinned
-# test-side instead (planted-cluster >= 0.9 vs brute force).
-# frame_sample DOES have an oracle: DuckDB substring() is character-
-# based, but the driver corpus is pure ASCII (verified: 0 docs where
-# octet_length(encode(text)) <> length(text)), where char slicing ==
-# the operator's byte slicing. The IVF ANN path (ann_ivf_topk) is
-# deterministic end-to-end and fully oracle-checked.
-NO_ORACLE = ("ann_lsh_topk",)
+# Every queries() entry has an exact DuckDB oracle. The last rows-only
+# query (ann_lsh_topk) was converted in round 2 to exact-integer
+# sign-LSH (md5-derived integer hyperplanes x e6-quantized vectors →
+# bucket assignment is bit-identical across engines); the numpy-matmul
+# variant (similarity.lsh_topk) remains in the library as the
+# Arrow-batch alternative with recall pinned test-side.
+# frame_sample note: DuckDB substring() is character-based, but the
+# driver corpus is pure ASCII (verified), where char slicing == the
+# operator's byte slicing.
+NO_ORACLE: tuple[str, ...] = ()
 
 TOKEN_RE = X.TOKEN_RE
 
@@ -452,11 +452,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate all-pairs top-3 via multi-table sign-LSH (scale
-    path); hyperplane dim is inferred worker-side from the first Arrow
-    batch — no driver action in the query path."""
+    """Approximate all-pairs top-3 via multi-table sign-LSH in EXACT
+    integer arithmetic (similarity.lsh_topk_int): md5-derived integer
+    hyperplanes x e6-quantized vectors make bucket assignment
+    bit-identical across engines, so the whole ANN index is
+    oracle-checked (the numpy-matmul lsh_topk remains the Arrow-batch
+    alternative; float sign(dot) near 0 is engine-dependent, which is
+    why it could only ever check rows-only)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(e, k=3)
+    return similarity.lsh_topk_int(e, dim=64, k=3)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2390,8 +2394,55 @@ scored AS (
 """
 
 
+def _dk_planes_values() -> str:
+    """The VALUES literal for the exact-integer LSH hyperplanes —
+    generated from the SAME int_planes() the Spark query uses, so both
+    engines share identical planes by construction."""
+    from ner_spark.operators.similarity import int_planes
+
+    rows = ", ".join(f"({t}, {p}, {comps})" for t, p, comps in int_planes(64))
+    return f"planes(tbl, plane, comps) AS (VALUES {rows})"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh_topk": f"""
+            WITH {_dk_planes_values()},
+            e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            bits AS (
+              SELECT vec_id, tbl,
+                     CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+                               i -> v[i] * comps[i])) AS BIGINT) > 0
+                          THEN (1::BIGINT << plane) ELSE 0 END AS bitval
+              FROM e CROSS JOIN planes
+            ),
+            b AS (SELECT vec_id, tbl, sum(bitval)::BIGINT AS bucket
+                  FROM bits GROUP BY vec_id, tbl),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b a JOIN b c
+                ON a.tbl = c.tbl AND a.bucket = c.bucket
+               AND a.vec_id <> c.vec_id
+            ),
+            s AS (
+              SELECT query_id, neighbor_id, {_DK_COSINE} AS cosine_sim
+              FROM cand
+              JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) q
+                ON q.vec_id = query_id
+              JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c2
+                ON c2.vec_id = neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 3
+        """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

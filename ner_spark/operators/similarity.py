@@ -312,6 +312,132 @@ def embedding_near_dups(
     )
 
 
+def int_planes(dim: int, n_planes: int = 8, n_tables: int = 3) -> list[tuple[int, int, list[int]]]:
+    """Deterministic integer hyperplanes for sign-LSH: component
+    (t, p, d) = (first-8-hex of md5(f"plane:{t}:{p}:{d}") mod 2001)
+    - 1000, i.e. a fixed pseudo-random integer in [-1000, 1000].
+    Derived from md5 so ANY engine (including the DuckDB oracle, which
+    embeds the same literals) reproduces the identical planes — and
+    with e6-quantized vectors the plane dot products are EXACT 64-bit
+    integers (|dot| <= dim * 1e6ish * 1000 << 2^63), so bucket
+    assignment has no float sign ambiguity anywhere."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            comps = [
+                int(hashlib.md5(f"plane:{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                % 2001
+                - 1000
+                for d in range(dim)
+            ]
+            out.append((t, p, comps))
+    return out
+
+
+def lsh_buckets_int(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket): EXACT-integer sign-LSH — quantize the
+    vector to e6 longs, dot it against the deterministic integer
+    hyperplanes (int_planes), bucket bit p = (dot > 0). Same
+    OR-construction semantics as `lsh_buckets`, but every arithmetic
+    step is integer, so the bucket table is bit-identical across
+    engines and partitionings — which is what makes the whole ANN
+    index ORACLE-CHECKABLE (lsh_buckets' numpy float matmul is the
+    Arrow-batched alternative with the same asymptotics; sign(float
+    dot) near 0 is engine-dependent, so it checks rows-only).
+
+    Plan shape: planes broadcast (n_tables x n_planes rows), dot folds
+    in codegen, one (vec, table) agg packs bits into the bucket key.
+    """
+    spark = vectors.sparkSession
+    planes = spark.createDataFrame(
+        int_planes(dim, n_planes, n_tables),
+        "table int, plane int, comps array<long>",
+    )
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("_v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("comps"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    bits = (
+        q.crossJoin(F.broadcast(planes))
+        .select("vec_id", "table", "plane", (dot > 0).cast("long").alias("bit"))
+        .select(
+            "vec_id", "table",
+            F.expr("shiftleft(bit, plane)").cast("long").alias("bitval"),
+        )
+    )
+    return bits.groupBy("vec_id", "table").agg(
+        F.sum("bitval").alias("bucket")
+    )
+
+
+def lsh_topk_int(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k over exact-integer LSH buckets:
+    candidates = pairs sharing a (table, bucket) in ANY table, scored
+    with the float64 cosine fold, ranked per query. Deterministic end
+    to end — fully oracle-checked."""
+    b = lsh_buckets_int(corpus, dim, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.table") == F.col("c.table"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") != F.col("c.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    scored = (
+        cand.join(
+            vecs.select(F.col("_vid").alias("query_id"), F.col("_vec").alias("q_vec")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("c_vec")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), ROUND).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def kmeans_iteration(
     corpus: DataFrame,
     k: int = 8,

