@@ -1658,6 +1658,104 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, then the
+    supplier(s) hitting the global max. The revenue view shuffles once
+    on l_suppkey (map-side partials over the pushed shipdate range);
+    the scalar max is a 1-row broadcast crossJoin — no second pass over
+    lineitem, no window over the whole revenue table. Exact e4 integers
+    so max-equality is hash-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_e4).alias("total_revenue_e4")
+    )
+    top = revenue.agg(F.max("total_revenue_e4").alias("max_rev_e4"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue_e4") == F.col("max_rev_e4"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-waiting, adapted to this schema:
+    'late' is l_shipdate > o_orderdate + 60 days (the testdata lineitem
+    carries no commit/receipt dates). The spec's correlated
+    EXISTS / NOT EXISTS pair is rewritten relationally: per-order
+    distinct-supplier and distinct-late-supplier counts, then late
+    lineitems of 'F' orders keep rows where the order has >1 supplier
+    but exactly 1 late one (which must be l1's own — l1 is late).
+    Two shuffles on l_orderkey and one tiny groupBy(s_name); the
+    correlated-subquery-per-row plan the spec text implies would be
+    O(n^2) at 100 TB. The oracle states the EXISTS form verbatim, so
+    the rewrite's equivalence is machine-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    l1 = lo.filter(F.col("late")).join(stats, "l_orderkey").filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted: country code is
+    c_custkey % 7 (testdata customer has no phone), codes 1-5 eligible.
+    Rich idle customers = acctbal above the positive-balance average of
+    the eligible set AND no orders since 2000-08-01 (this synthetic
+    orders table gives every customer at least one lifetime order, so
+    the spec's "never ordered" is vacuous; "no recent orders" keeps the
+    anti-join shape and checks real rows). The scalar avg is
+    exact-integer (compare acctbal_e2 * n_pos > sum_pos_e2 — multiplied
+    through, no float avg), broadcast as a 1-row crossJoin; the
+    no-recent-orders predicate is a left_anti join on o_custkey with
+    the date filter pushed to the orders scan (Spark's hash anti-join,
+    not a per-row NOT EXISTS probe)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_e2"),
+    ).filter(F.col("cntrycode").isin(1, 2, 3, 4, 5))
+    stats = c.filter(F.col("acctbal_e2") > 0).agg(
+        F.sum("acctbal_e2").alias("sum_pos_e2"), F.count(F.lit(1)).alias("n_pos")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-08-01")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(stats)).filter(
+        F.col("acctbal_e2") * F.col("n_pos") > F.col("sum_pos_e2")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("acctbal_e2").alias("totacctbal_e2"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by signup week, counted
     distinct-active in each later week offset. Two shuffles total
@@ -2198,6 +2296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "tpch_q22_global_sales": q_tpch_q22_global_sales,
         "cohort_retention": q_cohort_retention,
         "train_split_shuffle": q_train_split_shuffle,
         "events_sliding": q_events_sliding,
@@ -3783,6 +3884,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT total_price_e4,
                    (total_price_e4 // 7)::BIGINT AS avg_yearly_e4
             FROM a
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+                       AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_e4
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+        """,
+        "tpch_q21_waiting_suppliers": """
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
+        """,
+        "tpch_q22_global_sales": """
+            WITH c AS (
+              SELECT c_custkey,
+                     c_custkey % 7 AS cntrycode,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+              FROM customer
+              WHERE c_custkey % 7 IN (1, 2, 3, 4, 5)
+            ),
+            stats AS (
+              SELECT sum(acctbal_e2)::BIGINT AS sum_pos_e2, count(*)::BIGINT AS n_pos
+              FROM c WHERE acctbal_e2 > 0
+            )
+            SELECT cntrycode, count(*)::BIGINT AS numcust,
+                   sum(acctbal_e2)::BIGINT AS totacctbal_e2
+            FROM c, stats
+            WHERE acctbal_e2 * n_pos > sum_pos_e2
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-08-01')
+            GROUP BY cntrycode
         """,
         "cohort_retention": """
             WITH signup AS (
