@@ -1012,6 +1012,106 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate detection: token 2-grams appearing in
+    >= 5 documents of the same source are boilerplate (the header/
+    footer/nav-chrome analog for a corpus with no line structure); each
+    doc reports how much of it is boilerplate. One explode feeds a
+    window count over (source, gram) — doc frequency WITHOUT a second
+    pass or a grams⋈dfreq self-join — then one groupBy(doc_id). Two
+    shuffles total; both keyed fine-grained, so no hot key at 100 TB
+    (the window partition is (source, gram), not source)."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_token_ngrams(X.tokens("text"), 2))).alias("g"),
+    )
+    w = Window.partitionBy("source", "g")
+    flagged = grams.select(
+        "doc_id", (F.count(F.lit(1)).over(w) >= 5).cast("long").alias("is_boiler")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_boiler").alias("n_boiler"),
+        F.round(F.sum("is_boiler") / F.count(F.lit(1)) * 1_000_000, 0)
+        .cast("long")
+        .alias("boiler_frac_e6"),
+    )
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021 §A1.1) per document: word
+    count in [50, 100k], mean word length in [3, 10], >= 2 stopword
+    hits; keep = all three. Distinct from `quality_score` (a blended
+    score): these are the named hard filters a production corpus
+    pipeline gates on. Single projection — no shuffle at all; every
+    rule is a codegen regexp/length expression."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    n_words = F.size(toks)
+    mean_wl = F.length(F.concat_ws("", toks)) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"\b(the|a|of|to|in)\b"), 0
+        )
+    )
+    ok_words = (n_words >= 50) & (n_words <= 100_000)
+    ok_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_stop = stop_hits >= 2
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl * 1_000_000, 0).cast("long").alias("mean_word_len_e6"),
+        stop_hits.cast("long").alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_stop).alias("keep"),
+    )
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step applied: find the globally most frequent
+    adjacent token pair (ties broken lexicographically; pairs with
+    left == right excluded so greedy merges can never overlap), then
+    report per document how many merges fire and the resulting length.
+    The top pair is a 1-row broadcast (count + orderBy + limit over the
+    bigram agg); the per-doc merge count joins that single row against
+    the bigram stream — corpus scanned twice but shuffled only as
+    (gram) partial counts. The SQL oracle states the same top-1
+    selection declaratively, so the tie-break is machine-checked."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", X.tokens("text").alias("toks"))
+    big = base.select(
+        "doc_id", F.explode(_token_ngrams(F.col("toks"), 2)).alias("g")
+    ).filter(F.split(F.col("g"), " ")[0] != F.split(F.col("g"), " ")[1])
+    top = (
+        big.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g"))
+        .limit(1)
+        .select(F.col("g").alias("top_pair"))
+    )
+    merges = (
+        big.join(F.broadcast(top), big.g == F.col("top_pair"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_merges"))
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(merges, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_merges", F.lit(0)).alias("n_merges"),
+            (F.col("n_tokens") - F.coalesce("n_merges", F.lit(0))).alias(
+                "n_tokens_after"
+            ),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-stratified sampling — the reproducible
     'take X% per language' primitive a corpus pipeline needs (random
@@ -2318,6 +2418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": q_props_json_stats,
         "session_paths": q_session_paths,
         "revenue_anomaly_days": q_revenue_anomaly_days,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "bpe_merge_step": q_bpe_merge_step,
     }
 
 
@@ -3296,6 +3399,84 @@ def oracle_sql() -> dict[str, str]:
                    (top_tok * 1.0 / n_tokens > 0.2 OR top_big * 1.0 / n_bigrams > 0.18)
                      AS is_repetitive
             FROM uni JOIN big ON uni.doc_id = big.doc_id
+        """,
+        "boilerplate_ngrams": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKS} AS t FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, source,
+                     unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END) AS g
+              FROM t
+            ),
+            w AS (
+              SELECT doc_id,
+                     (count(*) OVER (PARTITION BY source, g) >= 5)::BIGINT AS is_boiler
+              FROM grams
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(is_boiler)::BIGINT AS n_boiler,
+                   CAST(round(sum(is_boiler) * 1000000.0 / count(*)) AS BIGINT)
+                     AS boiler_frac_e6
+            FROM w GROUP BY doc_id
+        """,
+        "gopher_quality_flags": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS n_words,
+                     length(list_aggregate(toks, 'string_agg', ''))
+                       * 1.0 / greatest(len(toks), 1) AS mean_wl,
+                     len(regexp_extract_all(lower(text),
+                         '\\b(the|a|of|to|in)\\b'))::BIGINT AS stop_hits
+              FROM t
+            )
+            SELECT doc_id, n_words,
+                   CAST(round(mean_wl * 1000000) AS BIGINT) AS mean_word_len_e6,
+                   stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+                   (mean_wl >= 3 AND mean_wl <= 10) AS ok_word_len,
+                   (stop_hits >= 2) AS ok_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_wl >= 3 AND mean_wl <= 10)
+                    AND stop_hits >= 2) AS keep
+            FROM f
+        """,
+        "bpe_merge_step": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            big AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END) AS g
+              FROM t
+            ),
+            bigf AS (
+              SELECT doc_id, g FROM big
+              WHERE string_split(g, ' ')[1] <> string_split(g, ' ')[2]
+            ),
+            top AS (
+              SELECT g AS top_pair FROM bigf
+              GROUP BY g ORDER BY count(*) DESC, g LIMIT 1
+            ),
+            merges AS (
+              SELECT doc_id, count(*)::BIGINT AS n_merges
+              FROM bigf JOIN top ON g = top_pair GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   coalesce(n_merges, 0)::BIGINT AS n_merges,
+                   (len(toks) - coalesce(n_merges, 0))::BIGINT AS n_tokens_after
+            FROM t LEFT JOIN merges ON t.doc_id = merges.doc_id
         """,
         "stratified_sample": """
             SELECT lang,
