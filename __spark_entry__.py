@@ -1031,12 +1031,18 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = grams.select(
         "doc_id", (F.count(F.lit(1)).over(w) >= 5).cast("long").alias("is_boiler")
     )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("is_boiler").alias("n_boiler"),
-        F.round(F.sum("is_boiler") / F.count(F.lit(1)) * 1_000_000, 0)
-        .cast("long")
-        .alias("boiler_frac_e6"),
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.expr("n_boiler * 1000000 div n_grams").alias("boiler_frac_e6"),
+        )
     )
 
 
@@ -1062,7 +1068,12 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(mean_wl * 1_000_000, 0).cast("long").alias("mean_word_len_e6"),
+        (
+            F.length(F.concat_ws("", toks)).cast("long") * 1_000_000
+            / F.greatest(n_words, F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_word_len_e6"),
         stop_hits.cast("long").alias("stop_hits"),
         ok_words.alias("ok_word_count"),
         ok_wl.alias("ok_word_len"),
@@ -1108,6 +1119,98 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") - F.coalesce("n_merges", F.lit(0))).alias(
                 "n_tokens_after"
             ),
+        )
+    )
+
+
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+    3-gram shingle sets, Jaccard >= 0.4, candidates blocked on each
+    set's prefix under the global (df asc, shingle asc) order. The
+    prefix filter is LOSSLESS (prefix length |x| - ceil(t|x|) + 1; any
+    pair at >= t must collide on both prefixes — Bayardo et al. 2007),
+    unlike the winnow/MinHash blocking of `ngram_jaccard_dups`, which
+    is probabilistic. Rare shingles sort first, so prefix keys are the
+    corpus's coldest tokens — candidate fan-out stays near-linear at
+    scale where a hot-key block would go quadratic. The oracle is the
+    BRUTE-FORCE all-pairs ground truth, so any recall loss in the
+    filter fails the hash check, not just a unit test. Verification is
+    exact-integer: inter*5 >= union*2 (t = 2/5), jacc as e6 div."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(_token_ngrams(X.tokens("text"), 3)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    df_ = sh.select(F.explode("sh").alias("g")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ordered = (
+        sh.select("doc_id", F.explode("sh").alias("g"))
+        .join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, g))), s -> s.g)"
+            ).alias("toks")
+        )
+    )
+    prefix_len = F.expr("size(toks) - ceil(0.4 * size(toks)) + 1").cast("int")
+    pref = ordered.select(
+        "doc_id", "toks", F.explode(F.slice("toks", 1, prefix_len)).alias("p")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.withColumn("inter", inter)
+        .withColumn("un", union)
+        .filter(F.col("inter") * 5 >= F.col("un") * 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("inter * 1000000 div un").alias("jacc_e6"),
+        )
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve: what fraction of all token
+    occurrences the top-k df-ranked vocabulary covers, at k in
+    {5, 10, 20, 40}. One corpus-scan agg to the vocab-sized count
+    table; the rank + running-sum windows run over that tiny table
+    only (at 100 TB the count table is still |vocab| rows — the
+    unpartitioned window never sees the corpus)."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        "tok", "n", F.row_number().over(w_rank).alias("rank")
+    ).withColumn(
+        "cum", F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        ranked.filter(F.col("rank").isin(5, 10, 20, 40))
+        .join(F.broadcast(total))
+        .select(
+            F.col("rank").alias("k"),
+            F.col("cum").alias("covered"),
+            "total",
+            F.expr("cum * 1000000 div total").alias("coverage_e6"),
         )
     )
 
@@ -1532,6 +1635,88 @@ def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return triangle_counts(_adjacency_edges(spark, sf_dir)).select(
         F.col("node").alias("entity"), "n_triangles"
+    )
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token local clustering coefficient — the community-cohesion
+    ratio 2T/(d(d−1)) as an exact e6 integer over the token-adjacency
+    graph thresholded at edge weight >= 40
+    (operators/graph.py:clustering_coefficients). The entity graph is
+    complete at this corpus size (every coefficient would be 1.0 — a
+    vacuous check); the thresholded token graph has degrees 1-8 and
+    coefficients spread over (0, 1), so the oracle verifies real
+    structure. Completes the KG-analytics family: degree + triangles +
+    coefficient in one node-complete frame."""
+    from ner_spark.operators.graph import clustering_coefficients
+
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    heavy = (
+        bg.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+    )
+    return clustering_coefficients(heavy).select(
+        F.col("node").alias("token"), "degree", "n_triangles", "clustering_e6"
+    )
+
+
+def q_entity_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG property table: one row per document, one column per entity
+    type with the distinct-entity count — the star-schema pivot of the
+    CONTAINS triples (subject × predicate-class matrix). Fixed pivot
+    value list keeps the schema static (a pivot without one does a
+    driver-side distinct pass — never at 100 TB); upstream is the same
+    explode + broadcast-gazetteer join as contains_triples."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    ent = toks.join(F.broadcast(gaz), "alias").select(
+        "doc_id", "entity", "ent_type"
+    ).distinct()
+    types = ["DB", "FMT", "LANG", "LIB", "OP", "TOOL"]
+    piv = ent.groupBy("doc_id").pivot("ent_type", types).count()
+    return piv.select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t.lower()}")
+            for t in types
+        ],
+    )
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document ranked by (tf desc, global df asc,
+    token asc) — TF-IDF ranking with the float log removed: document
+    frequency orders exactly inversely to idf, so the integer triple
+    sort is the same ranking with a hash-stable result. One (doc, tok)
+    agg, one tok-level df agg (node-sized, broadcast-able back), one
+    per-doc window for the top-3."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df")
     )
 
 
@@ -2419,6 +2604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "revenue_anomaly_days": q_revenue_anomaly_days,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "clustering_coeff": q_clustering_coeff,
+        "entity_type_pivot": q_entity_type_pivot,
+        "doc_keywords": q_doc_keywords,
+        "set_similarity_join": q_set_similarity_join,
+        "vocab_coverage": q_vocab_coverage,
         "gopher_quality_flags": q_gopher_quality_flags,
         "bpe_merge_step": q_bpe_merge_step,
     }
@@ -3420,7 +3610,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    count(*)::BIGINT AS n_grams,
                    sum(is_boiler)::BIGINT AS n_boiler,
-                   CAST(round(sum(is_boiler) * 1000000.0 / count(*)) AS BIGINT)
+                   (sum(is_boiler) * 1000000 // count(*))::BIGINT
                      AS boiler_frac_e6
             FROM w GROUP BY doc_id
         """,
@@ -3431,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (
               SELECT doc_id,
                      len(toks)::BIGINT AS n_words,
+                     length(list_aggregate(toks, 'string_agg', ''))::BIGINT AS n_tchars,
                      length(list_aggregate(toks, 'string_agg', ''))
                        * 1.0 / greatest(len(toks), 1) AS mean_wl,
                      len(regexp_extract_all(lower(text),
@@ -3438,7 +3629,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_words,
-                   CAST(round(mean_wl * 1000000) AS BIGINT) AS mean_word_len_e6,
+                   (n_tchars * 1000000 // greatest(n_words, 1))::BIGINT
+                     AS mean_word_len_e6,
                    stop_hits,
                    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
                    (mean_wl >= 3 AND mean_wl <= 10) AS ok_word_len,
@@ -3477,6 +3669,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_merges, 0)::BIGINT AS n_merges,
                    (len(toks) - coalesce(n_merges, 0))::BIGINT AS n_tokens_after
             FROM t LEFT JOIN merges ON t.doc_id = merges.doc_id
+        """,
+        "set_similarity_join": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ts) >= 3 THEN
+                       list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                       ELSE [] END) AS sh
+              FROM t
+            ),
+            sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+                     (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)))::BIGINT AS un
+              FROM sf a JOIN sf b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   (inter * 1000000 // un)::BIGINT AS jacc_e6
+            FROM pairs WHERE inter * 5 >= un * 2
+        """,
+        "vocab_coverage": f"""
+            WITH counts AS (
+              SELECT tok, count(*)::BIGINT AS n
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY tok
+            ),
+            ranked AS (
+              SELECT tok, n,
+                     row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+                     sum(n) OVER (ORDER BY n DESC, tok ASC
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM counts
+            ),
+            total AS (SELECT sum(n)::BIGINT AS total FROM counts)
+            SELECT rank::BIGINT AS k, cum AS covered, total,
+                   (cum * 1000000 // total)::BIGINT AS coverage_e6
+            FROM ranked, total WHERE rank IN (5, 10, 20, 40)
         """,
         "stratified_sample": """
             SELECT lang,
@@ -3882,6 +4114,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT nodes.node AS entity,
                    coalesce(pern.n_triangles, 0)::BIGINT AS n_triangles
             FROM nodes LEFT JOIN pern ON nodes.node = pern.node
+        """,
+        "clustering_coeff": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS src,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS dst
+              FROM t
+            ),
+            adj AS (
+              SELECT src, dst, count(*) AS n FROM bg
+              WHERE src <> dst GROUP BY src, dst
+            ),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM adj WHERE n >= 40
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY node
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+            ),
+            pern AS (
+              SELECT node, count(*)::BIGINT AS n_triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT deg.node AS token, degree,
+                   coalesce(pern.n_triangles, 0)::BIGINT AS n_triangles,
+                   CASE WHEN degree >= 2 THEN
+                     (coalesce(pern.n_triangles, 0) * 2 * 1000000
+                      // (degree * (degree - 1)))::BIGINT
+                   ELSE 0 END AS clustering_e6
+            FROM deg LEFT JOIN pern ON deg.node = pern.node
+        """,
+        "entity_type_pivot": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            ent AS (SELECT DISTINCT doc_id, entity, ent_type
+                    FROM tok JOIN gaz ON tok = alias)
+            SELECT doc_id,
+                   sum(CASE WHEN ent_type = 'DB' THEN 1 ELSE 0 END)::BIGINT AS n_db,
+                   sum(CASE WHEN ent_type = 'FMT' THEN 1 ELSE 0 END)::BIGINT AS n_fmt,
+                   sum(CASE WHEN ent_type = 'LANG' THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+                   sum(CASE WHEN ent_type = 'LIB' THEN 1 ELSE 0 END)::BIGINT AS n_lib,
+                   sum(CASE WHEN ent_type = 'OP' THEN 1 ELSE 0 END)::BIGINT AS n_op,
+                   sum(CASE WHEN ent_type = 'TOOL' THEN 1 ELSE 0 END)::BIGINT AS n_tool
+            FROM ent GROUP BY doc_id
+        """,
+        "doc_keywords": f"""
+            WITH tf AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY doc_id, tok
+            ),
+            df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+            r AS (
+              SELECT doc_id, tok, tf, df,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, tok ASC
+                     )::BIGINT AS rank
+              FROM tf JOIN df USING (tok)
+            )
+            SELECT doc_id, rank, tok, tf, df FROM r WHERE rank <= 3
         """,
         "funnel_conversion": """
             WITH stage AS (

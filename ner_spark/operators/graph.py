@@ -136,6 +136,49 @@ def triangle_counts(
     )
 
 
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_triangles, clustering_e6): local clustering
+    coefficient per node of an undirected graph, as the exact integer
+    ratio 2·T(v)·1e6 div (deg·(deg−1)) (0 for degree < 2 — no float
+    division, so the value is partition- and engine-invariant).
+
+    Triangles come from `triangle_counts` (oriented two-hop join, hub
+    fan-out bounded by higher-id degree); the degree table is one
+    groupBy over the canonical edge set. Both sides are node-sized
+    after their aggregations, so the final join is broadcast-able at
+    any corpus scale.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(e, "a", "b")
+    return deg.join(tri, "node").select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("n_triangles * 2 * 1000000 div (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clustering_e6"),
+    )
+
+
 INF = 1_000_000_000  # "unreached" sentinel during BFS iteration
 
 

@@ -220,6 +220,48 @@ def test_triangle_counts_no_triangles(spark):
     assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
 
 
+def test_clustering_coefficients_square_with_diagonal(spark):
+    from ner_spark.operators.graph import clustering_coefficients
+
+    # square a-b-c-d-a plus diagonal a-c: a and c sit in 2 triangles at
+    # degree 3 (coeff 2*2/(3*2) = 2/3), b and d in 1 at degree 2 (coeff 1)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_e6"])
+        for r in clustering_coefficients(e).collect()
+    }
+    assert got == {
+        "a": (3, 2, 666666),
+        "b": (2, 1, 1000000),
+        "c": (3, 2, 666666),
+        "d": (2, 1, 1000000),
+    }
+
+
+def test_clustering_coefficients_pendant_zero(spark):
+    from ner_spark.operators.graph import clustering_coefficients
+
+    # triangle a-b-c with pendant d off a: d has degree 1 -> coeff 0
+    # (no float division by zero), a has degree 3 with 1 triangle
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_e6"])
+        for r in clustering_coefficients(e).collect()
+    }
+    assert got == {
+        "a": (3, 1, 333333),
+        "b": (2, 1, 1000000),
+        "c": (2, 1, 1000000),
+        "d": (1, 0, 0),
+    }
+
+
 # ---------------------------------------------------------------------------
 # bfs_distances
 # ---------------------------------------------------------------------------
