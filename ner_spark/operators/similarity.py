@@ -538,6 +538,28 @@ def ivf_assign(
         "list_id",
         F.round(cosine(F.col(vec_col), F.col("cent_vec")), ROUND).alias("cent_sim"),
     )
+    if nprobe == 1:
+        # home-list assignment is an argmax, not a ranking: a hash agg
+        # with map-side partial combine (each vector's n_lists candidate
+        # rows collapse BEFORE the exchange) replaces the window's full
+        # sort-by-(vec, sim) shuffle. Same deterministic order — min of
+        # struct(-sim, list_id) == (sim desc, list_id asc).
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cent_sim")).alias("neg_sim"),
+                        F.col("list_id").alias("lid"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                id_col,
+                F.col("m.lid").alias("list_id"),
+                F.lit(1).cast("long").alias("rank"),
+            )
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("list_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
