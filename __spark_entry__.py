@@ -1720,6 +1720,186 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs: part categories co-ordered within an order
+    (the association-rule support table). lineitem ⋈ broadcast(part)
+    projects to a distinct (order, category) incidence — ~4 rows per
+    order — and the self-join pairs within-order categories a < b.
+    The pair space is |categories|² = 36, so the final agg is tiny;
+    the only corpus-sized exchange is the incidence distinct."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    inc = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a, b = inc.alias("a"), inc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per hour WITHOUT a running
+    count-distinct state: distinct-first-seen hour per user (one
+    user-keyed agg), then hourly new-user counts and a running sum
+    over the time-grain table. The window only ever sees ~hours rows —
+    the scalable rewrite of `count(distinct) over (order by time)`,
+    which would hold unbounded state per frame."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_hour")
+    )
+    hourly = first.groupBy(F.col("first_hour").alias("hour")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "hour", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration (Simpson index) in exact
+    integers: C = Σ nᵢ(nᵢ−1), N = Σ nᵢ, concentration_e6 = C·1e6 div
+    N(N−1) — the collision probability of two random tokens, the
+    float-free diversity gauge (entropy needs log). Two (source,token)
+    / (source) aggs, both map-side combinable."""
+    d = _docs(spark, sf_dir)
+    tc = (
+        d.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.expr("coll * 1000000 div (n_tokens * (n_tokens - 1))").alias(
+                "concentration_e6"
+            ),
+        )
+    )
+
+
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: recency (days before the
+    fixed anchor 2024-01-31), frequency, monetary (exact e4), and the
+    segment label from frequency/monetary cuts. One user-keyed agg +
+    a broadcast-free projection — the canonical customer-segmentation
+    scan shape."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rfm = e.groupBy("user_id").agg(
+        F.datediff(F.lit("2024-01-31"), F.max(F.col("ts").cast("date")))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("monetary_e4"),
+    )
+    hi_f = F.col("frequency") >= 13
+    hi_m = F.col("monetary_e4") >= 5_000_000
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_e4",
+        F.when(hi_f & hi_m, "champion")
+        .when(hi_f, "loyal")
+        .when(hi_m, "big_spender")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    support counts): lag over the (ts, event_id)-ordered per-user
+    window, then one tiny (prev, next) agg. The window shuffle is
+    user-keyed — the same partitioning every sessionization query
+    reuses; event_id breaks timestamp ties so the order is total and
+    engine-invariant."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_entity_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair similarity by shared-document Jaccard (the set-
+    overlap complement of `cooccur_lift`'s PMI): doc-entity incidence
+    once, within-doc pairing for intersections, per-entity doc counts
+    broadcast onto the 45-pair table, jacc as exact e6 div."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    inc = toks.join(F.broadcast(gaz), "alias").select("doc_id", "entity").distinct()
+    counts = inc.groupBy("entity").agg(F.count(F.lit(1)).alias("n_docs"))
+    a, b = inc.alias("a"), inc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("ent_a"), F.col("b.entity").alias("ent_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("entity").alias("ent_a"), F.col("n_docs").alias("na"))
+    cb = counts.select(F.col("entity").alias("ent_b"), F.col("n_docs").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "ent_a")
+        .join(F.broadcast(cb), "ent_b")
+        .select(
+            "ent_a",
+            "ent_b",
+            "inter",
+            F.expr("inter * 1000000 div (na + nb - inter)").alias("jacc_e6"),
+        )
+    )
+
+
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: events per (day-of-week, hour) cell. DOW is
+    computed as days-since-2024-01-01 mod 7 (that date is a Monday) —
+    identical integer arithmetic in both engines, sidestepping the
+    Sun=0/Sun=1/locale disagreements of native dow functions. Pure
+    scan + one 168-row agg."""
+    e = _t(spark, sf_dir, "events")
+    dow = F.pmod(F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")), F.lit(7))
+    return (
+        e.select(
+            dow.cast("long").alias("dow_mon0"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .groupBy("dow_mon0", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered signup -> click -> purchase funnel: users counted at a
     stage only if it happens strictly AFTER the previous stage's first
@@ -2611,6 +2791,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "gopher_quality_flags": q_gopher_quality_flags,
         "bpe_merge_step": q_bpe_merge_step,
+        "market_basket": q_market_basket,
+        "running_distinct_users": q_running_distinct_users,
+        "simpson_diversity": q_simpson_diversity,
+        "user_rfm": q_user_rfm,
+        "event_transitions": q_event_transitions,
+        "entity_doc_jaccard": q_entity_doc_jaccard,
+        "dow_hour_heatmap": q_dow_hour_heatmap,
     }
 
 
@@ -4187,6 +4374,110 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (tok)
             )
             SELECT doc_id, rank, tok, tf, df FROM r WHERE rank <= 3
+        """,
+        "market_basket": """
+            WITH inc AS (
+              SELECT DISTINCT l_orderkey, p_type
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT a.p_type AS type_a, b.p_type AS type_b,
+                   count(*)::BIGINT AS n_orders
+            FROM inc a JOIN inc b
+              ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+            GROUP BY a.p_type, b.p_type
+        """,
+        "running_distinct_users": """
+            WITH first AS (
+              SELECT user_id,
+                     CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS first_hour
+              FROM events GROUP BY user_id
+            ),
+            hourly AS (
+              SELECT first_hour AS hour, count(*)::BIGINT AS new_users
+              FROM first GROUP BY first_hour
+            )
+            SELECT hour, new_users,
+                   sum(new_users) OVER (ORDER BY hour
+                                        ROWS UNBOUNDED PRECEDING)::BIGINT
+                     AS cum_users
+            FROM hourly
+        """,
+        "simpson_diversity": f"""
+            WITH tc AS (
+              SELECT source, tok, count(*)::BIGINT AS n
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY source, tok
+            ),
+            agg AS (
+              SELECT source,
+                     sum(n)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_distinct,
+                     sum(n * (n - 1))::BIGINT AS coll
+              FROM tc GROUP BY source
+            )
+            SELECT source, n_tokens, n_distinct,
+                   (coll * 1000000 // (n_tokens * (n_tokens - 1)))::BIGINT
+                     AS concentration_e6
+            FROM agg
+        """,
+        "user_rfm": """
+            WITH rfm AS (
+              SELECT user_id,
+                     date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-31')::BIGINT
+                       AS recency_days,
+                     count(*)::BIGINT AS frequency,
+                     sum(CAST(round(value * 10000) AS BIGINT))::BIGINT AS monetary_e4
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT user_id, recency_days, frequency, monetary_e4,
+                   CASE
+                     WHEN frequency >= 13 AND monetary_e4 >= 5000000 THEN 'champion'
+                     WHEN frequency >= 13 THEN 'loyal'
+                     WHEN monetary_e4 >= 5000000 THEN 'big_spender'
+                     ELSE 'regular'
+                   END AS segment
+            FROM rfm
+        """,
+        "event_transitions": """
+            WITH steps AS (
+              SELECT user_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type,
+                     event_type AS next_type
+              FROM events
+            )
+            SELECT prev_type, next_type, count(*)::BIGINT AS n
+            FROM steps WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "entity_doc_jaccard": f"""
+            WITH {_GAZ_CTE},
+            tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            inc AS (SELECT DISTINCT doc_id, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            counts AS (
+              SELECT entity, count(*)::BIGINT AS n_docs FROM inc GROUP BY entity
+            ),
+            inter AS (
+              SELECT a.entity AS ent_a, b.entity AS ent_b,
+                     count(*)::BIGINT AS inter
+              FROM inc a JOIN inc b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+              GROUP BY a.entity, b.entity
+            )
+            SELECT ent_a, ent_b, inter,
+                   (inter * 1000000
+                    // (ca.n_docs + cb.n_docs - inter))::BIGINT AS jacc_e6
+            FROM inter
+            JOIN counts ca ON inter.ent_a = ca.entity
+            JOIN counts cb ON inter.ent_b = cb.entity
+        """,
+        "dow_hour_heatmap": """
+            SELECT (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                    + 7) % 7 AS dow_mon0,
+                   extract(hour FROM ts)::BIGINT AS hour,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
         """,
         "funnel_conversion": """
             WITH stage AS (
