@@ -1882,6 +1882,62 @@ def q_entity_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_signup_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily signup vs purchase counts, FULL OUTER on the day key —
+    days where either side is absent survive with a 0 (the join type
+    the rest of the suite doesn't exercise: semi/anti/inner/left all
+    appear elsewhere). Both sides pre-aggregate to date grain before
+    the join, so the full-outer runs on ~days rows."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return s.join(p, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+def q_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year order revenue growth: year-grain rollup, lag
+    window over the ~7-row year table, growth as exact e6 integer
+    ratio of e4 integer sums. The corpus reduces to year grain in one
+    agg shuffle — the lag never sees order-level data."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("long").alias("year")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias("rev_e4")
+    )
+    w = Window.orderBy("year")
+    return (
+        yearly.withColumn("prev_rev_e4", F.lag("rev_e4").over(w))
+        .select(
+            "year",
+            "rev_e4",
+            F.coalesce("prev_rev_e4", F.lit(0)).alias("prev_rev_e4"),
+            # symmetric truncation stated explicitly via abs/sign:
+            # Spark's `div` truncates toward zero but DuckDB's `//`
+            # floors, so a negative growth year would hash-mismatch
+            # under either native operator alone
+            F.when(
+                F.col("prev_rev_e4").isNotNull(),
+                F.signum(F.col("rev_e4") - F.col("prev_rev_e4")).cast("long")
+                * F.expr("abs(rev_e4 - prev_rev_e4) * 1000000 div prev_rev_e4"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("yoy_growth_e6"),
+        )
+    )
+
+
 def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity heatmap: events per (day-of-week, hour) cell. DOW is
     computed as days-since-2024-01-01 mod 7 (that date is a Monday) —
@@ -2798,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "entity_doc_jaccard": q_entity_doc_jaccard,
         "dow_hour_heatmap": q_dow_hour_heatmap,
+        "signup_purchase_daily": q_signup_purchase_daily,
+        "revenue_yoy": q_revenue_yoy,
     }
 
 
@@ -4471,6 +4529,41 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN counts ca ON inter.ent_a = ca.entity
             JOIN counts cb ON inter.ent_b = cb.entity
+        """,
+        "signup_purchase_daily": """
+            WITH s AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*)::BIGINT AS n_signups
+              FROM events WHERE event_type = 'signup' GROUP BY 1
+            ),
+            p AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*)::BIGINT AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT coalesce(s.day, p.day) AS day,
+                   coalesce(n_signups, 0)::BIGINT AS n_signups,
+                   coalesce(n_purchases, 0)::BIGINT AS n_purchases
+            FROM s FULL OUTER JOIN p ON s.day = p.day
+        """,
+        "revenue_yoy": """
+            WITH yearly AS (
+              SELECT extract(year FROM o_orderdate)::BIGINT AS year,
+                     sum(CAST(round(o_totalprice * 10000) AS BIGINT))::BIGINT AS rev_e4
+              FROM orders GROUP BY 1
+            ),
+            lagged AS (
+              SELECT year, rev_e4,
+                     lag(rev_e4) OVER (ORDER BY year) AS prev
+              FROM yearly
+            )
+            SELECT year, rev_e4,
+                   coalesce(prev, 0)::BIGINT AS prev_rev_e4,
+                   CASE WHEN prev IS NOT NULL
+                        THEN sign(rev_e4 - prev)::BIGINT
+                             * ((abs(rev_e4 - prev) * 1000000) // prev)
+                        ELSE 0 END::BIGINT AS yoy_growth_e6
+            FROM lagged
         """,
         "dow_hour_heatmap": """
             SELECT (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
