@@ -1922,14 +1922,25 @@ def q_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "year",
             "rev_e4",
             F.coalesce("prev_rev_e4", F.lit(0)).alias("prev_rev_e4"),
-            # symmetric truncation stated explicitly via abs/sign:
-            # Spark's `div` truncates toward zero but DuckDB's `//`
-            # floors, so a negative growth year would hash-mismatch
-            # under either native operator alone
+            # symmetric truncation stated explicitly via abs/sign
+            # (Spark `div` truncates, DuckDB `//` floors — they differ
+            # on negatives), and the e6 scale applied by CHUNKED long
+            # division (×1000 twice): abs(diff)*1e6 overflows BIGINT
+            # at sf0.1 (diff ~3e14), but (x mod p)*1000 never exceeds
+            # p*1000. floor(a*1e6/p) = q1*1e6 + q2*1000 + q3 with
+            # q1 = a div p, q2 = (a%p)*1000 div p,
+            # q3 = ((a%p)*1000 % p)*1000 div p — exact, equals the
+            # oracle's HUGEINT floor division
             F.when(
                 F.col("prev_rev_e4").isNotNull(),
                 F.signum(F.col("rev_e4") - F.col("prev_rev_e4")).cast("long")
-                * F.expr("abs(rev_e4 - prev_rev_e4) * 1000000 div prev_rev_e4"),
+                * F.expr(
+                    "(abs(rev_e4 - prev_rev_e4) div prev_rev_e4) * 1000000"
+                    " + ((abs(rev_e4 - prev_rev_e4) % prev_rev_e4) * 1000"
+                    "    div prev_rev_e4) * 1000"
+                    " + (((abs(rev_e4 - prev_rev_e4) % prev_rev_e4) * 1000"
+                    "     % prev_rev_e4) * 1000) div prev_rev_e4"
+                ),
             )
             .otherwise(F.lit(0))
             .cast("long")
@@ -4561,7 +4572,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(prev, 0)::BIGINT AS prev_rev_e4,
                    CASE WHEN prev IS NOT NULL
                         THEN sign(rev_e4 - prev)::BIGINT
-                             * ((abs(rev_e4 - prev) * 1000000) // prev)
+                             * ((abs(rev_e4 - prev)::HUGEINT * 1000000)
+                                // prev::HUGEINT)::BIGINT
                         ELSE 0 END::BIGINT AS yoy_growth_e6
             FROM lagged
         """,
