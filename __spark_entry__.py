@@ -929,16 +929,28 @@ def q_radical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_ngrams(tok_array, n: int):
     """Positional n-grams of a token array as 'a b c' strings — native
-    transform over a sequence, so shingling stays in codegen (no UDF,
-    no explode-then-self-join)."""
-    parts = lambda i: [F.element_at(tok_array, i + j) for j in range(n)]  # noqa: E731
-    return F.when(
-        F.size(tok_array) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok_array) - (n - 1)),
-            lambda i: F.concat_ws(" ", *parts(i)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    transform over a sequence, so shingling stays native (no UDF, no
+    explode-then-self-join).
+
+    The argument is LET-BOUND through a single-element transform():
+    higher-order-function lambdas are the only let-binding Spark SQL
+    has. Without it, passing an expression (e.g. regexp_extract_all)
+    re-evaluates that expression at EVERY element_at inside the lambda
+    — ~3 regex runs x ~100 positions per row (measured: 11 s vs 0.9 s
+    at sf0.1 for a 3-gram projection) — and pre-projecting the array
+    to a column does not survive CollapseProject re-inlining it."""
+
+    def grams(toks):
+        parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", *parts(i)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tok_array), grams), 1)
 
 
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,9 +965,16 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny word-soup corpus yields real hits; production uses k=8-13
     with the identical plan."""
     d = _docs(spark, sf_dir)
-    grams = d.select(
-        "doc_id", F.explode(_token_ngrams(X.tokens("text"), 3)).alias("gram")
-    ).distinct()
+    # tokens() pre-projected to a bound column: an expression passed
+    # straight into the HOF lambda is re-evaluated per element (~100
+    # regexp_extract_all runs per ROW) — measured 11 s vs 0.9 s at
+    # sf0.1 for the shingle projection alone. Same fix in
+    # repetition_stats / boilerplate_ngrams / set_similarity_join.
+    grams = (
+        d.select("doc_id", X.tokens("text").alias("toks"))
+        .select("doc_id", F.explode(_token_ngrams(F.col("toks"), 3)).alias("gram"))
+        .distinct()
+    )
     ev = grams.filter(F.col("doc_id") % 10 == 0)
     tr = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
     hits = ev.join(tr, "gram").groupBy("doc_id").agg(
@@ -992,7 +1011,8 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     big = (
-        d.select("doc_id", F.explode(_token_ngrams(X.tokens("text"), 2)).alias("g"))
+        d.select("doc_id", X.tokens("text").alias("toks"))
+        .select("doc_id", F.explode(_token_ngrams(F.col("toks"), 2)).alias("g"))
         .groupBy("doc_id", "g")
         .count()
         .groupBy("doc_id")
@@ -1023,9 +1043,11 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the window partition is (source, gram), not source)."""
     d = _docs(spark, sf_dir)
     grams = d.select(
+        "doc_id", "source", X.tokens("text").alias("toks")
+    ).select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(_token_ngrams(X.tokens("text"), 2))).alias("g"),
+        F.explode(F.array_distinct(_token_ngrams(F.col("toks"), 2))).alias("g"),
     )
     w = Window.partitionBy("source", "g")
     flagged = grams.select(
@@ -1137,10 +1159,14 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter fails the hash check, not just a unit test. Verification is
     exact-integer: inter*5 >= union*2 (t = 2/5), jacc as e6 div."""
     d = _docs(spark, sf_dir)
-    sh = d.select(
+    # no size(sh) > 0 filter: a filter on the computed array would be
+    # pushed below the project and re-evaluate the shingling per row
+    # (rule-6 pathology); shingle-less docs drop out at the explode
+    # anyway, so the pair output is identical
+    sh = d.select("doc_id", X.tokens("text").alias("tk")).select(
         "doc_id",
-        F.array_distinct(_token_ngrams(X.tokens("text"), 3)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+        F.array_distinct(_token_ngrams(F.col("tk"), 3)).alias("sh"),
+    )
     df_ = sh.select(F.explode("sh").alias("g")).groupBy("g").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -1154,25 +1180,48 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks")
         )
     )
+    # SLIM candidate generation: the prefix join and the pair dedupe
+    # carry only (doc_id, size) — at sf0.1 the prefix join emits ~550k
+    # candidate rows, and dragging both full shingle arrays through
+    # them (the first cut of this query) moved ~800 MB and took 38 s;
+    # slim + verify-after runs in ~3 s. Sets are re-attached to the
+    # DEDUPED pairs only (AQE broadcasts the set table when it fits;
+    # at corpus scale it degrades to two id-keyed joins — the standard
+    # AllPairs verify shape). The length filter (t <= |x|/|y| <= 1/t,
+    # stated as na*5 >= nb*2 both ways) prunes before the dedupe.
     prefix_len = F.expr("size(toks) - ceil(0.4 * size(toks)) + 1").cast("int")
     pref = ordered.select(
-        "doc_id", "toks", F.explode(F.slice("toks", 1, prefix_len)).alias("p")
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode(F.slice("toks", 1, prefix_len)).alias("p"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 5 >= F.col("b.n") * 2)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 2),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("ta"),
-            F.col("b.toks").alias("tb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
+    )
+    sets_a = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    sets_b = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
     return (
-        cand.withColumn("inter", inter)
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", inter)
         .withColumn("un", union)
         .filter(F.col("inter") * 5 >= F.col("un") * 2)
         .select(
@@ -2160,7 +2209,14 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_e4").alias("total_rev_e4"),
     ).select(
         "o_year", "nation_rev_e4", "total_rev_e4",
-        F.expr("nation_rev_e4 * 1000000 div total_rev_e4").alias("mkt_share_e6"),
+        # chunked e6 scaling (x1000 twice): nation_rev_e4 * 1e6 has
+        # only 19% BIGINT headroom at sf0.1 and overflows by sf0.2;
+        # (x*1000 % t)*1000 never exceeds t*1000. Exact floor — the
+        # oracle's HUGEINT division must agree bit-for-bit
+        F.expr(
+            "(nation_rev_e4 * 1000 div total_rev_e4) * 1000"
+            " + ((nation_rev_e4 * 1000 % total_rev_e4) * 1000) div total_rev_e4"
+        ).alias("mkt_share_e6"),
     )
 
 
@@ -2389,7 +2445,9 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = P(a,b) / (P(a) P(b)), emitted as the exact integer
     n_ab * N * 1e6 div (n_a * n_b) — PMI's argument without the log,
     so no float ever enters. Doc-entity incidence is computed once;
-    marginals broadcast back onto the pair counts."""
+    marginals broadcast back onto the pair counts. BIGINT headroom:
+    n_ab * N * 1e6 holds to ~3e6 docs per corpus; beyond that, apply
+    the chunked-division pattern used by revenue_yoy / tpch_q8."""
     files = _doc_files(spark, sf_dir)
     toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
     gaz = _gazetteer_df(spark)
@@ -4742,7 +4800,8 @@ def oracle_sql() -> dict[str, str]:
               FROM base GROUP BY o_year
             )
             SELECT o_year, nation_rev_e4, total_rev_e4,
-                   (nation_rev_e4 * 1000000 // total_rev_e4)::BIGINT AS mkt_share_e6
+                   ((nation_rev_e4::HUGEINT * 1000000)
+                    // total_rev_e4::HUGEINT)::BIGINT AS mkt_share_e6
             FROM a
         """,
         "tpch_q17_small_qty": """
