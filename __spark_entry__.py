@@ -2491,9 +2491,13 @@ def q_lang_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "lang",
         F.explode(
+            # lower(text) let-bound via the lambda variable s (rule 7):
+            # referencing it inline would re-lowercase the whole doc at
+            # every trigram position
             F.expr(
-                "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
-                " i -> substring(lower(text), i, 3))"
+                "element_at(transform(array(lower(text)),"
+                " s -> transform(sequence(1, greatest(length(s) - 2, 0)),"
+                "                i -> substring(s, i, 3))), 1)"
             )
         ).alias("gram"),
     )

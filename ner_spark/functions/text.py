@@ -215,12 +215,36 @@ def fingerprint_md5(col) -> Column:
     return F.md5(normalized_text(col))
 
 
+def let_bound(expr: Column, fn) -> Column:
+    """Evaluate `expr` ONCE per row and pass it to `fn` as a bound
+    lambda variable — Spark SQL's only let-binding (PLANS.md rule 7).
+
+    A higher-order-function lambda that references a captured
+    EXPRESSION re-evaluates it at every element access, and
+    CollapseProject re-inlines pre-projected columns, so neither
+    \"compute it inline\" nor \"select it first\" prevents the
+    per-element re-run. `transform(array(expr), x -> fn(x))[1]` does:
+    the transform's child array is evaluated once, and lambda-variable
+    references are cheap reads.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def shingles(col, k: int = 5) -> Column:
-    """Word k-gram shingles of normalized text (array<string>)."""
-    toks = F.split(normalized_text(col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    """Word k-gram shingles of normalized text (array<string>).
+
+    The token array is let-bound: referencing the split() expression
+    inside the lambda would re-run normalize+split per shingle
+    position (rule-7 pathology).
+    """
+    toks_expr = F.split(normalized_text(col), " ")
+
+    def body(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+    return let_bound(toks_expr, body)
 
 
 def winnow_fingerprint(col, k: int = 5) -> Column:

@@ -49,11 +49,15 @@ def _doc_bigrams(docs: DataFrame, text_col: str = "text",
     """(id, bigram) rows: adjacent token pairs of each document, in
     one exploded projection (order inside the array expression, so no
     window/sort is ever needed)."""
-    toks = X.tokens(text_col)
-    pairs = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda _, i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                 F.element_at(toks, i + 2)),
+    # let-bound (text.let_bound / PLANS.md rule 7): element_at against
+    # the raw tokens() expression would re-run the regex per position
+    pairs = X.let_bound(
+        X.tokens(text_col),
+        lambda toks: F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                     F.element_at(toks, i + 2)),
+        ),
     )
     return docs.select(F.col(id_col), F.explode(pairs).alias("bigram"))
 
@@ -146,11 +150,13 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
     rounds (`bpe_learn`) yields the merge table.
     """
     toks = docs.select(F.explode(X.tokens(text_col)).alias("w"))
-    chars = F.split("w", "")
-    pairs = F.transform(
-        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
-        lambda _, i: F.concat(F.element_at(chars, i + 1), F.lit(" "),
-                              F.element_at(chars, i + 2)),
+    pairs = X.let_bound(
+        F.split("w", ""),
+        lambda chars: F.transform(
+            F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+            lambda _, i: F.concat(F.element_at(chars, i + 1), F.lit(" "),
+                                  F.element_at(chars, i + 2)),
+        ),
     )
     out = (
         toks.select(F.explode(pairs).alias("pair"))
@@ -233,17 +239,19 @@ def paragraphs(docs: DataFrame, text_col: str = "text",
     of each document (the synthetic corpus has no newlines; on a real
     corpus pass the text pre-split on \\n\\n — the downstream dedup is
     unit-agnostic). Output: (id, para_idx, para, para_hash)."""
-    toks = X.tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
-    # guard the token-less doc: sequence(0, -1) would yield [0, -1]
-    # (Spark auto-negates the step), i.e. two phantom paragraphs
-    slices = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def chunks(toks):
+        n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+        # guard the token-less doc: sequence(0, -1) would yield [0, -1]
+        # (Spark auto-negates the step), i.e. two phantom paragraphs
+        return F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    slices = X.let_bound(X.tokens(text_col), chunks)
     return (
         docs.select(F.col(id_col), F.posexplode(slices).alias("para_idx", "para"))
         .withColumn("para_hash", F.md5("para"))
