@@ -1931,6 +1931,104 @@ def q_entity_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate per event type: median absolute deviation
+    (MAD), the standard heavy-tail-safe alternative to z-scores. Two
+    grouped percentile passes (type-keyed aggs over the corpus) with
+    the tiny per-type stats broadcast back; the outlier comparison is
+    INTEGER on both sides (|x_e6 − med_e6| > 3·mad_e6) so no float
+    boundary can flip the count between engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1_000_000, 0).cast("long").alias("v_e6")
+    )
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(v_e6, 0.5)"), 0).cast("long").alias("med_e6")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_e6", F.abs(F.col("v_e6") - F.col("med_e6")).alias("dev_e6")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev_e6, 0.5)"), 0).cast("long").alias("mad_e6")
+    )
+    flagged = dev.select("event_type", "dev_e6").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("dev_e6") > 3 * F.col("mad_e6")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "n_outliers", "med_e6", "mad_e6")
+    )
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over per-customer order
+    totals, fully integer: with x sorted ascending and i = row_number,
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), emitted e6 via the chunked
+    (×1000 twice) exact division — num·1e6 would overflow BIGINT at
+    sf0.1. The window runs over the customer-grain rollup (never the
+    orders fact); ties in x are swap-invariant under row_number, so
+    the sum is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice"), 0).cast("long")).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per_cust.select("x", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return agg.select(
+        "n",
+        "s0",
+        F.expr(
+            "((2 * s1 - (n + 1) * s0) * 1000 div (n * s0)) * 1000"
+            " + (((2 * s1 - (n + 1) * s0) * 1000 % (n * s0)) * 1000)"
+            "   div (n * s0)"
+        ).alias("gini_e6"),
+    )
+
+
+def q_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of suppliers on (account balance,
+    lineitem volume): rows no other supplier dominates on both axes.
+    The dominance check is a self-join against the supplier-grain
+    rollup (supplier-cardinality, not fact-cardinality) followed by a
+    left_anti — the relational skyline. At larger dimension tables the
+    standard refinement is a grid/angular pre-partition so only
+    neighboring cells join; the rollup-first shape is what makes that
+    possible."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    stats = s.join(li, s.s_suppkey == F.col("l_suppkey"), "left").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("acctbal_e2"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("b.acctbal_e2") >= F.col("a.acctbal_e2"))
+        & (F.col("b.n_items") >= F.col("a.n_items"))
+        & (
+            (F.col("b.acctbal_e2") > F.col("a.acctbal_e2"))
+            | (F.col("b.n_items") > F.col("a.n_items"))
+        ),
+    ).select(F.col("a.s_suppkey").alias("s_suppkey")).distinct()
+    return stats.join(dominated, "s_suppkey", "left_anti").select(
+        "s_suppkey", "s_name", "acctbal_e2", "n_items"
+    )
+
+
 def q_signup_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily signup vs purchase counts, FULL OUTER on the day key —
     days where either side is absent survive with a 0 (the join type
@@ -2929,6 +3027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_hour_heatmap": q_dow_hour_heatmap,
         "signup_purchase_daily": q_signup_purchase_daily,
         "revenue_yoy": q_revenue_yoy,
+        "value_mad_outliers": q_value_mad_outliers,
+        "revenue_gini": q_revenue_gini,
+        "supplier_skyline": q_supplier_skyline,
     }
 
 
@@ -4602,6 +4703,76 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN counts ca ON inter.ent_a = ca.entity
             JOIN counts cb ON inter.ent_b = cb.entity
+        """,
+        "value_mad_outliers": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS v_e6
+              FROM events
+            ),
+            med AS (
+              SELECT event_type,
+                     CAST(round(quantile_cont(v_e6, 0.5)) AS BIGINT) AS med_e6
+              FROM e GROUP BY event_type
+            ),
+            dev AS (
+              SELECT e.event_type, abs(v_e6 - med_e6) AS dev_e6
+              FROM e JOIN med ON e.event_type = med.event_type
+            ),
+            mad AS (
+              SELECT event_type,
+                     CAST(round(quantile_cont(dev_e6, 0.5)) AS BIGINT) AS mad_e6
+              FROM dev GROUP BY event_type
+            )
+            SELECT dev.event_type,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN dev_e6 > 3 * mad_e6 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_outliers,
+                   any_value(med_e6) AS med_e6,
+                   any_value(mad.mad_e6) AS mad_e6
+            FROM dev
+            JOIN mad ON dev.event_type = mad.event_type
+            JOIN med ON dev.event_type = med.event_type
+            GROUP BY dev.event_type
+        """,
+        "revenue_gini": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS x
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+              FROM per_cust
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s0,
+                     sum(i * x)::BIGINT AS s1
+              FROM ranked
+            )
+            SELECT n, s0,
+                   (((2 * s1 - (n + 1) * s0)::HUGEINT * 1000000)
+                    // (n * s0)::HUGEINT)::BIGINT AS gini_e6
+            FROM agg
+        """,
+        "supplier_skyline": """
+            WITH li AS (
+              SELECT l_suppkey, count(*)::BIGINT AS n_items
+              FROM lineitem GROUP BY l_suppkey
+            ),
+            stats AS (
+              SELECT s_suppkey, s_name,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_e2,
+                     coalesce(n_items, 0)::BIGINT AS n_items
+              FROM supplier LEFT JOIN li ON s_suppkey = l_suppkey
+            )
+            SELECT s_suppkey, s_name, acctbal_e2, n_items
+            FROM stats a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM stats b
+              WHERE b.acctbal_e2 >= a.acctbal_e2
+                AND b.n_items >= a.n_items
+                AND (b.acctbal_e2 > a.acctbal_e2 OR b.n_items > a.n_items))
         """,
         "signup_purchase_daily": """
             WITH s AS (

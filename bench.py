@@ -171,10 +171,12 @@ def run_scaling() -> dict:
     """North-rule two-cluster-size evidence: same job, N vs 4N cores,
     fresh JVM each (subprocess), strong-scaling efficiency.
 
-    The levels are probed in ALTERNATING order ([lo, hi, lo, hi]) and
-    the min wall per level wins: this VM's background noise drifts on
-    the minutes scale, so a single probe per level can flatter either
-    side — interleaving cancels the drift.
+    The levels are probed as temporally ADJACENT [lo, hi] pairs and
+    the reported efficiency is the MEDIAN of per-pair ratios: this
+    VM's background noise drifts on the minutes scale, so within a
+    pair both levels see the same environment (the ratio is stable)
+    while the median across pairs drops a wholly-bad window. Pooled
+    min-of-all-reps is also reported (sec_low / sec_high).
 
     N -> 4N is probed at (CPUS/16, CPUS/4) — 2 -> 8 on this box — not
     (8, 32): this single-socket VM's memory bandwidth saturates well
@@ -198,16 +200,24 @@ def run_scaling() -> dict:
     # (4,16) to (2,8); 16- and 32-thread levels are reported in the
     # `saturation` block instead of silently pulling the ratio down.
     lo, hi = max(CPUS // 16, 2), max(CPUS // 4, 8)
+    # PAIRED estimator: probe [lo, hi] as temporally ADJACENT pairs and
+    # take the MEDIAN of per-pair efficiency ratios. This VM's external
+    # noise drifts on the minutes scale; a pooled min-of-all-reps needs
+    # BOTH levels to hit their floor somewhere in the ~25-minute window
+    # — one noisy stretch starves one level and the recorded ratio
+    # swings ±0.2 run-to-run (measured 0.75 vs 0.94 on identical code).
+    # Within an adjacent pair the two levels see the same noise
+    # environment, so the pair ratio is stable, and the median across
+    # pairs drops a wholly-bad window. EQUAL reps per level per pair —
+    # the min estimator is biased low by sample count, so an unequal
+    # split would tilt the ratio by construction.
+    pairs = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "3"))
     best: dict[int, dict] = {}
     all_runs: dict[int, list] = {}
-    # EQUAL reps per level: the min-of-reps estimator is biased low by
-    # sample count, so giving one level more reps than the other would
-    # tilt the efficiency ratio by construction (round 2 measured the
-    # 3-vs-4 split understating lo by ~8%). 4 reps reaches the floor
-    # on both levels (JIT + page-cache ramp included).
-    reps = {lo: "4", hi: "4"}
-    for c in (lo, hi, lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_PROBE_REPS=reps[c])
+    pair_ratios: list[float] = []
+
+    def _probe(c: int) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_PROBE_REPS="3")
         r = subprocess.run(
             [sys.executable, __file__, "--scale-probe", str(c)],
             capture_output=True,
@@ -225,9 +235,16 @@ def run_scaling() -> dict:
         all_runs.setdefault(c, []).extend(probe["runs"])
         if c not in best or probe["sec"] < best[c]["sec"]:
             best[c] = probe
+        return probe
+
+    for _ in range(pairs):
+        p_lo = _probe(lo)
+        p_hi = _probe(hi)
+        pair_ratios.append((p_lo["sec"] / p_hi["sec"]) / (hi / lo))
+    pair_ratios.sort()
+    eff = pair_ratios[len(pair_ratios) // 2]
     tps_lo = best[lo]["triples"] / best[lo]["sec"]
     tps_hi = best[hi]["triples"] / best[hi]["sec"]
-    eff = (best[lo]["sec"] / best[hi]["sec"]) / (hi / lo)
     # document the full-box level too: ABOVE the linear region (memory
     # bandwidth ceiling, see docstring), so it is evidence of the
     # box's limit, not of the job's scalability
@@ -267,7 +284,10 @@ def run_scaling() -> dict:
         "cpu_pinned": True,
         "triples_per_sec_low": round(tps_lo, 1),
         "triples_per_sec_high": round(tps_hi, 1),
+        # median of per-adjacent-pair ratios (see docstring); the
+        # per-pair values are part of the record
         "scaling_efficiency": round(eff, 4),
+        "pair_efficiencies": [round(x, 4) for x in sorted(pair_ratios)],
         "saturation": saturation,
     }
 
