@@ -1931,6 +1931,66 @@ def q_entity_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the product-analytics ratio whose
+    naive form is a sliding count-distinct window (unbounded state).
+    Rewrite: the (user, day) incidence — already deduped, date-compact
+    — is EXPLODED into its 7 trailing coverage days, so WAU is a plain
+    groupBy count-distinct and no window ever holds per-user state.
+    Days 1-6 have a partial trailing week by construction; they are
+    kept (their WAU covers the days that exist), matching the oracle.
+    """
+    e = _t(spark, sf_dir, "events")
+    inc = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = inc.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = inc.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("cover_day"),
+    )
+    wau = (
+        cover.groupBy(F.col("cover_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_e6"),
+        )
+    )
+
+
+def q_zipf_rank_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-size check over the vocabulary: for the top-20 tokens,
+    rank x count as a fraction of the top token's count (r·n_r/n_1,
+    e6 integer) — flat near 1e6 means Zipfian, no log-log regression
+    (and no floats) needed. Corpus reduces to the vocab-sized count
+    table; windows touch only that."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        "tok", "n", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 20)
+    top1 = ranked.filter(F.col("rank") == 1).select(F.col("n").alias("n1"))
+    return ranked.join(F.broadcast(top1)).select(
+        "rank",
+        "tok",
+        "n",
+        F.expr("rank * n * 1000000 div n1").alias("rank_size_e6"),
+    )
+
+
 def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier gate per event type: median absolute deviation
     (MAD), the standard heavy-tail-safe alternative to z-scores. Two
@@ -3030,6 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mad_outliers": q_value_mad_outliers,
         "revenue_gini": q_revenue_gini,
         "supplier_skyline": q_supplier_skyline,
+        "dau_wau_stickiness": q_dau_wau_stickiness,
+        "zipf_rank_size": q_zipf_rank_size,
     }
 
 
@@ -4703,6 +4765,41 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN counts ca ON inter.ent_a = ca.entity
             JOIN counts cb ON inter.ent_b = cb.entity
+        """,
+        "dau_wau_stickiness": """
+            WITH inc AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events
+            ),
+            dau AS (SELECT day, count(*)::BIGINT AS dau FROM inc GROUP BY day),
+            cover AS (
+              SELECT user_id, day + i::INTEGER AS cover_day
+              FROM inc, unnest(range(0, 7)) AS t(i)
+            ),
+            wau AS (
+              SELECT cover_day AS day, count(DISTINCT user_id)::BIGINT AS wau
+              FROM cover GROUP BY cover_day
+            )
+            SELECT CAST(dau.day AS TIMESTAMP) AS day, dau, wau,
+                   (dau * 1000000 // wau)::BIGINT AS stickiness_e6
+            FROM dau JOIN wau ON dau.day = wau.day
+        """,
+        "zipf_rank_size": f"""
+            WITH counts AS (
+              SELECT tok, count(*)::BIGINT AS n
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY tok
+            ),
+            ranked AS (
+              SELECT tok, n,
+                     row_number() OVER (ORDER BY n DESC, tok ASC)::BIGINT AS rank
+              FROM counts
+            ),
+            top1 AS (SELECT n AS n1 FROM ranked WHERE rank = 1)
+            SELECT rank, tok, n,
+                   (rank * n * 1000000 // n1)::BIGINT AS rank_size_e6
+            FROM ranked, top1 WHERE rank <= 20
         """,
         "value_mad_outliers": """
             WITH e AS (
