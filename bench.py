@@ -211,7 +211,7 @@ def run_scaling() -> dict:
     # pairs drops a wholly-bad window. EQUAL reps per level per pair —
     # the min estimator is biased low by sample count, so an unequal
     # split would tilt the ratio by construction.
-    pairs = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "3"))
+    pairs = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "5"))
     best: dict[int, dict] = {}
     all_runs: dict[int, list] = {}
     pair_ratios: list[float] = []
@@ -287,6 +287,9 @@ def run_scaling() -> dict:
         # median of per-adjacent-pair ratios (see docstring); the
         # per-pair values are part of the record
         "scaling_efficiency": round(eff, 4),
+        # the min pair is the adversarial reading of the same record —
+        # reported so the median cannot hide a bad window
+        "scaling_efficiency_min": round(pair_ratios[0], 4),
         "pair_efficiencies": [round(x, 4) for x in sorted(pair_ratios)],
         "saturation": saturation,
     }
@@ -330,9 +333,17 @@ def main() -> None:
         synth.synth_files(spark, kg_files, parallelism=max(CPUS * 4, 32)).write.mode(
             "overwrite"
         ).parquet(kg_path)
-    t0 = time.perf_counter()
-    _noop(_kg_job(spark, kg_path))
-    kg_sec = time.perf_counter() - t0
+    # min-of-3: the flagship number must not be a single-shot sample on
+    # a VM with documented ±30% noise bursts (round-2 recorded 8.17 s
+    # for a job whose steady state is ~1 s; the full per-rep spread is
+    # part of the record)
+    kg_runs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _noop(_kg_job(spark, kg_path))
+        kg_runs.append(time.perf_counter() - t0)
+    kg_sec = min(kg_runs)
     n_triples = _kg_job(spark, kg_path).count()
     timings["kg_triples"] = round(kg_sec, 3)
     spark.stop()

@@ -59,18 +59,28 @@ def apply_map(df: DataFrame, vocab: DataFrame, token_col: str,
 
     `coalesce(id, unk_id)` reproduces `d.get(tok, d['<UNK>'])`
     (my_ner.py:364-367). Broadcast keeps this shuffle-free at any corpus
-    size; the dictionary side is the small one by construction.
+    size; the dictionary side is the small one by construction. Fully
+    lazy: the UNK id rides along as a broadcast one-row crossJoin (same
+    pattern as `union_vocab`) instead of a driver `.collect()`, so the
+    lookup composes into larger plans without triggering a job. A vocab
+    with no `default_token` row yields a null `_unk_id`, which coalesce
+    ignores — unmapped tokens then stay null, the pre-rewrite behavior.
     """
-    unk_row = vocab.filter(F.col("token") == default_token).select("id").collect()
-    unk_id = unk_row[0][0] if unk_row else None
-    joined = df.join(
-        F.broadcast(vocab.withColumnRenamed("token", token_col).withColumnRenamed("id", out_col)),
-        on=token_col,
-        how="left",
+    unk_df = vocab.filter(F.col("token") == default_token).agg(
+        F.max("id").alias("_unk_id")
     )
-    if unk_id is not None:
-        joined = joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(unk_id)))
-    return joined
+    return (
+        df.join(
+            F.broadcast(
+                vocab.withColumnRenamed("token", token_col).withColumnRenamed("id", out_col)
+            ),
+            on=token_col,
+            how="left",
+        )
+        .crossJoin(F.broadcast(unk_df))
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("_unk_id")))
+        .drop("_unk_id")
+    )
 
 
 def union_vocab(old: DataFrame, new_tokens: DataFrame, token_col: str = "token") -> DataFrame:
@@ -80,7 +90,11 @@ def union_vocab(old: DataFrame, new_tokens: DataFrame, token_col: str = "token")
     Fully lazy: the next-id offset rides along as a broadcast one-row
     crossJoin instead of a driver `.collect()`, so building the union
     triggers no job of its own and composes into larger plans."""
-    start_df = old.agg((F.max("id") + 1).alias("_start"))
+    # coalesce: on an EMPTY `old`, max(id) is null and every fresh token
+    # would silently get id = null — fresh ids start at 0 instead
+    start_df = old.agg(
+        F.coalesce(F.max("id") + 1, F.lit(0).cast("long")).alias("_start")
+    )
     fresh = (
         new_tokens.select(F.col(token_col).alias("token"))
         .distinct()
@@ -193,17 +207,21 @@ def build_radical_map_w2v(
         .select("char", F.col("radical").alias("rad_index"))
     )
     names = radical_name_map(radindex, rad_vocab).select("rad_index", "rad_vocab_id")
-    notzh_id = (
-        rad_vocab.filter(F.col("token") == notzh).select("id").collect()[0][0]
+    # lazy one-row broadcast for the <notZh> fallback id (no driver
+    # collect — same pattern as union_vocab/apply_map); a rad_vocab
+    # missing `notzh` leaves unresolvable chars null rather than raising
+    notzh_df = rad_vocab.filter(F.col("token") == notzh).agg(
+        F.max("id").alias("_notzh_id")
     )
     return (
         vocab.withColumnRenamed("token", "char")
         .join(F.broadcast(uni), "char", "left")
         .join(F.broadcast(names), "rad_index", "left")
+        .crossJoin(F.broadcast(notzh_df))
         .select(
             "char",
             "id",
-            F.coalesce(F.col("rad_vocab_id"), F.lit(notzh_id))
+            F.coalesce(F.col("rad_vocab_id"), F.col("_notzh_id"))
             .cast("long")
             .alias("rad_vocab_id"),
         )

@@ -21,8 +21,12 @@ Scale shape per iteration: one broadcast-able join (ranks are
 node-sized, edges corpus-sized) + one groupBy(dst) shuffle with
 map-side partial sums. Fixed iteration count — rank deltas, not
 convergence detection, so no driver action inside the loop.
-Overflow headroom: sum(contrib) <= SCALE * n_nodes, so BIGINT holds
-up to ~9e6 nodes at SCALE=1e12; drop SCALE for larger graphs.
+Overflow headroom: the update computes sum(contrib) * 17 BEFORE the
+div 20, and sum(contrib) over one node's in-edges is bounded by the
+total rank mass SCALE * n_nodes, so BIGINT requires
+17 * SCALE * n_nodes < 2^63 — i.e. ~5.4e5 nodes at the default
+SCALE=1e12. Pass a smaller `scale` for larger graphs (each factor of
+1000 off SCALE buys 1000x the nodes at 3 fewer exact digits).
 """
 
 from __future__ import annotations
@@ -40,6 +44,8 @@ def pagerank_int(
     dst_col: str = "dst",
     weight_col: str | None = None,
     n_iter: int = 3,
+    scale: int = SCALE,
+    n_nodes_hint: int | None = None,
 ) -> DataFrame:
     """(node, rank) after `n_iter` exact-integer PageRank rounds.
 
@@ -47,7 +53,19 @@ def pagerank_int(
     graph). Node set = all endpoints. Duplicate edges count double by
     design; `weight_col` (integer) generalizes that to weighted edges:
     contrib = (rank div sum-of-weights) * w, still exact-integer.
+
+    `scale` is the fixed-point scale; exactness requires
+    17 * scale * n_nodes < 2^63 (see module docstring). Pass
+    `n_nodes_hint` (known node count — cheap for a materialized KG)
+    to fail loudly instead of silently wrapping past that bound; the
+    guard is driver-side arithmetic only, no extra job.
     """
+    if n_nodes_hint is not None and 17 * scale * n_nodes_hint >= 2**63:
+        raise ValueError(
+            f"BIGINT overflow: 17 * scale({scale}) * n_nodes({n_nodes_hint})"
+            f" >= 2^63; lower `scale` (each 1000x off buys 1000x nodes)"
+        )
+    base = scale * 3 // 20
     wexpr = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
@@ -69,13 +87,13 @@ def pagerank_int(
     )
     ew = real.unionByName(selfs)
 
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(n_iter):
         contrib = ew.join(ranks, ew.src == ranks.node).select(
             "dst", (F.expr("rank div deg") * F.col("w")).alias("c")
         )
         ranks = contrib.groupBy("dst").agg(
-            (F.lit(BASE) + F.expr("sum(c) * 17 div 20")).alias("rank")
+            (F.lit(base) + F.expr("sum(c) * 17 div 20")).alias("rank")
         ).withColumnRenamed("dst", "node")
     return ranks
 

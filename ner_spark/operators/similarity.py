@@ -193,9 +193,10 @@ def lsh_topk(
 def exact_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.35,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — exact.
 
@@ -212,8 +213,13 @@ def exact_near_pairs(
       each unordered pair lands in exactly one of the B(B+1)/2 tiles),
       one Arrow-batched GEMM per tile (numpy float64, ~100x the fold's
       throughput). No driver collect, no broadcast of a full side: a
-      tile holds 2n/B vectors, so memory per task is bounded and B
-      scales with sqrt(n) on a real cluster.
+      tile holds 2n/B vectors, so memory per task is bounded. B is
+      DERIVED from the corpus size when not supplied —
+      B = max(16, ceil(n / rows_per_block)) via one count() — so a
+      block row (one collect_list of n/B vectors) stays ~rows_per_block
+      vectors (8192 x dim-768 float64 ~= 50 MB), far from the 2 GB
+      array/Arrow ceiling at ANY n; pass n_blocks explicitly to skip
+      the count when n is already known.
     verify — survivors (a ~1e-4 fraction at the p99.9 threshold) are
       re-scored with the sequential float64 fold, which matches
       DuckDB's list_dot_product bit-for-bit — the GEMM's summation
@@ -224,8 +230,13 @@ def exact_near_pairs(
     The sublinear paths for thresholds where pruning IS possible are
     embedding_near_dups (sign-LSH, >= 0.9) and ivf_topk (IVF).
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(16, math.ceil(corpus.count() / rows_per_block))
 
     margin = 2.0 / (10**ROUND)
     v = corpus.select(

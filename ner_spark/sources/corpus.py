@@ -221,14 +221,25 @@ def read_w2v_text(spark: SparkSession, path: str) -> DataFrame:
     The header is dropped structurally (fewer than 3 fields), not by
     position, so the filter is order-independent; the line-order window
     is the same dictionary-size-only global sort as the other readers.
+
+    Line order: within one file, monotonically_increasing_id follows
+    split order (partition index tracks byte offset), so ids are
+    correct for the canonical single-file case. If `path` is a
+    directory/glob of several files the order window sorts by
+    (file name, offset) — i.e. files contribute ids in LEXICOGRAPHIC
+    file-name order, which is deterministic but only matches the
+    intended vector order if the file names sort that way (gensim
+    writes a single file; shard readers should name shards
+    zero-padded).
     """
     lines = (
         spark.read.text(path)
         .select(F.col("value").alias("line"))
+        .withColumn("src_file", F.input_file_name())
         .withColumn("line_id", F.monotonically_increasing_id())
     )
     parts = F.split(F.regexp_replace(F.col("line"), r"^\s+|\s+$", ""), r"\s+")
-    w = Window.orderBy("line_id")
+    w = Window.orderBy("src_file", "line_id")
     return (
         lines.withColumn("_parts", parts)
         .filter(F.size("_parts") >= 3)

@@ -407,6 +407,17 @@ def test_exact_near_pairs_matches_brute_force(spark):
     }
     assert got7 == want
 
+    # derived n_blocks: a forced-tiny rows_per_block must push B past
+    # the floor (60 rows / 2 => 30 blocks > 16) and still be exact —
+    # this is the 2 GB-ceiling guard (n_blocks scales with corpus size)
+    got_auto = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.exact_near_pairs(
+            v, threshold=0.35, rows_per_block=2
+        ).collect()
+    }
+    assert got_auto == want
+
 
 # ---------------------------------------------------------------------------
 # kmeans_iteration (exact-integer Lloyd step)

@@ -86,3 +86,34 @@ def test_dummy_radical_all_zero(spark):
     vocab = D.build_map(_tokens_df(spark))
     got = D.dummy_radical_map(vocab).agg(F.sum("radical")).first()[0]
     assert got == 0
+
+
+def test_union_vocab_empty_old_starts_at_zero(spark):
+    """Empty old vocab: fresh ids start at 0 (not silent nulls from a
+    null max(id) — ADVICE r2)."""
+    old = spark.createDataFrame([], "token string, id long")
+    new = spark.createDataFrame([("b",), ("a",)], "token string")
+    got = {r["token"]: r["id"] for r in D.union_vocab(old, new).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_apply_map_is_lazy_no_job(spark):
+    """apply_map must not trigger a driver collect: building the plan
+    registers zero jobs (the UNK id rides as a broadcast crossJoin)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    vocab = spark.createDataFrame([("x", 0), ("<UNK>", 1)], "token string, id long")
+    df = spark.createDataFrame([("x",), ("zz",)], "token string")
+    out = D.apply_map(df, vocab, "token", "tid")  # plan only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+    got = {r["token"]: r["tid"] for r in out.collect()}
+    assert got == {"x": 0, "zz": 1}
+
+
+def test_apply_map_missing_default_leaves_null(spark):
+    vocab = spark.createDataFrame([("x", 0)], "token string, id long")
+    df = spark.createDataFrame([("zz",)], "token string")
+    got = D.apply_map(df, vocab, "token", "tid").collect()[0]
+    assert got["tid"] is None

@@ -266,3 +266,16 @@ def test_build_new_map_w2v_order_then_corpus_then_sentinels(spark, w2v_text_file
     assert got["字"] < got["新"]
     # sentinels come last, in list order (withW2V.py:114-117)
     assert got["<UNK>"] == 6 and got["<PAD>"] == 7
+
+
+def test_read_w2v_text_multi_file_lexicographic(spark, tmp_path):
+    """A directory of shard files yields ids in lexicographic file-name
+    order (zero-padded shards), each header dropped structurally."""
+    d = tmp_path / "w2v_shards"
+    d.mkdir()
+    (d / "part-00.txt").write_text("2 2\naa 1.0 2.0\nbb 3.0 4.0\n")
+    (d / "part-01.txt").write_text("1 2\ncc 5.0 6.0\n")
+    rows = S.read_w2v_text(spark, str(d)).orderBy("w2v_id").collect()
+    assert [(r["w2v_id"], r["token"]) for r in rows] == [
+        (0, "aa"), (1, "bb"), (2, "cc")
+    ]
