@@ -234,12 +234,36 @@ def q_cooccurs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16 traditional chars (all in the t2s table) keyed by md5 hex digit —
+# turns the ASCII corpus into deterministic per-row traditional text so
+# the conversion actually FIRES on every row (round-2 ran t2s over raw
+# ASCII, where translate was a no-op and the oracle check was vacuous).
+_T2S_HEX16 = "萬億貝見車長門馬鳥魚龍風雲電書學"
+# fixed suffix exercising every conversion class: protected phrases
+# (乾隆, 狼藉, 瞭望 keep their trad chars), a compositional phrase
+# (鞦韆→秋千), plain table chars (乾燥→干燥, 藉口→借口, 後邊→后边),
+# and pass-through chars (年, 口)
+_T2S_SUFFIX = "乾隆年間狼藉瞭望鞦韆乾燥藉口後邊"
+
+
 def q_t2s_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 traditional->simplified conversion (chinese_t2s.py:41-50) as
-    a per-document projection; non-Chinese rows pass through unchanged
-    (checked exactly — the oracle mirrors the translate table)."""
+    """P4 traditional->simplified conversion (chinese_t2s.py:41-50),
+    OpenCC-shaped: phrase layer (longest match, incl. protective
+    phrases) over an ~800-pair char table. The input column is
+    deterministic traditional text derived from each row's md5 (the
+    corpus itself is ASCII), so every row exercises the table AND the
+    phrase/protection logic; the oracle rebuilds the identical input
+    and conversion chain from the same tables."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", X.t2s("text").alias("simplified"))
+    trad = F.concat(
+        F.translate(F.md5("text"), "0123456789abcdef", _T2S_HEX16),
+        F.lit(_T2S_SUFFIX),
+    )
+    return d.select(
+        "doc_id",
+        trad.alias("trad_text"),
+        X.t2s(trad).alias("simplified"),
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,6 +1513,73 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _adjacency_edges(spark, sf_dir)
     return pagerank_int(adj, weight_col="n", n_iter=3).select(
         F.col("node").alias("entity"), F.col("rank").alias("pagerank")
+    )
+
+
+def q_w2v_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: END-TO-END Word2Vec training over the corpus (w2v.ipynb
+    cells 2-4: gensim Word2Vec(sentences, size, window, min_count) ->
+    pyspark.ml.feature.Word2Vec), emitting the trained model's
+    vocabulary joined with corpus frequencies. The vocab side is
+    exactly reproducible (tokens with count >= minCount), so the oracle
+    proves the TRAINED MODEL selected the right vocabulary; the vector
+    values themselves are seed-deterministic but not SQL-expressible —
+    their properties (determinism, finite non-zero norms, neighbor
+    structure) are pinned in tests/test_w2v_train.py. Scale shape:
+    tokenization is one codegen projection; ml.Word2Vec fit is the
+    standard distributed skip-gram (driver-held vocab, executor-side
+    gradient batches)."""
+    from pyspark.ml.feature import Word2Vec
+
+    d = _docs(spark, sf_dir).select("doc_id", X.tokens("text").alias("toks"))
+    model = Word2Vec(
+        vectorSize=16, windowSize=5, minCount=5, maxIter=1, seed=42,
+        numPartitions=1, inputCol="toks", outputCol="v",
+    ).fit(d)
+    vocab = model.getVectors().select(F.col("word").alias("token"))
+    counts = (
+        d.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return vocab.join(counts, "token")
+
+
+# Fixed merge list for the bpe_encode query — the shape of a shipped
+# tokenizer artifact (learned offline, applied at corpus scale). The
+# entries are multi-level on purpose: "th e" consumes the output of
+# "t h", and "o r" starves "s t" inside `sort` — both sequencing
+# behaviors the oracle must reproduce.
+_BPE_MERGES = ["t h", "th e", "e r", "a t", "a n", "o r", "s t"]
+
+
+def _bpe_encode_sql(word_expr: str, merges: list[str]) -> str:
+    """DuckDB twin of lm.bpe_encode_word, generated from the SAME merge
+    list: delimited symbol string -> chained literal replaces ->
+    list<symbol>. replace() is left-to-right non-overlapping in both
+    engines, which is exactly greedy BPE."""
+    from ner_spark.operators.lm import BPE_SEP as US
+
+    s = f"rtrim(regexp_replace({word_expr}, '(.)', '{US}\\1{US} ', 'g'))"
+    for pair in merges:
+        a, b = pair.split(" ")
+        s = f"replace({s}, '{US}{a}{US} {US}{b}{US}', '{US}{a}{b}{US}')"
+    return f"string_split(replace({s}, '{US}', ''), ' ')"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a learned BPE merge list to the whole corpus (the encode
+    half of tokenizer training; lm.bpe_learn is the learn half) and
+    report the global symbol histogram. Scale shape: the encode is a
+    chain of literal replaces inside one codegen projection — zero
+    Python, zero shuffle before the final symbol agg."""
+    from ner_spark.operators import lm
+
+    enc = lm.bpe_encode(_docs(spark, sf_dir), _BPE_MERGES)
+    return (
+        enc.select(F.explode("bpe_tokens").alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -3078,6 +3169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "gopher_quality_flags": q_gopher_quality_flags,
         "bpe_merge_step": q_bpe_merge_step,
+        "bpe_encode": q_bpe_encode,
+        "w2v_train_vocab": q_w2v_train_vocab,
         "market_basket": q_market_basket,
         "running_distinct_users": q_running_distinct_users,
         "simpson_diversity": q_simpson_diversity,
@@ -3412,10 +3505,17 @@ def oracle_sql() -> dict[str, str]:
             FROM fe a JOIN fe b ON a.doc_id = b.doc_id AND a.entity < b.entity
         """,
         "lang_id": f"SELECT doc_id, {_LANG_CASE} AS pred_lang FROM documents",
-        "t2s_text": (
-            "SELECT doc_id, translate(text, "
-            f"'{X._T2S_TRAD}', '{X._T2S_SIMP}') AS simplified FROM documents"
-        ),
+        "t2s_text": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     translate(md5(text), '0123456789abcdef', '{_T2S_HEX16}')
+                       || '{_T2S_SUFFIX}' AS trad_text
+              FROM documents
+            )
+            SELECT doc_id, trad_text,
+                   {X.t2s_sql('trad_text')} AS simplified
+            FROM t
+        """,
         "quality_score": """
             WITH f AS (
               SELECT doc_id,
@@ -4442,6 +4542,19 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+        """,
+        "w2v_train_vocab": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            w AS (SELECT unnest(ts) AS token FROM t)
+            SELECT token, count(*)::BIGINT AS n
+            FROM w GROUP BY token HAVING count(*) >= 5
+        """,
+        "bpe_encode": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            w AS (SELECT unnest(ts) AS w FROM t),
+            e AS (SELECT {_bpe_encode_sql('w', _BPE_MERGES)} AS syms FROM w),
+            s AS (SELECT unnest(syms) AS sym FROM e)
+            SELECT sym, count(*)::BIGINT AS n FROM s GROUP BY sym
         """,
         "paragraph_dedup": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

@@ -67,35 +67,126 @@ def char_split(col) -> Column:
 
 # ---- traditional -> simplified (P4, chinese_t2s.py:22,41-50) ---------------
 
-# Curated 1:1 traditional->simplified pairs (public Unicode knowledge).
-# The reference shells out to OpenCC; that dependency is unavailable
-# here, so the operator ships a built-in subset covering the frequent
-# single-char conversions and stays a zero-copy JVM translate(). For
-# full OpenCC parity (incl. one-to-many phrases) feed an external
-# conversion table through operators.dictionary.transliterate — same
-# relational plan, table-driven.
-_T2S_TRAD = (
-    "萬億貝見車長門馬鳥魚龍風雲電書學寫聽說讀話語誰請謝對時間問題國圖員圓"
-    "買賣錢銀鐵錯難雞離飛點熱愛體發頭頁順須顧簡紙級紅綠線經給結絲網這進遠"
-    "還邊過連東樂為麼來個們從會動務勞勝區醫華協單號處備復雜裡禮歷曆廠廣"
+# Curated traditional->simplified pairs (public knowledge: the 简化字总表
+# simplification mappings OpenCC's TSCharacters encodes). Each entry is
+# one "<trad><simp>" pair; validated at import (1:1, no duplicate trads,
+# no identity pairs). The reference shells out to OpenCC
+# (chinese_t2s.py:22); that dependency is unavailable here, so the
+# operator ships this ~800-char table plus the phrase layer below. A
+# full external OpenCC table drops in through the same two hooks
+# (`T2S_PHRASES` + the pair table) or relationally through
+# operators.dictionary.transliterate.
+_T2S_PAIRS = (
+    "萬万 億亿 貝贝 見见 車车 長长 門门 馬马 鳥鸟 魚鱼 龍龙 風风 雲云 電电 書书 學学 "
+    "寫写 聽听 說说 讀读 話话 語语 誰谁 請请 謝谢 對对 時时 間间 問问 題题 國国 圖图 "
+    "員员 圓圆 買买 賣卖 錢钱 銀银 鐵铁 錯错 難难 雞鸡 離离 飛飞 點点 熱热 愛爱 體体 "
+    "發发 頭头 頁页 順顺 須须 顧顾 簡简 紙纸 級级 紅红 綠绿 線线 經经 給给 結结 絲丝 "
+    "網网 這这 進进 遠远 還还 邊边 過过 連连 東东 樂乐 為为 麼么 來来 個个 們们 從从 "
+    "會会 動动 務务 勞劳 勝胜 區区 醫医 華华 協协 單单 號号 處处 備备 復复 雜杂 裡里 "
+    "禮礼 歷历 曆历 廠厂 廣广 與与 專专 業业 嚴严 豐丰 臨临 麗丽 舉举 義义 烏乌 習习 "
+    "鄉乡 亂乱 爭争 虧亏 亞亚 產产 親亲 僅仅 倉仓 儀仪 價价 倫伦 偉伟 傳传 傷伤 儉俭 "
+    "僑侨 償偿 優优 傘伞 兒儿 兌兑 黨党 蘭兰 關关 興兴 養养 獸兽 內内 岡冈 冊册 軍军 "
+    "農农 馮冯 衝冲 決决 況况 凍冻 淨净 涼凉 減减 湊凑 幾几 鳳凤 憑凭 凱凯 擊击 劃划 "
+    "劉刘 則则 剛刚 創创 刪删 劑剂 劇剧 勸劝 辦办 勵励 勁劲 勢势 匯汇 彙汇 盧卢 臥卧 "
+    "衛卫 廳厅 厭厌 廁厕 廈厦 廚厨 廟庙 廢废 廬庐 龐庞 縣县 參参 雙双 變变 敘叙 疊叠 "
+    "葉叶 嘆叹 嗎吗 嗚呜 響响 啞哑 噸吨 啟启 吳吴 嘔呕 嘩哗 嚇吓 團团 園园 圍围 聖圣 "
+    "場场 壞坏 塊块 堅坚 壇坛 報报 塗涂 墊垫 壓压 壘垒 墳坟 壟垄 壩坝 鹽盐 壯壮 聲声 "
+    "殼壳 壺壶 壽寿 夠够 夢梦 夾夹 奪夺 奮奋 妝妆 婦妇 媽妈 嬰婴 嬌娇 孫孙 寧宁 寶宝 "
+    "實实 寵宠 審审 憲宪 寬宽 賓宾 尋寻 導导 將将 爾尔 塵尘 嘗尝 層层 屬属 屢屡 嶼屿 "
+    "歲岁 豈岂 嶺岭 峽峡 嶄崭 島岛 帥帅 師师 幫帮 帶带 幀帧 幣币 幹干 乾干 並并 莊庄 "
+    "慶庆 庫库 應应 開开 異异 棄弃 張张 彌弥 彎弯 彈弹 歸归 當当 錄录 徹彻 徑径 後后 "
+    "徵征 憶忆 憂忧 懷怀 態态 願愿 懼惧 憐怜 總总 惡恶 懇恳 惱恼 憤愤 慣惯 慘惨 慮虑 "
+    "慾欲 戀恋 戶户 執执 擴扩 掃扫 揚扬 擾扰 撫抚 搶抢 護护 擔担 擬拟 攏拢 揀拣 擁拥 "
+    "攔拦 擰拧 撥拨 擇择 掛挂 摯挚 挾挟 撓挠 擋挡 掙挣 擠挤 揮挥 撈捞 損损 撿捡 換换 "
+    "搗捣 據据 擲掷 摻掺 攬揽 攙搀 擱搁 摟搂 攪搅 攜携 攝摄 攤摊 敵敌 斂敛 數数 齋斋 "
+    "鬥斗 斬斩 斷断 無无 舊旧 曠旷 昇升 晝昼 曬晒 曉晓 暈晕 術术 樸朴 機机 殺杀 權权 "
+    "條条 楊杨 傑杰 極极 構构 樞枢 棗枣 槍枪 楓枫 檸柠 標标 棧栈 棟栋 櫥橱 樣样 欄栏 "
+    "樹树 檔档 桿杆 橋桥 槳桨 樁桩 檢检 櫃柜 歐欧 歡欢 軟软 殘残 毆殴 畢毕 斃毙 氣气 "
+    "氫氢 漢汉 湯汤 洶汹 溝沟 滄沧 滬沪 淚泪 瀉泻 潑泼 澤泽 潔洁 灑洒 淺浅 漿浆 澆浇 "
+    "濁浊 測测 濟济 瀏浏 渾浑 濃浓 濤涛 澇涝 渦涡 滌涤 潤润 澗涧 漲涨 澀涩 淵渊 漬渍 "
+    "漸渐 漁渔 滲渗 遊游 灣湾 濕湿 潰溃 濺溅 滿满 滯滞 濾滤 濫滥 濱滨 灘滩 瀾澜 滅灭 "
+    "燈灯 靈灵 災灾 燦灿 爐炉 煉炼 熾炽 爍烁 爛烂 燭烛 煙烟 煩烦 燒烧 燴烩 燙烫 爺爷 "
+    "牽牵 犧牺 狀状 猶犹 狽狈 獨独 狹狭 獅狮 獄狱 獵猎 豬猪 貓猫 獻献 瑪玛 環环 現现 "
+    "瑣琐 瓊琼 畫画 暢畅 療疗 鬆松 瘋疯 癱瘫 癢痒 皺皱 盞盏 監监 蓋盖 盜盗 盤盘 眾众 "
+    "礦矿 碼码 磚砖 礎础 碩硕 確确 礙碍 禍祸 禪禅 種种 積积 稱称 穩稳 窮穷 竊窃 竄窜 "
+    "窩窝 豎竖 競竞 筆笔 籠笼 築筑 篩筛 籌筹 簽签 籃篮 類类 糧粮 緊紧 糾纠 纖纤 約约 "
+    "紀纪 緯纬 純纯 紗纱 綱纲 納纳 縱纵 紛纷 紋纹 紡纺 紐纽 練练 組组 紳绅 細细 織织 "
+    "終终 紹绍 綁绑 絨绒 繞绕 繪绘 絡络 統统 績绩 繼继 繩绳 維维 綿绵 綢绸 綜综 緬缅 "
+    "緩缓 締缔 編编 緣缘 縫缝 纏缠 縮缩 纜缆 罰罚 罵骂 罷罢 羅罗 聳耸 恥耻 聾聋 職职 "
+    "聯联 聰聪 肅肃 腸肠 膚肤 腫肿 脹胀 膽胆 膠胶 脈脉 腦脑 腳脚 臉脸 騰腾 艦舰 艙舱 "
+    "艱艰 艷艳 藝艺 節节 蒼苍 蘇苏 蘋苹 莖茎 薦荐 蕩荡 榮荣 藥药 蓮莲 獲获 蘿萝 營营 "
+    "薩萨 蔣蒋 藍蓝 蟲虫 雖虽 蝦虾 蟻蚁 螞蚂 蠶蚕 蠅蝇 補补 襯衬 襲袭 裝装 製制 複复 "
+    "觀观 規规 視视 覽览 覺觉 觸触 計计 訂订 認认 討讨 讓让 訓训 議议 訊讯 記记 講讲 "
+    "許许 論论 設设 訪访 證证 評评 識识 訴诉 詞词 譯译 試试 詩诗 誠诚 該该 詳详 誤误 "
+    "諸诸 諾诺 課课 談谈 調调 謀谋 謂谓 謎谜 譜谱 貞贞 負负 貢贡 財财 責责 賢贤 敗败 "
+    "賬账 貨货 質质 販贩 貪贪 貧贫 購购 貫贯 賤贱 貼贴 貴贵 貸贷 貿贸 費费 賀贺 資资 "
+    "賞赏 賠赔 賴赖 贈赠 賽赛 贏赢 趙赵 趕赶 趨趋 躍跃 軌轨 轉转 輪轮 轟轰 軸轴 輕轻 "
+    "載载 較较 輔辅 輛辆 輩辈 輝辉 輯辑 輸输 辭辞 辯辩 遼辽 達达 遷迁 邁迈 運运 違违 "
+    "遲迟 選选 遞递 邏逻 遺遗 鄧邓 郵邮 鄰邻 鬱郁 鄭郑 醬酱 釀酿 釋释 鑒鉴 針针 釘钉 "
+    "鈔钞 鐘钟 鋼钢 銅铜 鋪铺 銷销 鎖锁 鋒锋 鍵键 鎮镇 鏈链 鏡镜 閃闪 閉闭 闖闯 閑闲 "
+    "閣阁 聞闻 閱阅 闊阔 隊队 階阶 際际 隨随 險险 隱隐 隸隶 霧雾 韋韦 韓韩 頂顶 項项 "
+    "頓顿 預预 領领 頻频 顆颗 顏颜 額额 飄飘 飯饭 飲饮 餅饼 餓饿 館馆 饑饥 驅驱 駛驶 "
+    "駕驾 騎骑 驗验 驚惊 髮发 鬧闹 鮮鲜 鳴鸣 麥麦 麵面 黃黄 齊齐 齒齿 齡龄 龜龟 餘余 "
+    "藉借 瞭了 簾帘 縈萦 聶聂"
+).split()
+assert all(len(p) == 2 and p[0] != p[1] for p in _T2S_PAIRS)
+_T2S_TRAD = "".join(p[0] for p in _T2S_PAIRS)
+_T2S_SIMP = "".join(p[1] for p in _T2S_PAIRS)
+assert len(set(_T2S_TRAD)) == len(_T2S_TRAD) == len(_T2S_SIMP)
+
+# Phrase layer — OpenCC's TSPhrases semantics (longest match wins over
+# the char table; chinese_t2s.py:22 inherits this from the t2s
+# profile). Two kinds:
+#   protective — the char table alone would be WRONG (乾→干 in general,
+#     but 乾隆/乾坤 keep 乾; 藉→借 except 狼藉; 瞭→了 except 瞭望);
+#   compositional — multi-char conversions whose chars are not in the
+#     1:1 table (鞦韆→秋千).
+# Applied longest-first. Protection works by shielding the matched
+# span behind a private-use placeholder char during the char-level
+# translate (inputs containing U+E000.. PUA chars are out of contract).
+T2S_PHRASES: list[tuple[str, str]] = [
+    ("乾隆", "乾隆"),
+    ("乾坤", "乾坤"),
+    ("狼藉", "狼藉"),
+    ("瞭望", "瞭望"),
+    ("鞦韆", "秋千"),
+]
+_PHRASE_ORDER = sorted(
+    range(len(T2S_PHRASES)),
+    key=lambda i: (-len(T2S_PHRASES[i][0]), T2S_PHRASES[i][0]),
 )
-_T2S_SIMP = (
-    "万亿贝见车长门马鸟鱼龙风云电书学写听说读话语谁请谢对时间问题国图员圆"
-    "买卖钱银铁错难鸡离飞点热爱体发头页顺须顾简纸级红绿线经给结丝网这进远"
-    "还边过连东乐为么来个们从会动务劳胜区医华协单号处备复杂里礼历历厂广"
-)
-assert len(_T2S_TRAD) == len(_T2S_SIMP)
+_PUA = 0xE000
 
 
 def t2s(col) -> Column:
-    """Traditional -> simplified Chinese, per-char table translate.
+    """Traditional -> simplified Chinese (P4, chinese_t2s.py:41-50).
 
-    P4 (chinese_t2s.py:41-50): the reference wraps OpenCC's t2s
-    profile; this is the native-expression equivalent over the built-in
-    1:1 subset table — one translate() per row, in codegen, no Python.
+    OpenCC-shaped two-layer conversion, entirely native expressions
+    (codegen, no Python): phrases first (longest match, each becomes a
+    literal replace into a placeholder), then the ~800-pair char-level
+    translate(), then placeholders resolve to their phrase outputs.
+    The placeholder pass is what lets a protective phrase KEEP
+    traditional chars the char table would otherwise convert.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.translate(c, _T2S_TRAD, _T2S_SIMP)
+    out = F.col(col) if isinstance(col, str) else col
+    for i in _PHRASE_ORDER:
+        out = F.replace(out, F.lit(T2S_PHRASES[i][0]), F.lit(chr(_PUA + i)))
+    out = F.translate(out, _T2S_TRAD, _T2S_SIMP)
+    for i in _PHRASE_ORDER:
+        out = F.replace(out, F.lit(chr(_PUA + i)), F.lit(T2S_PHRASES[i][1]))
+    return out
+
+
+def t2s_sql(expr: str) -> str:
+    """The DuckDB-SQL twin of `t2s` over SQL expression `expr` —
+    generated from the SAME tables so the oracle can never drift."""
+    out = expr
+    for i in _PHRASE_ORDER:
+        out = f"replace({out}, '{T2S_PHRASES[i][0]}', '{chr(_PUA + i)}')"
+    out = f"translate({out}, '{_T2S_TRAD}', '{_T2S_SIMP}')"
+    for i in _PHRASE_ORDER:
+        out = f"replace({out}, '{chr(_PUA + i)}', '{T2S_PHRASES[i][1]}')"
+    return out
 
 
 # ---- row invariant ---------------------------------------------------------

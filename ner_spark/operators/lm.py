@@ -230,6 +230,64 @@ def bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tu
 
 
 # ---------------------------------------------------------------------------
+# BPE encode (apply a learned merge list to the corpus)
+# ---------------------------------------------------------------------------
+
+# symbol delimiter for the string-rewrite encode; U+001F (unit
+# separator) cannot appear in identifier tokens by construction
+BPE_SEP = "\x1f"
+
+
+def bpe_encode_word(word: Column, merges: list[str]) -> Column:
+    """Encode ONE word through an ordered merge list -> array<string>.
+
+    Representation trick: the word becomes a delimited symbol string
+    ("\\x1fa\\x1f \\x1fb\\x1f ..."), and each merge ("a b" -> "ab") is a
+    literal `replace` of "\\x1fa\\x1f \\x1fb\\x1f" with "\\x1fab\\x1f".
+    Because `replace` substitutes non-overlapping occurrences LEFT TO
+    RIGHT, one pass per merge reproduces greedy BPE exactly; the
+    delimiters stop a pattern from straddling symbol boundaries (a
+    symbol ending in "a" followed by symbol "b" contains "a b" but not
+    "\\x1fa\\x1f \\x1fb\\x1f"). Applying merges in learned order is
+    equivalent to rank-priority BPE: a merge can only create a symbol
+    born at its own rank, never an operand of an earlier pair (the one
+    degenerate exception — two different merges producing the same
+    surface string — is indistinguishable in any string representation
+    and documented out of contract).
+
+    The whole encode is a chain of literal replaces inside whole-stage
+    codegen — no Python, no shuffle, usable inside a higher-order
+    lambda. For merge lists beyond a few hundred entries, checkpoint
+    every ~200 merges to bound expression-tree depth.
+    """
+    s = F.rtrim(F.regexp_replace(word, "(.)", BPE_SEP + "$1" + BPE_SEP + " "))
+    for pair in merges:
+        a, b = pair.split(" ")
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP} {BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        )
+    return F.array_remove(F.split(F.replace(s, F.lit(BPE_SEP), F.lit("")), " "), "")
+
+
+def bpe_encode(docs: DataFrame, merges: list[str], text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, bpe_tokens): tokenize + BPE-encode every document with a
+    learned merge list — the apply half of tokenizer training
+    (`bpe_learn` is the learn half). Zero shuffle: one codegen
+    projection per document, encode applied per token inside a
+    higher-order transform (the lambda touches only its own variable,
+    so no rule-7 re-evaluation)."""
+    return docs.select(
+        id_col,
+        F.flatten(
+            F.transform(X.tokens(text_col), lambda w: bpe_encode_word(w, merges))
+        ).alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Paragraph-grain dedup (CCNet-style sub-document dedup)
 # ---------------------------------------------------------------------------
 

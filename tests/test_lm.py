@@ -80,6 +80,49 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     assert out[0]["m"] == ["aa", "a"]
 
 
+def _py_bpe_encode(word: str, merges: list[str]) -> list[str]:
+    """Pure-Python reference: apply each merge exhaustively, in order,
+    greedy left-to-right (Sennrich apply-BPE semantics)."""
+    syms = list(word)
+    for pair in merges:
+        a, b = pair.split(" ")
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    merges = ["t h", "th e", "e r", "a t", "a n", "o r", "s t"]
+    words = ["the", "hash", "batch", "data", "order", "sort", "stream",
+             "fast", "thth", "ererer", "x"]
+    d = _docs(spark, [(i, w) for i, w in enumerate(words)])
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in lm.bpe_encode(d, merges).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _py_bpe_encode(w, merges), w
+
+
+def test_bpe_learn_then_encode_roundtrip(spark):
+    """Integration: merges learned by bpe_learn, applied by bpe_encode,
+    agree with the pure-Python apply over the training corpus itself."""
+    corpus = "low low low lower newer newer new"
+    d = _docs(spark, [(1, corpus)])
+    merges = [m[0] for m in lm.bpe_learn(d, n_merges=4)]
+    got = lm.bpe_encode(d, merges).collect()[0]["bpe_tokens"]
+    want = [s for w in corpus.split() for s in _py_bpe_encode(w, merges)]
+    assert list(got) == want
+
+
 def test_paragraph_dedup_first_occurrence_wins(spark):
     # chunk=2 paragraphs; doc 2 repeats doc 1's first paragraph
     d = _docs(spark, [(1, "a b c d"), (2, "a b x y")])

@@ -128,6 +128,45 @@ def test_t2s_converts_common_chars(spark):
     assert "简" in got[1]           # 簡 -> 简
 
 
+def test_t2s_phrase_layer_and_protection(spark):
+    """OpenCC TSPhrases semantics: protective phrases shield trad chars
+    the char table would convert; compositional phrases convert chars
+    the table doesn't carry; everything else goes through the table."""
+    cases = {
+        "乾燥的乾隆年間": "干燥的乾隆年间",   # 乾->干 EXCEPT inside 乾隆
+        "狼藉的藉口": "狼藉的借口",           # 藉->借 EXCEPT inside 狼藉
+        "瞭望塔使人瞭解": "瞭望塔使人了解",   # 瞭->了 EXCEPT inside 瞭望
+        "盪鞦韆": "盪秋千",                   # phrase-only chars (盪 unmapped)
+        "頭髮與發展": "头发与发展",           # 髮/發 both -> 发
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    got = {r["s"]: r["t"] for r in df.select("s", X.t2s("s").alias("t")).collect()}
+    assert got == cases
+
+
+def test_t2s_sql_matches_spark(spark):
+    """The generated DuckDB expression is the bit-exact twin of the
+    Spark conversion over a table-spanning sample."""
+    import duckdb
+
+    sample = [
+        "乾坤狼藉瞭望鞦韆",
+        "".join(p[0] for p in X._T2S_PAIRS[::7]),
+        "plain ascii stays",
+    ]
+    df = spark.createDataFrame([(s,) for s in sample], "s string")
+    got_spark = [r["t"] for r in df.select(X.t2s("s").alias("t")).orderBy("s").collect()]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {X.t2s_sql('s')} AS t FROM (SELECT unnest(?) AS s) ORDER BY s",
+            [sample],
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+
+
 # --------------------------------------------------------------------------
 # S7: wiki XML article source (wiki_process.py:35-45)
 # --------------------------------------------------------------------------
