@@ -346,11 +346,31 @@ def main() -> None:
     kg_sec = min(kg_runs)
     n_triples = _kg_job(spark, kg_path).count()
     timings["kg_triples"] = round(kg_sec, 3)
+    # the scaling probes and the resume demo share the 4M-file corpus;
+    # materialize it while a session is up (cached across rounds)
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+        or os.environ.get("SPARK_GRAFT_BENCH_RESUME", "1") != "0"
+    ):
+        _materialize_files(spark, SCALE_FILES)
     spark.stop()
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         scaling = run_scaling()
+
+    # north-rule resume evidence: kill the checkpointed KG pipeline
+    # mid-stage on the 4M-file corpus, resume, assert identical output
+    # checksum (tools/resume_demo.py; ~4 pipeline runs)
+    resume = None
+    if os.environ.get("SPARK_GRAFT_BENCH_RESUME", "1") != "0":
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        import resume_demo
+
+        try:
+            resume = resume_demo.run_demo(FILES_PARQUET, CPUS, n_files=SCALE_FILES)
+        except Exception as e:  # evidence block must not sink the bench
+            resume = {"error": str(e)[:500]}
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -367,6 +387,8 @@ def main() -> None:
     }
     if scaling is not None:
         result["scaling"] = scaling
+    if resume is not None:
+        result["resume"] = resume
     print(json.dumps(result))
 
 
