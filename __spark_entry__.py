@@ -800,6 +800,106 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_dups(d, k=5, threshold=0.4)
 
 
+_SUBSTR_K = 5
+
+
+def q_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") re-expressed for Spark: the
+    suffix-array ExactSubstr pass becomes k-token-gram seeds — any
+    k-gram occurring >= 2 times globally marks its k positions as
+    duplicated text — and each doc reports how much of it is covered
+    by duplicated substrings (the quantity the paper's dedup cuts).
+    Scale shape: gram agg keyed by gram CONTENT (well-spread), one
+    shuffle join back on gram, coverage union as a per-(doc,pos)
+    distinct — no suffix array, no global sort, nothing driver-side.
+    The k-gram seed finds every duplicated substring of length >= k
+    exactly (a length-L >= k duplicate contributes L-k+1 duplicated
+    grams whose union covers all L positions), which is the paper's
+    threshold semantics with k as the min-match length."""
+    d = _docs(spark, sf_dir)
+    k = _SUBSTR_K
+    toks = d.select("doc_id", X.tokens("text").alias("ts"))
+    grams = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.posexplode(
+            X.let_bound(
+                F.col("ts"),
+                lambda ts: F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(ts) - (k - 1), F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+                ),
+            )
+        ).alias("pos0", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + k)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_positions"))
+    )
+    out = (
+        toks.select("doc_id", F.size("ts").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .withColumn("dup_positions", F.coalesce("dup_positions", F.lit(0)).cast("long"))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_positions",
+        F.expr("dup_positions * 1000000 div greatest(n_tokens, 1)").alias(
+            "dup_frac_e6"
+        ),
+    )
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE symbols emitted per word
+    under the shipped merge list — the budgeting metric a training
+    pipeline computes before committing a tokenizer to a corpus mix.
+    One codegen scan (token array let-bound so the regex runs once per
+    row), one lang-keyed agg."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    pair = X.let_bound(
+        X.tokens("text"),
+        lambda ts: F.struct(
+            F.size(ts).alias("w"),
+            F.size(
+                F.flatten(
+                    F.transform(ts, lambda w: lm.bpe_encode_word(w, _BPE_MERGES))
+                )
+            ).alias("s"),
+        ),
+    )
+    return (
+        d.select("lang", pair.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.sum("p.w").alias("n_words"),
+            F.sum("p.s").alias("n_symbols"),
+        )
+        .withColumn(
+            "fertility_e6",
+            F.expr("n_symbols * 1000000 div greatest(n_words, 1)"),
+        )
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse centroids (vec_id % 25 == 0) -> inverted lists
     -> probe the 2 nearest lists per query. Same query set as
@@ -3102,6 +3202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_with_lineitems": q_parts_with_lineitems,
         "clickers_minus_buyers": q_clickers_minus_buyers,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "exact_substring_dups": q_exact_substring_dups,
+        "bpe_fertility": q_bpe_fertility,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_lookup_concat": q_embedding_lookup_concat,
         "vocab_union": q_vocab_union,
@@ -4542,6 +4644,38 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+        """,
+        "exact_substring_dups": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            g0 AS (
+              SELECT doc_id, len(ts) AS n_tokens,
+                     unnest(range(1, greatest(len(ts) - {_SUBSTR_K - 1}, 0) + 1)) AS pos0,
+                     ts
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, pos0,
+                     array_to_string(ts[pos0:pos0 + {_SUBSTR_K - 1}], ' ') AS gram
+              FROM g0
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            cov AS (
+              SELECT DISTINCT doc_id, unnest(range(pos0, pos0 + {_SUBSTR_K})) AS p
+              FROM g JOIN dup USING (gram)
+            ),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS dup_positions FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, len(t.ts)::INT AS n_tokens,
+                   coalesce(agg.dup_positions, 0)::BIGINT AS dup_positions,
+                   coalesce(agg.dup_positions, 0) * 1000000 // greatest(len(t.ts), 1) AS dup_frac_e6
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "bpe_fertility": f"""
+            WITH t AS (SELECT lang, {_TOKS} AS ts FROM documents),
+            w AS (SELECT lang, unnest(ts) AS w FROM t),
+            e AS (SELECT lang, len({_bpe_encode_sql('w', _BPE_MERGES)})::BIGINT AS ns FROM w)
+            SELECT lang, count(*)::BIGINT AS n_words, sum(ns)::BIGINT AS n_symbols,
+                   (sum(ns)::BIGINT * 1000000 // greatest(count(*), 1))::BIGINT AS fertility_e6
+            FROM e GROUP BY lang
         """,
         "w2v_train_vocab": f"""
             WITH t AS (SELECT {_TOKS} AS ts FROM documents),

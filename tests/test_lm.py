@@ -138,3 +138,34 @@ def test_paragraph_dedup_partitioning_invariant(spark):
     a = lm.paragraph_dedup(d, chunk=2).orderBy("doc_id").collect()
     b = lm.paragraph_dedup(d.repartition(7), chunk=2).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_exact_substring_dups_covers_maximal_span(spark, tmp_path):
+    """Lee-et-al seed semantics: a duplicated 7-token run with k=5
+    yields 3 duplicated grams whose union covers all 7 positions;
+    unique docs report 0."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    run = "alpha beta gamma delta eps zeta eta"  # 7 tokens, shared
+    rows = [
+        (0, f"{run} tail0 tail1", "en", "s", 1),
+        (1, f"head0 {run}", "en", "s", 1),
+        (2, "all unique tokens here nothing repeats", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_positions"])
+        for r in mod.q_exact_substring_dups(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (9, 7)   # the whole run covered, tails not
+    assert got[1] == (8, 7)
+    assert got[2] == (6, 0)
