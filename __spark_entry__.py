@@ -819,42 +819,59 @@ def q_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold semantics with k as the min-match length."""
     d = _docs(spark, sf_dir)
     k = _SUBSTR_K
-    toks = d.select("doc_id", X.tokens("text").alias("ts"))
-    grams = toks.select(
+    # ONE content scan: posexplode_outer keeps a (gram=null) row for
+    # docs with < k tokens, so the per-doc side below re-aggregates the
+    # gram stream instead of re-reading the corpus (at 100 TB the
+    # second scan is the dominant cost). The <k guard is explicit —
+    # sequence(1, 0) would run DESCENDING ([1, 0], Spark auto-negates
+    # the step) and emit phantom grams, incl. an illegal slice start 0.
+    base = d.select(
         "doc_id",
-        F.size("ts").alias("n_tokens"),
-        F.posexplode(
+        X.let_bound(X.tokens("text"), lambda ts: F.size(ts)).alias("n_tokens"),
+        F.posexplode_outer(
             X.let_bound(
-                F.col("ts"),
-                lambda ts: F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(ts) - (k - 1), F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
-                ),
+                X.tokens("text"),
+                lambda ts: F.when(
+                    F.size(ts) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
             )
         ).alias("pos0", "gram"),
     )
+    # pass 1: the globally-duplicated gram table (the only state the
+    # algorithm needs — analogous to the suffix array's repeat table)
     dup = (
-        grams.groupBy("gram")
+        base.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
-        .select("gram")
+        .select("gram", F.lit(True).alias("is_dup"))
     )
-    cov = (
-        grams.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos0") + 1, F.col("pos0") + k)
-            ).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_positions"))
+    # pass 2: mark every gram against that table (left join, so docs
+    # with no duplicated grams — and <k-token docs with a null gram —
+    # survive), explode covered positions only for marked grams, and
+    # fold everything per doc in ONE agg (count(DISTINCT p) is the
+    # interval union; nulls don't count). Exactly two content scans —
+    # the dup table must exist before coverage can be marked, the
+    # textbook two-phase shape; materializing the k-times-larger gram
+    # stream to force one scan would cost more than the rescan.
+    marked = base.join(dup, "gram", "left")
+    pos = marked.select(
+        "doc_id",
+        "n_tokens",
+        F.explode_outer(
+            F.when(
+                F.col("is_dup"),
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + k),
+            )
+        ).alias("p"),
     )
-    out = (
-        toks.select("doc_id", F.size("ts").alias("n_tokens"))
-        .join(cov, "doc_id", "left")
-        .withColumn("dup_positions", F.coalesce("dup_positions", F.lit(0)).cast("long"))
+    out = pos.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count_distinct(F.col("p")).alias("dup_positions"),
     )
     return out.select(
         "doc_id",

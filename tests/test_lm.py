@@ -157,6 +157,9 @@ def test_exact_substring_dups_covers_maximal_span(spark, tmp_path):
         (0, f"{run} tail0 tail1", "en", "s", 1),
         (1, f"head0 {run}", "en", "s", 1),
         (2, "all unique tokens here nothing repeats", "en", "s", 1),
+        # <k tokens: sequence(1, n-k+1) would run descending without
+        # the size guard and emit phantom grams
+        (3, "tiny doc", "en", "s", 1),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -169,3 +172,4 @@ def test_exact_substring_dups_covers_maximal_span(spark, tmp_path):
     assert got[0] == (9, 7)   # the whole run covered, tails not
     assert got[1] == (8, 7)
     assert got[2] == (6, 0)
+    assert got[3] == (2, 0)
