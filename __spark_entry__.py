@@ -538,6 +538,76 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, not just the clusters: per document, its
+    near-dup component, the component size, and whether this doc is the
+    canonical keeper (min doc_id in its component) — the keep/drop list
+    a training-data pipeline actually materializes after MinHash + CC.
+    Component labels are content-independent of partitioning (hash-min
+    CC), keeper choice is deterministic."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(d, threshold=0.6).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(pairs, nodes=d.select("doc_id")).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("_keeper"),
+    )
+    return (
+        cc.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (F.col("doc_id") == F.col("_keeper")).alias("is_keeper"),
+        )
+    )
+
+
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation decision — the row-level verdict a
+    training-data pipeline writes before tokenization: exact-dup
+    canonicality (first doc_id per md5 fingerprint), language gate,
+    length gate, punctuation gate, PII gate, and the final `kept`
+    conjunction. Everything except the fingerprint window is a
+    scan-level codegen projection; the one shuffle is fingerprint-keyed
+    (the exact-dedup key)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("fp")
+    feats = X.quality_features("text")
+    pii = X.pii_counts("text")
+    base = d.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("fp"),
+        X.lang_id("text").alias("pred_lang"),
+        feats["n_chars"].alias("n_chars"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        (pii["n_emails"] + pii["n_ips"] + pii["n_phones"]).alias("pii_hits"),
+    )
+    flagged = base.select(
+        "doc_id",
+        "pred_lang",
+        "n_chars",
+        "pii_hits",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        (F.col("pred_lang") == "en").alias("lang_ok"),
+        F.col("n_chars").between(100, 20000).alias("len_ok"),
+        (F.col("punct_ratio") < 0.2).alias("punct_ok"),
+        (F.col("pii_hits") == 0).alias("pii_ok"),
+    )
+    return flagged.withColumn(
+        "kept",
+        F.col("is_canonical")
+        & F.col("lang_ok")
+        & F.col("len_ok")
+        & F.col("punct_ok")
+        & F.col("pii_ok"),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + running sum),
     the batch shape of the streaming session_window operator."""
@@ -3203,6 +3273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_links": q_tfidf_links,
         "alias_canonical": q_alias_canonical,
         "doc_near_dup_components": q_doc_components,
+        "near_dup_keep_list": q_near_dup_keep_list,
+        "quality_filter_pipeline": q_quality_filter_pipeline,
         "user_sessions": q_user_sessions,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -3914,6 +3986,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
             )
             SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+        """,
+        "near_dup_keep_list": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTES.strip().rstrip()},
+            sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
+            ),
+            comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+            sizes AS (
+              SELECT component, count(*)::BIGINT AS cluster_size,
+                     min(doc_id) AS keeper
+              FROM comp GROUP BY component
+            )
+            SELECT c.doc_id, c.component, s.cluster_size,
+                   c.doc_id = s.keeper AS is_keeper
+            FROM comp c JOIN sizes s USING (component)
+        """,
+        "quality_filter_pipeline": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5({_NORM}) AS fp,
+                     {_LANG_CASE} AS pred_lang,
+                     length(text) AS n_chars,
+                     round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     (len(regexp_extract_all(text, '{X.EMAIL_RE}'))
+                      + len(regexp_extract_all(text, '{X.IPV4_RE}'))
+                      + len(regexp_extract_all(text, '{X.PHONE_RE}')))::BIGINT AS pii_hits
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, pred_lang, n_chars, pii_hits,
+                     doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical,
+                     pred_lang = 'en' AS lang_ok,
+                     n_chars BETWEEN 100 AND 20000 AS len_ok,
+                     punct_ratio < 0.2 AS punct_ok,
+                     pii_hits = 0 AS pii_ok
+              FROM f
+            )
+            SELECT doc_id, pred_lang, n_chars, pii_hits,
+                   is_canonical, lang_ok, len_ok, punct_ok, pii_ok,
+                   (is_canonical AND lang_ok AND len_ok AND punct_ok AND pii_ok) AS kept
+            FROM g
         """,
         "tpch_q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
