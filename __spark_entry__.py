@@ -608,6 +608,99 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (p=8) distinct 3-gram-shingle estimate per language —
+    the constant-state count-distinct a 100 TB pipeline runs where the
+    exact count would not fit. Registers are md5-derived with integer
+    hex arithmetic and summed as BIGINT shifts (operators/sketches.py),
+    so the oracle reproduces the estimate bit-for-bit. The
+    `exact_distinct` column is validation-only (it is the expensive
+    thing the sketch replaces at scale)."""
+    from ner_spark.operators import sketches
+
+    d = _docs(spark, sf_dir)
+    items = d.select(
+        "lang", F.explode(F.array_distinct(X.shingles("text", 3))).alias("sh")
+    )
+    est = sketches.hll_estimate(sketches.hll_registers(items, ["lang"], "sh"), ["lang"])
+    exact = items.groupBy("lang").agg(F.countDistinct("sh").alias("exact_distinct"))
+    return est.join(exact, "lang").select(
+        "lang", "exact_distinct", "hll_estimate", "registers_used"
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min (d=4, w=256) heavy hitters: top-20 tokens by sketch
+    estimate with the exact count alongside. The sketch is 1024 cells
+    total — constant reduce state — and probing is a broadcast join;
+    CMS >= exact always (one-sided error, tested)."""
+    from ner_spark.operators import sketches
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(X.tokens("text")).alias("token"))
+    sk = sketches.cms_sketch(toks, "token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = sketches.cms_estimate(exact.select("token"), sk, "token")
+    ranked = exact.join(est, "token").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cms_estimate"), F.asc("token"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= 20).select(
+        "token", "exact_count", "cms_estimate"
+    )
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: a 2^16-bit / k=3 filter built
+    from the distinct order custkeys, probed by every customer — the
+    pre-filter that cheapens a 100 TB semi-join to a broadcast bitset
+    test. False negatives are impossible by construction (every member
+    is bloom_positive; the oracle checks the exact bit positions)."""
+    from ner_spark.operators import sketches
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    bloom = sketches.bloom_build(members, "c_custkey")
+    probed = sketches.bloom_probe(cust.select("c_custkey"), bloom, "c_custkey")
+    return probed.join(
+        members.withColumn("is_member", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        "bloom_positive",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed importance weights (Xie et al. 2023): score every doc
+    by ln p_target - ln p_raw over 1024 hashed token-unigram buckets,
+    target = English docs. Bucket state is 1024 rows total; per-token
+    weights are e6-quantized BEFORE the per-doc sum so the sum is exact
+    integer arithmetic (order-independent). `selected` = the doc looks
+    more target-like than raw-average (logweight > 0)."""
+    from ner_spark.operators import selection
+
+    d = _docs(spark, sf_dir)
+    stream = d.select(
+        "doc_id", "lang", F.explode(X.tokens("text")).alias("tok")
+    )
+    scored = selection.dsir_logweights(stream, is_target=F.col("lang") == "en")
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "logweight_e6",
+            (F.col("logweight_e6") > 0).alias("selected"),
+        )
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + running sum),
     the batch shape of the streaming session_window operator."""
@@ -3275,6 +3368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup_components": q_doc_components,
         "near_dup_keep_list": q_near_dup_keep_list,
         "quality_filter_pipeline": q_quality_filter_pipeline,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_join_prune": q_bloom_join_prune,
+        "dsir_importance": q_dsir_importance,
         "user_sessions": q_user_sessions,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -4032,6 +4129,134 @@ def oracle_sql() -> dict[str, str]:
                    is_canonical, lang_ok, len_ok, punct_ok, pii_ok,
                    (is_canonical AND lang_ok AND len_ok AND punct_ok AND pii_ok) AS kept
             FROM g
+        """,
+        # HLL registers reproduced exactly: bucket = first 2 md5 hex chars,
+        # rho = 1 + leading-zero bits of the next 12 hex chars (string
+        # arithmetic, no float log2), register sum as BIGINT shifts.
+        "hll_distinct": f"""
+            WITH it AS (
+              SELECT lang,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+              FROM (SELECT lang, string_split({_NORM}, ' ') AS toks FROM documents)
+            ),
+            h AS (SELECT lang, md5(sh) AS hx FROM it),
+            rr AS (
+              SELECT lang,
+                     ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+                     CASE WHEN length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) = 12
+                          THEN 49
+                          ELSE length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) * 4
+                               + CASE substr(substr(hx, 3, 12),
+                                             length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) + 1, 1)
+                                   WHEN '1' THEN 3
+                                   WHEN '2' THEN 2 WHEN '3' THEN 2
+                                   WHEN '4' THEN 1 WHEN '5' THEN 1
+                                   WHEN '6' THEN 1 WHEN '7' THEN 1
+                                   ELSE 0 END
+                               + 1 END AS rho
+              FROM h
+            ),
+            regs AS (SELECT lang, bucket, max(rho) AS rho FROM rr GROUP BY lang, bucket),
+            g AS (
+              SELECT lang, count(*)::BIGINT AS n_set,
+                     sum(1::BIGINT << (49 - rho))::BIGINT AS sum_set
+              FROM regs GROUP BY lang
+            ),
+            e AS (
+              SELECT lang, n_set, (256 - n_set) AS v,
+                     ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0)
+                       / (sum_set + (256 - n_set) * (1::BIGINT << 49)) AS e_raw
+              FROM g
+            ),
+            est AS (
+              SELECT lang, n_set,
+                     CASE WHEN e_raw <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v)
+                          ELSE e_raw END AS ee
+              FROM e
+            ),
+            ex AS (SELECT lang, count(DISTINCT sh)::BIGINT AS exact_distinct FROM it GROUP BY lang)
+            SELECT est.lang, ex.exact_distinct,
+                   CAST(round(ee) AS BIGINT) AS hll_estimate,
+                   n_set::BIGINT AS registers_used
+            FROM est JOIN ex USING (lang)
+        """,
+        "cms_heavy_hitters": f"""
+            WITH tk AS (SELECT unnest({_TOKS}) AS token FROM documents),
+            cells AS (
+              SELECT t.d,
+                     ('0x' || substr(md5(t.d::VARCHAR || ':' || token), 1, 2))::BIGINT AS cell
+              FROM tk, range(0, 4) t(d)
+            ),
+            sk AS (SELECT d, cell, count(*)::BIGINT AS cnt FROM cells GROUP BY d, cell),
+            ex AS (SELECT token, count(*)::BIGINT AS exact_count FROM tk GROUP BY token),
+            probe AS (
+              SELECT q.token, min(sk.cnt)::BIGINT AS cms_estimate
+              FROM (SELECT token, t.d,
+                           ('0x' || substr(md5(t.d::VARCHAR || ':' || token), 1, 2))::BIGINT AS cell
+                    FROM ex, range(0, 4) t(d)) q
+              JOIN sk ON sk.d = q.d AND sk.cell = q.cell
+              GROUP BY q.token
+            ),
+            r AS (
+              SELECT ex.token, ex.exact_count, probe.cms_estimate,
+                     row_number() OVER (ORDER BY probe.cms_estimate DESC, ex.token ASC) AS rk
+              FROM ex JOIN probe USING (token)
+            )
+            SELECT token, exact_count, cms_estimate FROM r WHERE rk <= 20
+        """,
+        "bloom_join_prune": """
+            WITH members AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+            mpos AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(t.j::VARCHAR || ':' || c_custkey::VARCHAR), 1, 4))::BIGINT AS pos
+              FROM members, range(0, 3) t(j)
+            ),
+            ppos AS (
+              SELECT c_custkey,
+                ('0x' || substr(md5(t.j::VARCHAR || ':' || c_custkey::VARCHAR), 1, 4))::BIGINT AS pos
+              FROM customer, range(0, 3) t(j)
+            ),
+            hits AS (
+              SELECT c_custkey, count(*)::BIGINT AS h
+              FROM ppos WHERE pos IN (SELECT pos FROM mpos)
+              GROUP BY c_custkey
+            )
+            SELECT c.c_custkey,
+                   coalesce(h.h, 0) = 3 AS bloom_positive,
+                   m.c_custkey IS NOT NULL AS is_member
+            FROM customer c
+            LEFT JOIN hits h USING (c_custkey)
+            LEFT JOIN members m USING (c_custkey)
+        """,
+        "dsir_importance": f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(tok), 1, 3))::BIGINT % 1024) AS bucket
+              FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+            ),
+            c AS (
+              SELECT bucket, count(*)::BIGINT AS r_cnt,
+                     (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS t_cnt
+              FROM b GROUP BY bucket
+            ),
+            tot AS (SELECT sum(r_cnt) AS R, sum(t_cnt) AS T FROM c),
+            w AS (
+              SELECT bucket,
+                     CAST(round((ln((t_cnt + 1) / (T + 1024.0))
+                                 - ln((r_cnt + 1) / (R + 1024.0))) * 1000000)
+                       AS BIGINT) AS w_e6
+              FROM c, tot
+            ),
+            s AS (
+              SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(w.w_e6)::BIGINT AS logweight_e6
+              FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+            )
+            SELECT d.doc_id, d.lang, s.n_tokens, s.logweight_e6,
+                   s.logweight_e6 > 0 AS selected
+            FROM documents d JOIN s USING (doc_id)
         """,
         "tpch_q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
