@@ -701,6 +701,22 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: exact-
+    integer k-means assignment (bit-identical argmin) confines the
+    pairwise cosine stage within clusters; a vector is dropped when an
+    earlier cluster member is cosine-similar above tau. tau = 0.35
+    here, the synthetic corpus's p99.9 similarity regime (its max
+    within-cluster cosine is ~0.49 — same weak-threshold regime as
+    exact_near_pairs), so the drop decision genuinely binds; a real
+    embedding corpus would use the paper's ~0.9. At 100 TB k scales
+    with n so the self-join key stays high-cardinality (see
+    operators/selection.py:semdedup)."""
+    from ner_spark.operators import selection
+
+    return selection.semdedup(_t(spark, sf_dir, "embeddings"), k=8, tau=0.35)
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + running sum),
     the batch shape of the streaming session_window operator."""
@@ -3372,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_join_prune": q_bloom_join_prune,
         "dsir_importance": q_dsir_importance,
+        "semdedup": q_semdedup,
         "user_sessions": q_user_sessions,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -4257,6 +4274,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, s.n_tokens, s.logweight_e6,
                    s.logweight_e6 > 0 AS selected
             FROM documents d JOIN s USING (doc_id)
+        """,
+        "semdedup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS dv,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            d AS (
+              SELECT e.vec_id, cent.cid,
+                     CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])))
+                       AS BIGINT) AS dist
+              FROM e CROSS JOIN cent
+            ),
+            asg AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d
+              ) WHERE rn = 1
+            ),
+            m AS (SELECT a.vec_id, a.cid, e.dv, e.nrm FROM asg a JOIN e USING (vec_id)),
+            drp AS (
+              SELECT DISTINCT y.vec_id
+              FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              WHERE round(list_dot_product(x.dv, y.dv)
+                          / greatest(x.nrm * y.nrm, 1e-12), 6) >= 0.35
+            )
+            SELECT m.vec_id, m.cid AS cluster_id, drp.vec_id IS NULL AS kept
+            FROM m LEFT JOIN drp USING (vec_id)
         """,
         "tpch_q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ner_spark.functions.vectors import dot, norm
+
 N_BUCKETS = 1024
 
 
@@ -82,5 +84,74 @@ def dsir_logweights(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("w_e6").alias("logweight_e6"),
+        )
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    tau: float = 0.7,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): (id, cluster_id, kept) — semantic
+    dedup over an embedding column. Cluster with the exact-integer
+    k-means assignment (similarity.kmeans_assign, argmin bit-identical
+    across engines), then within each cluster drop every vector that
+    has an EARLIER member (smaller id) with cosine >= tau; the earliest
+    member of each semantic near-dup group survives.
+
+    Scale shape: the pairwise stage is confined within clusters — at
+    100 TB, k scales with n (k ~ n / target_cluster_size, the paper
+    uses ~0.1% of n) so per-cluster candidate sets stay bounded and the
+    self-join key (cluster_id) has high cardinality, not 8 hot keys.
+    Norms are computed once per row, not per pair; cosine is the
+    sequential float64 fold that matches DuckDB's list_dot_product
+    bit-for-bit, rounded e6 before the threshold on both engines.
+    """
+    from ner_spark.operators.similarity import kmeans_assign
+
+    assigned = kmeans_assign(corpus, k, scale, id_col, vec_col).select(
+        F.col("_id").alias(id_col), F.col("cid").alias("cluster_id")
+    )
+    m = assigned.join(
+        corpus.select(id_col, vec_col), id_col
+    ).select(
+        id_col,
+        "cluster_id",
+        F.col(vec_col).cast("array<double>").alias("_dv"),
+        norm(vec_col).alias("_nrm"),
+    )
+    a = m.select(
+        F.col(id_col).alias("_ida"), "cluster_id",
+        F.col("_dv").alias("_va"), F.col("_nrm").alias("_na"),
+    )
+    b = m.select(
+        F.col(id_col).alias("_idb"), "cluster_id",
+        F.col("_dv").alias("_vb"), F.col("_nrm").alias("_nb"),
+    )
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb"))
+        / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12)),
+        6,
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_idb").alias(id_col), sim.alias("_sim"))
+        .where(F.col("_sim") >= tau)
+        .select(id_col)
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        m.select(id_col, "cluster_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )

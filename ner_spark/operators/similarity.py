@@ -449,6 +449,54 @@ def lsh_topk_int(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Exact-integer nearest-centroid assignment: (_id, cid[, _v]).
+
+    Centroids = the k lowest-id vectors (deterministic seeding), both
+    sides e6-quantized to BIGINT so argmin is exact; ties break on
+    centroid id. Centroids broadcast (k rows), the distance fold runs
+    in whole-stage codegen, argmin is a map-side-combinable min(struct)
+    keyed by vector id. Shared by kmeans_iteration (the update step)
+    and selection.semdedup (the cluster-then-prune step)."""
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        # explicit float->double BEFORE the multiply: float32*int stays
+        # single-precision in some engines, flipping last-ulp rounds
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("_v"),
+    )
+    cent = q.filter(F.col("_id") < k).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fields = [dist.alias("dist"), F.col("cid")] + (
+        [F.col("_v")] if carry_vec else []
+    )
+    best = (
+        q.crossJoin(F.broadcast(cent))
+        .select("_id", F.struct(*fields).alias("_s"))
+        .groupBy("_id")
+        .agg(F.min("_s").alias("b"))  # (dist, cid) unique per group -> _v inert
+    )
+    cols = [F.col("_id"), F.col("b.cid").alias("cid")] + (
+        [F.col("b._v").alias("_v")] if carry_vec else []
+    )
+    return best.select(*cols)
+
+
 def kmeans_iteration(
     corpus: DataFrame,
     k: int = 8,
@@ -482,29 +530,8 @@ def kmeans_iteration(
     64-dim fold stays ~1e15 << 2^63, and the update sum holds ~9e12
     members per (centroid, dim) before overflow.
     """
-    q = corpus.select(
-        F.col(id_col).alias("_id"),
-        # explicit float->double BEFORE the multiply: float32*int stays
-        # single-precision in some engines, flipping last-ulp rounds
-        F.expr(
-            f"transform({vec_col},"
-            f" x -> cast(round(cast(x as double) * {scale}) as bigint))"
-        ).alias("_v"),
-    )
-    cent = q.filter(F.col("_id") < k).select(
-        F.col("_id").alias("cid"), F.col("_v").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    best = (
-        q.crossJoin(F.broadcast(cent))
-        .select("_id", F.struct(dist.alias("dist"), "cid", "_v").alias("_s"))
-        .groupBy("_id")
-        .agg(F.min("_s").alias("b"))  # (dist, cid) unique per group -> _v inert
-        .select(F.col("b.cid").alias("cid"), F.col("b._v").alias("_v"))
+    best = kmeans_assign(corpus, k, scale, id_col, vec_col, carry_vec=True).select(
+        "cid", "_v"
     )
     return (
         best.select("cid", F.posexplode("_v").alias("pos", "comp"))

@@ -99,6 +99,23 @@ def test_dsir_sum_partitioning_invariant_and_integer(spark, docs):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_semdedup_earliest_cluster_member_always_kept(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = selection.semdedup(emb, k=8, tau=0.35)
+    firsts = out.groupBy("cluster_id").agg(F.min("vec_id").alias("vec_id"))
+    bad = out.join(firsts, ["cluster_id", "vec_id"]).where(~F.col("kept"))
+    assert bad.isEmpty(), bad.collect()
+    # every vector is assigned and decided exactly once
+    assert out.count() == emb.count()
+
+
+def test_semdedup_partitioning_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = selection.semdedup(emb.repartition(1), k=8, tau=0.35)
+    b = selection.semdedup(emb.repartition(7), k=8, tau=0.35)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_dsir_english_docs_score_higher(spark, docs):
     """The point of DSIR: target-language docs should, in aggregate,
     carry higher importance weights than non-target docs."""
