@@ -1903,6 +1903,34 @@ def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.score_docs(d, model)
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, rank docs by LM fluency and split into head / middle /
+    tail tertiles — the curation decision CCNet materializes before
+    sampling. Rides the exact-integer bigram fluency surface
+    (avg_prob_e6, order-independent), so the ranking — and therefore
+    the bucket boundaries — is deterministic: ties break on doc_id,
+    ntile(3) semantics are identical in Spark and ANSI SQL."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    model = lm.bigram_counts(d.filter(F.col("doc_id") % 2 == 0))
+    scored = lm.score_docs(d, model).select("doc_id", "avg_prob_e6")
+    j = d.select("doc_id", "lang").join(scored, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_prob_e6"), F.asc("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "avg_prob_e6",
+        F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias(
+            "ppl_bucket"
+        ),
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -3426,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pagerank": q_entity_pagerank,
         "bigram_lm": q_bigram_lm,
         "doc_fluency": q_doc_fluency,
+        "perplexity_buckets": q_perplexity_buckets,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -5043,6 +5072,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, n_oov, sum_prob_e6,
                    (sum_prob_e6 // n_bigrams)::BIGINT AS avg_prob_e6
             FROM a
+        """,
+        "perplexity_buckets": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg
+                  WHERE doc_id % 2 = 0 GROUP BY bigram),
+            w AS (SELECT bigram, split_part(bigram, ' ', 1) AS ctx, n FROM c),
+            tot AS (SELECT ctx, sum(n)::BIGINT AS ctx_n FROM w GROUP BY ctx),
+            lm AS (SELECT w.bigram, w.n, tot.ctx_n
+                   FROM w JOIN tot ON w.ctx = tot.ctx),
+            s AS (
+              SELECT bg.doc_id,
+                     coalesce(lm.n * 1000000, 0) // coalesce(lm.ctx_n, 1) AS p_e6
+              FROM bg LEFT JOIN lm ON bg.bigram = lm.bigram
+            ),
+            a AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(p_e6)::BIGINT AS sum_prob_e6
+              FROM s GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT doc_id,
+                     (sum_prob_e6 // n_bigrams)::BIGINT AS avg_prob_e6
+              FROM a
+            ),
+            j AS (
+              SELECT d.doc_id, d.lang, s.avg_prob_e6
+              FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, lang, avg_prob_e6,
+                   CASE ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY avg_prob_e6 DESC, doc_id ASC)
+                     WHEN 1 THEN 'head'
+                     WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+            FROM j
         """,
         "bpe_pair_counts": f"""
             WITH t AS (SELECT {_TOKS} AS ts FROM documents),
