@@ -1931,6 +1931,285 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG provenance: every COOCCURS triple with its supporting-
+    evidence stats — how many documents attest the pair and the
+    earliest attesting doc. Provenance is what makes an extracted KG
+    auditable (which page said this?); it falls out of the same
+    doc-grain incidence frame the triple extraction already builds,
+    so at 100 TB this is the cooccurs plan plus one groupBy — no
+    extra content scan."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    fe = toks.join(F.broadcast(gaz), "alias").select("doc_id", "entity").distinct()
+    a, b = fe.alias("a"), fe.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.entity") < F.col("b.entity")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.entity").alias("subj"),
+        F.col("b.entity").alias("obj"),
+    )
+    return pairs.groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    ).select("subj", F.lit("COOCCURS").alias("pred"), "obj", "n_docs", "first_doc")
+
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient entity: mention counts (NON-distinct — a
+    doc that says 'spark' five times cares more about spark), each
+    entity's share of the doc's total gazetteer mentions as an exact
+    e6 integer, and the top-1 entity per doc (ties break on entity
+    name). This is the doc→primary-entity edge an entity-centric
+    index materializes. One content scan; the per-doc total rides a
+    window over the (doc, entity) counts, not a second scan."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    m = (
+        toks.join(F.broadcast(gaz), "alias")
+        .groupBy("doc_id", "entity")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    wd = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_mentions"), F.asc("entity")
+    )
+    return (
+        m.withColumn("total", F.sum("n_mentions").over(wd))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("entity").alias("top_entity"),
+            "n_mentions",
+            F.expr("n_mentions * 1000000 div total").alias("share_e6"),
+        )
+    )
+
+
+def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common neighbors over a kNN-sparsified token
+    graph. Production link prediction never runs on the raw
+    co-occurrence graph (hubs make it near-complete); the standard
+    move is top-k neighbor sparsification first. Here: adjacency
+    weights = adjacent-token bigram counts, keep each node's top-2
+    neighbors (ties on weight break by neighbor name), then score
+    every NON-adjacent pair by common-neighbor count and neighbor-set
+    Jaccard (exact e6 integer). The 2-hop expansion is degree-bounded
+    by construction (deg ≤ k + in-links), which is what makes the
+    self-join survive 100× — sum(deg²) stays linear in nodes."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    bg = lm.bigram_counts(d).select(
+        F.split("bigram", " ")[0].alias("t1"),
+        F.split("bigram", " ")[1].alias("t2"),
+        "n",
+    ).filter(F.col("t1") != F.col("t2"))
+    und = bg.groupBy(
+        F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
+    ).agg(F.sum("n").alias("w"))
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w").unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    knn = (
+        sym.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+        .distinct()
+    )
+    knn_sym = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = knn_sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = knn_sym.alias("a"), knn_sym.alias("b")
+    knn2 = knn.select(F.col("x").alias("kx"), F.col("y").alias("ky"))
+    cand = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("x"), F.col("b.src").alias("z"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .join(
+            knn2,
+            (F.col("x") == F.col("kx")) & (F.col("z") == F.col("ky")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(deg.select(F.col("src").alias("x"), F.col("deg").alias("deg_x"))), "x")
+        .join(F.broadcast(deg.select(F.col("src").alias("z"), F.col("deg").alias("deg_z"))), "z")
+        .select(
+            F.col("x").alias("src"),
+            F.col("z").alias("dst"),
+            "common_neighbors",
+            F.expr(
+                "common_neighbors * 1000000 div (deg_x + deg_z - common_neighbors)"
+            ).alias("jaccard_e6"),
+        )
+    )
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corrupt-the-tail): for each positive COOCCURS pair,
+    pick a replacement tail by md5 rank into the entity list, probing
+    linearly (5 probes) past candidates that are the subject, the
+    true object, or a REAL edge — filtered negatives, the standard
+    protocol. md5, not rand(): the sample is reproducible across
+    engines, retries and partitionings. The entity list rides a
+    broadcast; the real-edge check is a left anti join against the
+    (small) positive set — at 100 TB of triples that anti join is the
+    only shuffle."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    fe = toks.join(F.broadcast(gaz), "alias").select("doc_id", "entity").distinct()
+    a, b = fe.alias("a"), fe.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(F.col("a.entity").alias("subj"), F.col("b.entity").alias("obj"))
+        .distinct()
+    )
+    ents = gaz.select("entity").distinct()
+    we = Window.orderBy("entity")
+    ranked = ents.select(
+        "entity", (F.row_number().over(we) - 1).cast("long").alias("rank")
+    )
+    n_ents = ranked.agg(F.count(F.lit(1)).alias("n_ents"))
+    base = edges.crossJoin(F.broadcast(n_ents)).select(
+        "subj",
+        "obj",
+        "n_ents",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "subj", "obj")), 1, 8), 16, 10
+            ).cast("long")
+            % F.col("n_ents")
+        ).alias("h"),
+    )
+    probes = base.select(
+        "subj", "obj", "n_ents", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("probe"),
+    ).select(
+        "subj", "obj", "probe",
+        ((F.col("h") + F.col("probe")) % F.col("n_ents")).alias("rank"),
+    )
+    cand = probes.join(F.broadcast(ranked), "rank").select(
+        "subj", "obj", "probe", F.col("entity").alias("neg_obj")
+    ).filter((F.col("neg_obj") != F.col("subj")) & (F.col("neg_obj") != F.col("obj")))
+    e2 = edges.select(F.col("subj").alias("es"), F.col("obj").alias("eo"))
+    valid = cand.join(
+        e2,
+        (F.least("subj", "neg_obj") == F.col("es"))
+        & (F.greatest("subj", "neg_obj") == F.col("eo")),
+        "left_anti",
+    )
+    wp = Window.partitionBy("subj", "obj").orderBy("probe")
+    return (
+        valid.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("subj", F.lit("COOCCURS").alias("pred"), "obj", "neg_obj")
+    )
+
+
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture token budgeting: allocate a 1M-token training
+    budget across source domains proportional to their token mass,
+    using largest-remainder (Hamilton) rounding so the allocations
+    are integers that sum EXACTLY to the budget — the arithmetic a
+    mixture sampler actually needs (floats leave the budget over- or
+    under-spent). One corpus scan for the per-domain token counts;
+    everything after runs on a domains-sized frame."""
+    budget = 1_000_000
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("source").agg(
+        F.sum(X.ws_token_count("text")).alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    quota = c.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_all).alias("total"),
+    ).select(
+        "source",
+        "tokens",
+        F.expr(f"tokens * {budget} div total").alias("base"),
+        F.expr(f"(tokens * {budget}) % total").alias("rem"),
+    )
+    return quota.select(
+        "source",
+        "tokens",
+        "base",
+        F.row_number().over(wr).alias("rn"),
+        (F.lit(budget) - F.sum("base").over(w_all)).alias("leftover"),
+    ).select(
+        "source",
+        "tokens",
+        (F.col("base") + (F.col("rn") <= F.col("leftover")).cast("long")).alias(
+            "alloc"
+        ),
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats — the outlier-robust aggregate
+    a metrics pipeline runs over heavy-tailed telemetry. Bounds are
+    ORDER STATISTICS (the value at rank floor(0.05n) / ceil(0.95n)
+    under a total (value, event_id) order), not interpolated
+    percentiles, so the clamp boundary is an exact row value that
+    cannot disagree between engines; values are e6-quantized integers
+    throughout. One window pass ranks, one agg extracts the bounds,
+    one broadcast-back clamps."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("v_e6"),
+    )
+    wn = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("v_e6", "event_id")
+    r = e.select(
+        "event_type",
+        "v_e6",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "event_type",
+        "v_e6",
+        "rn",
+        F.greatest(F.expr("n * 5 div 100"), F.lit(1)).alias("k_lo"),
+        F.expr("(n * 95 + 99) div 100").alias("k_hi"),
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("v_e6"))).alias("lo_e6"),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("v_e6"))).alias("hi_e6"),
+    )
+    clamped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo_e6",
+        "hi_e6",
+        F.greatest(F.least("v_e6", "hi_e6"), "lo_e6").alias("v_c"),
+        (F.col("v_e6") < F.col("lo_e6")).cast("long").alias("cl"),
+        (F.col("v_e6") > F.col("hi_e6")).cast("long").alias("ch"),
+    )
+    return clamped.groupBy("event_type", "n", "lo_e6", "hi_e6").agg(
+        F.sum("v_c").alias("winsorized_sum_e6"),
+        F.sum("cl").alias("n_clamped_low"),
+        F.sum("ch").alias("n_clamped_high"),
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -3455,6 +3734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "doc_fluency": q_doc_fluency,
         "perplexity_buckets": q_perplexity_buckets,
+        "triple_provenance": q_triple_provenance,
+        "entity_salience": q_entity_salience,
+        "link_prediction_cn": q_link_prediction_cn,
+        "kg_negative_samples": q_kg_negative_samples,
+        "token_budget_allocation": q_token_budget_allocation,
+        "winsorized_stats": q_winsorized_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -5113,6 +5398,154 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 2 THEN 'middle'
                      ELSE 'tail' END AS ppl_bucket
             FROM j
+        """,
+        "triple_provenance": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            ent AS (SELECT DISTINCT doc_id, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            p AS (SELECT a.doc_id, a.entity AS subj, b.entity AS obj
+                  FROM ent a JOIN ent b
+                    ON a.doc_id = b.doc_id AND a.entity < b.entity)
+            SELECT subj, 'COOCCURS' AS pred, obj,
+                   count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM p GROUP BY subj, obj
+        """,
+        "entity_salience": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            m AS (SELECT doc_id, entity, count(*)::BIGINT AS n_mentions
+                  FROM tok JOIN gaz ON tok = alias
+                  GROUP BY doc_id, entity),
+            r AS (SELECT doc_id, entity, n_mentions,
+                         sum(n_mentions) OVER (PARTITION BY doc_id) AS total,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY n_mentions DESC, entity ASC) AS rn
+                  FROM m)
+            SELECT doc_id, entity AS top_entity, n_mentions,
+                   (n_mentions * 1000000 // total)::BIGINT AS share_e6
+            FROM r WHERE rn = 1
+        """,
+        "link_prediction_cn": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            und AS (SELECT least(t1, t2) AS x, greatest(t1, t2) AS y,
+                           sum(n)::BIGINT AS w
+                    FROM c WHERE t1 <> t2 GROUP BY 1, 2),
+            sym AS (SELECT x AS src, y AS dst, w FROM und
+                    UNION ALL SELECT y, x, w FROM und),
+            topk AS (SELECT src, dst FROM (
+                       SELECT src, dst,
+                              row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rn
+                       FROM sym) WHERE rn <= 2),
+            knn AS (SELECT DISTINCT least(src, dst) AS x,
+                                    greatest(src, dst) AS y FROM topk),
+            ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY src),
+            cn AS (SELECT a.src AS x, b.src AS z,
+                          count(*)::BIGINT AS common_neighbors
+                   FROM ks a JOIN ks b
+                     ON a.dst = b.dst AND a.src < b.src
+                   GROUP BY 1, 2),
+            nonadj AS (SELECT * FROM cn
+                       WHERE NOT EXISTS (SELECT 1 FROM knn
+                                         WHERE knn.x = cn.x AND knn.y = cn.z))
+            SELECT nonadj.x AS src, nonadj.z AS dst, common_neighbors,
+                   (common_neighbors * 1000000
+                    // (dx.deg + dz.deg - common_neighbors))::BIGINT AS jaccard_e6
+            FROM nonadj
+            JOIN deg dx ON nonadj.x = dx.src
+            JOIN deg dz ON nonadj.z = dz.src
+        """,
+        "kg_negative_samples": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            ent AS (SELECT DISTINCT doc_id, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            edges AS (SELECT DISTINCT a.entity AS subj, b.entity AS obj
+                      FROM ent a JOIN ent b
+                        ON a.doc_id = b.doc_id AND a.entity < b.entity),
+            ents AS (SELECT DISTINCT entity FROM gaz),
+            ranked AS (SELECT entity,
+                              (row_number() OVER (ORDER BY entity) - 1)::BIGINT AS rank
+                       FROM ents),
+            nn AS (SELECT count(*)::BIGINT AS n_ents FROM ranked),
+            base AS (SELECT subj, obj, n_ents,
+                            {_dk_hex8("subj || '|' || obj")} % n_ents AS h
+                     FROM edges, nn),
+            probes AS (SELECT subj, obj, probe, (h + probe) % n_ents AS rank
+                       FROM base, (SELECT unnest(range(0, 5)) AS probe)),
+            cand AS (SELECT p.subj, p.obj, p.probe, r.entity AS neg_obj
+                     FROM probes p JOIN ranked r ON p.rank = r.rank
+                     WHERE r.entity <> p.subj AND r.entity <> p.obj),
+            valid AS (SELECT * FROM cand c
+                      WHERE NOT EXISTS (
+                        SELECT 1 FROM edges e
+                        WHERE e.subj = least(c.subj, c.neg_obj)
+                          AND e.obj = greatest(c.subj, c.neg_obj))),
+            pick AS (SELECT subj, obj, neg_obj,
+                            row_number() OVER (PARTITION BY subj, obj
+                                               ORDER BY probe) AS rn
+                     FROM valid)
+            SELECT subj, 'COOCCURS' AS pred, obj, neg_obj FROM pick WHERE rn = 1
+        """,
+        "token_budget_allocation": """
+            WITH c AS (
+              SELECT source,
+                     sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS tokens
+              FROM documents GROUP BY source
+            ),
+            q AS (SELECT source, tokens,
+                         (tokens * 1000000 // sum(tokens) OVER ())::BIGINT AS base,
+                         ((tokens * 1000000) % sum(tokens) OVER ())::BIGINT AS rem
+                  FROM c),
+            r AS (SELECT source, tokens, base,
+                         row_number() OVER (ORDER BY rem DESC, source ASC) AS rn,
+                         1000000 - sum(base) OVER () AS leftover
+                  FROM q)
+            SELECT source, tokens,
+                   (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+            FROM r
+        """,
+        "winsorized_stats": """
+            WITH e AS (
+              SELECT event_type, event_id,
+                     CAST(round(value * 1000000) AS BIGINT) AS v_e6
+              FROM events
+            ),
+            r AS (SELECT event_type, v_e6,
+                         count(*) OVER (PARTITION BY event_type) AS n,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY v_e6, event_id) AS rn
+                  FROM e),
+            r2 AS (SELECT event_type, v_e6, rn,
+                          greatest(n * 5 // 100, 1) AS k_lo,
+                          (n * 95 + 99) // 100 AS k_hi
+                   FROM r),
+            b AS (SELECT event_type, count(*)::BIGINT AS n,
+                         max(CASE WHEN rn = k_lo THEN v_e6 END)::BIGINT AS lo_e6,
+                         max(CASE WHEN rn = k_hi THEN v_e6 END)::BIGINT AS hi_e6
+                  FROM r2 GROUP BY event_type)
+            SELECT e.event_type, b.n, b.lo_e6, b.hi_e6,
+                   sum(greatest(least(v_e6, hi_e6), lo_e6))::BIGINT AS winsorized_sum_e6,
+                   sum(CASE WHEN v_e6 < lo_e6 THEN 1 ELSE 0 END)::BIGINT AS n_clamped_low,
+                   sum(CASE WHEN v_e6 > hi_e6 THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high
+            FROM e JOIN b ON e.event_type = b.event_type
+            GROUP BY e.event_type, b.n, b.lo_e6, b.hi_e6
         """,
         "bpe_pair_counts": f"""
             WITH t AS (SELECT {_TOKS} AS ts FROM documents),
