@@ -2210,6 +2210,196 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_typed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-typed relation extraction: COOCCURS pairs restricted
+    to CROSS-type edges, with the predicate carrying the (subj_type,
+    obj_type) signature — the schema-constrained edge set a typed KG
+    actually loads (same-type co-occurrence is usually similarity,
+    not relation). Types ride the same broadcast gazetteer the
+    extraction already probes; no extra scan or shuffle vs the
+    untyped triple plan."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    fe = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("doc_id", "entity", "ent_type")
+        .distinct()
+    )
+    a, b = fe.alias("a"), fe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .filter(F.col("a.ent_type") != F.col("b.ent_type"))
+        .groupBy(
+            F.col("a.entity").alias("subj"),
+            F.concat(
+                F.lit("REL_"), F.col("a.ent_type"), F.lit("_"), F.col("b.ent_type")
+            ).alias("pred"),
+            F.col("b.entity").alias("obj"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-base) dedup — the shape a daily ingest
+    actually runs: the new batch (odd doc_ids) checks its normalized
+    fingerprints against the accumulated base (even doc_ids) AND
+    within itself (keep-first). Verdicts: dup_of_base / dup_in_delta
+    / keep. The base side reduces to distinct fingerprints before the
+    join, so at 100 TB the probe is fingerprint-keyed and the delta
+    never rescans base content."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", X.fingerprint_md5("text").alias("fingerprint")
+    )
+    base_fp = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    delta = d.filter(F.col("doc_id") % 2 == 1)
+    wf = Window.partitionBy("fingerprint")
+    return (
+        delta.join(base_fp, "fingerprint", "left")
+        .withColumn("first_id", F.min("doc_id").over(wf))
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_base").isNotNull(), "dup_of_base")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_delta")
+            .otherwise("keep")
+            .alias("status"),
+        )
+    )
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram (10 buckets) over lineitem
+    extended price — the statistic a cost-based optimizer collects.
+    Two-phase so no row-grain global sort exists: per-VALUE counts
+    first (one agg shuffle), then the cumulative walk runs on the
+    distinct-value frame (orders of magnitude smaller than the fact
+    table; at 100 TB you'd additionally pre-aggregate or sample —
+    this is the exact variant). Boundary k = smallest value whose
+    cumulative count reaches ceil(k·n/10); bucket row counts come
+    from the same cumulative frame, so buckets are value-aligned
+    (duplicates never split across buckets)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v_e2")
+    )
+    vc = li.groupBy("v_e2").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v_e2")
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "v_e2",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    buckets = spark.range(1, 11).select(F.col("id").cast("long").alias("bucket"))
+    j = cum.crossJoin(F.broadcast(buckets)).filter(
+        F.col("cum") * 10 >= F.col("bucket") * F.col("n")
+    )
+    return j.groupBy("bucket").agg(
+        F.min("v_e2").alias("upper_e2"),
+        F.min("cum").alias("cum_rows"),
+    )
+
+
+# 16-bit × 16-bit Morton interleave, generated once as an expression
+# string per engine (Spark `shiftright(x, i)` / DuckDB `x >> i`).
+def _zorder_terms(a: str, b: str, shift_fmt: str) -> str:
+    return " + ".join(
+        f"({shift_fmt.format(x=a, i=i)} & 1) * {1 << (2 * i)}"
+        f" + ({shift_fmt.format(x=b, i=i)} & 1) * {1 << (2 * i + 1)}"
+        for i in range(16)
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (custkey, order day) —
+    the multi-dimensional sort key an OPTIMIZE ZORDER layout pass
+    computes so range predicates on EITHER dimension prune files.
+    Pure bit arithmetic in codegen (no UDF); reported at z-prefix
+    grain (top 16 bits ≈ a file), with per-file key ranges — exactly
+    the min/max pruning stats the layout would give the reader."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("dd"),
+    )
+    z = o.select(
+        F.expr(_zorder_terms("ck", "dd", "shiftright({x}, {i})")).alias("zkey")
+    )
+    return (
+        z.select(F.expr("zkey div 65536").alias("z_prefix"), "zkey")
+        .groupBy("z_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+        )
+    )
+
+
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: pack documents into ~16 KiB
+    output shards by running-size cursor WITHIN each source partition
+    (bin = exclusive-prefix-sum div target — first-fit in doc_id
+    order), reporting per-shard doc counts and byte totals. Real
+    table-maintenance jobs plan exactly this before rewriting; the
+    prefix sum is per-source (the parallelism unit), never global."""
+    target = 16384
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    binned = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"(sum(n_chars) over (partition by source order by doc_id) - n_chars) div {target}")
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_shard_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostics over the md5 shard assignment the
+    training split uses: per-shard row counts plus the imbalance
+    ratio (shard count × n_shards / total, e6 integer) — the report a
+    pipeline emits to prove its writer shards are balanced BEFORE
+    burning cluster time. A skew report that itself skews would be
+    embarrassing: this is one agg on the md5-derived key."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuffle:"), F.col("text"))), 1, 8), 16, 10
+    ).cast("long")
+    s = d.select(h.alias("h")).select((F.expr("h div 100") % 8).alias("shard"))
+    w_all = Window.partitionBy()
+    return (
+        s.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "shard",
+            "n",
+            F.sum("n").over(w_all).alias("total"),
+        )
+        .select(
+            "shard",
+            "n",
+            F.expr("n * 8 * 1000000 div total").alias("imbalance_e6"),
+        )
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -3740,6 +3930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "token_budget_allocation": q_token_budget_allocation,
         "winsorized_stats": q_winsorized_stats,
+        "typed_triples": q_typed_triples,
+        "delta_dedup": q_delta_dedup,
+        "equi_depth_histogram": q_equi_depth_histogram,
+        "zorder_key": q_zorder_key,
+        "compaction_bins": q_compaction_bins,
+        "shard_skew_stats": q_shard_skew_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -5546,6 +5742,86 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v_e6 > hi_e6 THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high
             FROM e JOIN b ON e.event_type = b.event_type
             GROUP BY e.event_type, b.n, b.lo_e6, b.hi_e6
+        """,
+        "typed_triples": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            ent AS (SELECT DISTINCT doc_id, entity, ent_type
+                    FROM tok JOIN gaz ON tok = alias),
+            p AS (SELECT a.doc_id, a.entity AS subj,
+                         'REL_' || a.ent_type || '_' || b.ent_type AS pred,
+                         b.entity AS obj
+                  FROM ent a JOIN ent b
+                    ON a.doc_id = b.doc_id AND a.entity < b.entity
+                  WHERE a.ent_type <> b.ent_type)
+            SELECT subj, pred, obj, count(*)::BIGINT AS n_docs
+            FROM p GROUP BY 1, 2, 3
+        """,
+        "delta_dedup": f"""
+            WITH d AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents),
+            base AS (SELECT DISTINCT fingerprint FROM d WHERE doc_id % 2 = 0),
+            delta AS (SELECT doc_id, fingerprint FROM d WHERE doc_id % 2 = 1)
+            SELECT dl.doc_id, dl.fingerprint,
+                   CASE WHEN b.fingerprint IS NOT NULL THEN 'dup_of_base'
+                        WHEN dl.doc_id <> min(dl.doc_id) OVER (
+                            PARTITION BY dl.fingerprint) THEN 'dup_in_delta'
+                        ELSE 'keep' END AS status
+            FROM delta dl LEFT JOIN base b USING (fingerprint)
+        """,
+        "equi_depth_histogram": """
+            WITH v AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v_e2
+              FROM lineitem
+            ),
+            vc AS (SELECT v_e2, count(*)::BIGINT AS c FROM v GROUP BY v_e2),
+            cum AS (SELECT v_e2,
+                           sum(c) OVER (ORDER BY v_e2) AS cum,
+                           sum(c) OVER () AS n
+                    FROM vc),
+            b AS (SELECT unnest(range(1, 11)) AS bucket)
+            SELECT bucket::BIGINT AS bucket,
+                   min(v_e2)::BIGINT AS upper_e2,
+                   min(cum)::BIGINT AS cum_rows
+            FROM cum, b WHERE cum * 10 >= bucket * n
+            GROUP BY bucket
+        """,
+        "zorder_key": f"""
+            WITH o AS (
+              SELECT o_custkey::BIGINT AS ck,
+                     date_diff('day', DATE '1970-01-01',
+                               o_orderdate::DATE)::BIGINT AS dd
+              FROM orders
+            ),
+            z AS (SELECT ({_zorder_terms("ck", "dd", "({x} >> {i})")})::BIGINT AS zkey
+                  FROM o)
+            SELECT (zkey // 65536)::BIGINT AS z_prefix,
+                   count(*)::BIGINT AS n_rows,
+                   min(zkey)::BIGINT AS min_z, max(zkey)::BIGINT AS max_z
+            FROM z GROUP BY 1
+        """,
+        "compaction_bins": """
+            WITH b AS (
+              SELECT source, doc_id, n_chars,
+                     ((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                       - n_chars) // 16384) AS bin
+              FROM documents
+            )
+            SELECT source, bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   min(doc_id)::BIGINT AS first_doc,
+                   max(doc_id)::BIGINT AS last_doc
+            FROM b GROUP BY source, bin
+        """,
+        "shard_skew_stats": f"""
+            WITH b AS (
+              SELECT {_dk_hex8("'shuffle:' || text")} AS h FROM documents
+            ),
+            s AS (SELECT (h // 100) % 8 AS shard FROM b),
+            g AS (SELECT shard, count(*)::BIGINT AS n FROM s GROUP BY shard)
+            SELECT shard::BIGINT AS shard, n,
+                   (n * 8 * 1000000 // sum(n) OVER ())::BIGINT AS imbalance_e6
+            FROM g
         """,
         "bpe_pair_counts": f"""
             WITH t AS (SELECT {_TOKS} AS ts FROM documents),
