@@ -2003,27 +2003,7 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard (exact e6 integer). The 2-hop expansion is degree-bounded
     by construction (deg ≤ k + in-links), which is what makes the
     self-join survive 100× — sum(deg²) stays linear in nodes."""
-    from ner_spark.operators import lm
-
-    d = _docs(spark, sf_dir)
-    bg = lm.bigram_counts(d).select(
-        F.split("bigram", " ")[0].alias("t1"),
-        F.split("bigram", " ")[1].alias("t2"),
-        "n",
-    ).filter(F.col("t1") != F.col("t2"))
-    und = bg.groupBy(
-        F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
-    ).agg(F.sum("n").alias("w"))
-    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w").unionAll(
-        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
-    )
-    wr = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    knn = (
-        sym.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 2)
-        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
-        .distinct()
-    )
+    knn = _knn_token_edges(spark, sf_dir)
     knn_sym = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
         knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
@@ -2396,6 +2376,190 @@ def q_shard_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard",
             "n",
             F.expr("n * 8 * 1000000 div total").alias("imbalance_e6"),
+        )
+    )
+
+
+def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches work on a cluster:
+    MERGEABILITY. Build per-half HLL register sets (doc_id parity =
+    two 'partitions'), merge them by register max, and show the
+    merged estimate equals the estimate computed over the whole
+    corpus in one pass — bit-for-bit, because max is associative.
+    This is exactly why 1000 executors can each sketch their split
+    and a 256-row reduce yields the global count."""
+    from ner_spark.operators import sketches
+
+    d = _docs(spark, sf_dir)
+    items = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array_distinct(X.shingles("text", 3))).alias("sh"),
+    )
+    per_half = sketches.hll_registers(items, ["lang", "half"], "sh")
+    merged_regs = per_half.groupBy("lang", "bucket").agg(F.max("rho").alias("rho"))
+    merged = sketches.hll_estimate(merged_regs, ["lang"]).select(
+        "lang",
+        F.col("hll_estimate").alias("merged_estimate"),
+        "registers_used",
+    )
+    full = sketches.hll_estimate(
+        sketches.hll_registers(items.select("lang", "sh"), ["lang"], "sh"), ["lang"]
+    ).select("lang", F.col("hll_estimate").alias("full_estimate"))
+    exact = items.groupBy("lang").agg(F.countDistinct("sh").alias("exact_distinct"))
+    return (
+        merged.join(full, "lang")
+        .join(exact, "lang")
+        .select(
+            "lang", "exact_distinct", "merged_estimate", "full_estimate",
+            "registers_used",
+        )
+    )
+
+
+def _knn_token_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared kNN-sparsified token graph (top-2 neighbors by bigram
+    weight, ties on neighbor name) — undirected edge list (x < y)."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    bg = lm.bigram_counts(d).select(
+        F.split("bigram", " ")[0].alias("t1"),
+        F.split("bigram", " ")[1].alias("t2"),
+        "n",
+    ).filter(F.col("t1") != F.col("t2"))
+    und = bg.groupBy(
+        F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
+    ).agg(F.sum("n").alias("w"))
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w").unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        sym.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+        .distinct()
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 fixed
+    rounds) over the kNN token graph: each node adopts its neighbors'
+    most frequent label, ties to the smallest label — fully
+    deterministic, unlike the async/random-order textbook variant,
+    and different from connected components (frequency, not min,
+    drives adoption). Fixed rounds + node-sized state + no driver
+    action in the loop — the same discipline as pagerank/BFS; each
+    round is one edge-sized join and one node-keyed argmax."""
+    knn = _knn_token_edges(spark, sf_dir)
+    edges = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select("src", "label")
+        cnt = nbr.groupBy("src", "label").agg(F.count(F.lit(1)).alias("n"))
+        wr = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size"),
+        F.min("node").alias("min_member"),
+    )
+
+
+def q_metapath_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-KG meta-path counting (OP —cooccur— LIB
+    —cooccur— OP): for every operator pair, how many distinct
+    library entities bridge them — the HIN-mining primitive behind
+    PathSim/metapath2vec feature extraction. The typed adjacency is
+    doc-grain distinct co-occurrence; the bridge join is
+    intermediate-keyed, so its fan-out is bounded by the typed degree
+    of each LIB node, not by corpus size."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    fe = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("doc_id", "entity", "ent_type")
+        .distinct()
+    )
+    a, b = fe.alias("a"), fe.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") != F.col("b.entity")),
+        )
+        .select(
+            F.col("a.entity").alias("e1"),
+            F.col("a.ent_type").alias("t1"),
+            F.col("b.entity").alias("e2"),
+            F.col("b.ent_type").alias("t2"),
+        )
+        .distinct()
+    )
+    op_lib = adj.filter((F.col("t1") == "OP") & (F.col("t2") == "LIB")).select(
+        F.col("e1").alias("op"), F.col("e2").alias("lib")
+    )
+    l1, l2 = op_lib.alias("l1"), op_lib.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.lib") == F.col("l2.lib")) & (F.col("l1.op") < F.col("l2.op")),
+        )
+        .groupBy(F.col("l1.op").alias("subj"), F.col("l2.op").alias("obj"))
+        .agg(F.countDistinct(F.col("l1.lib")).alias("n_paths"))
+    )
+
+
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking across two
+    record sources (customers vs suppliers): merge both under one
+    sort key (the numeric id embedded in the name), then emit only
+    CROSS-source candidate pairs within window w = 2 of each other in
+    the sorted order. This is the classic ER blocking that finds
+    near-matches without an n² comparison; at scale the sort is
+    range-partitioned with boundary overlap of w rows — the window
+    never spans more than w, so the plan stays linear."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src_table"),
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").cast("long").alias("rec_id"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src_table"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").cast("long").alias("rec_id"),
+    )
+    recs = c.unionAll(s).select(
+        "src_table", "name", "rec_id",
+        F.regexp_extract("name", r"(\d+)", 1).cast("long").alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "src_table", "rec_id")
+    ranked = recs.withColumn("rank", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.rank") > F.col("a.rank"))
+            & (F.col("b.rank") <= F.col("a.rank") + 2)
+            & (F.col("a.src_table") != F.col("b.src_table")),
+        )
+        .select(
+            F.col("a.src_table").alias("src_a"),
+            F.col("a.rec_id").alias("id_a"),
+            F.col("b.src_table").alias("src_b"),
+            F.col("b.rec_id").alias("id_b"),
+            (F.col("b.sort_key") - F.col("a.sort_key")).alias("key_gap"),
         )
     )
 
@@ -3936,6 +4100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "compaction_bins": q_compaction_bins,
         "shard_skew_stats": q_shard_skew_stats,
+        "hll_union_merge": q_hll_union_merge,
+        "label_propagation": q_label_propagation,
+        "metapath_counts": q_metapath_counts,
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -4139,6 +4307,34 @@ def _dk_hex8(expr: str) -> str:
         for k in range(8)
     )
     return f"({terms})"
+
+
+# kNN-sparsified token graph (top-2 by bigram weight) — the DuckDB twin
+# of _knn_token_edges, shared by the link_prediction_cn and
+# label_propagation oracles.
+def _knn_cte() -> str:
+    return f"""t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            und AS (SELECT least(t1, t2) AS x, greatest(t1, t2) AS y,
+                           sum(n)::BIGINT AS w
+                    FROM c WHERE t1 <> t2 GROUP BY 1, 2),
+            sym AS (SELECT x AS src, y AS dst, w FROM und
+                    UNION ALL SELECT y, x, w FROM und),
+            topk AS (SELECT src, dst FROM (
+                       SELECT src, dst,
+                              row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rn
+                       FROM sym) WHERE rn <= 2),
+            knn AS (SELECT DISTINCT least(src, dst) AS x,
+                                    greatest(src, dst) AS y FROM topk)"""
 
 
 _DK_DECODE_T6 = f"""
@@ -5626,28 +5822,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "link_prediction_cn": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-            bg AS (
-              SELECT unnest(list_transform(range(1, len(ts)),
-                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
-              FROM t
-            ),
-            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
-                         split_part(bigram, ' ', 2) AS t2,
-                         count(*)::BIGINT AS n
-                  FROM bg GROUP BY 1, 2),
-            und AS (SELECT least(t1, t2) AS x, greatest(t1, t2) AS y,
-                           sum(n)::BIGINT AS w
-                    FROM c WHERE t1 <> t2 GROUP BY 1, 2),
-            sym AS (SELECT x AS src, y AS dst, w FROM und
-                    UNION ALL SELECT y, x, w FROM und),
-            topk AS (SELECT src, dst FROM (
-                       SELECT src, dst,
-                              row_number() OVER (PARTITION BY src
-                                  ORDER BY w DESC, dst ASC) AS rn
-                       FROM sym) WHERE rn <= 2),
-            knn AS (SELECT DISTINCT least(src, dst) AS x,
-                                    greatest(src, dst) AS y FROM topk),
+            WITH {_knn_cte()},
             ks AS (SELECT x AS src, y AS dst FROM knn
                    UNION ALL SELECT y, x FROM knn),
             deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY src),
@@ -5822,6 +5997,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard::BIGINT AS shard, n,
                    (n * 8 * 1000000 // sum(n) OVER ())::BIGINT AS imbalance_e6
             FROM g
+        """,
+        "hll_union_merge": f"""
+            WITH it AS (
+              SELECT lang, doc_id % 2 AS half,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+              FROM (SELECT lang, doc_id, string_split({_NORM}, ' ') AS toks
+                    FROM documents)
+            ),
+            h AS (SELECT lang, half, sh, md5(sh) AS hx FROM it),
+            rr AS (
+              SELECT lang, half,
+                     ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+                     CASE WHEN length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) = 12
+                          THEN 49
+                          ELSE length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) * 4
+                               + CASE substr(substr(hx, 3, 12),
+                                             length(regexp_extract(substr(hx, 3, 12), '^0*', 0)) + 1, 1)
+                                   WHEN '1' THEN 3
+                                   WHEN '2' THEN 2 WHEN '3' THEN 2
+                                   WHEN '4' THEN 1 WHEN '5' THEN 1
+                                   WHEN '6' THEN 1 WHEN '7' THEN 1
+                                   ELSE 0 END
+                               + 1 END AS rho
+              FROM h
+            ),
+            regs_half AS (SELECT lang, half, bucket, max(rho) AS rho
+                          FROM rr GROUP BY lang, half, bucket),
+            regs_m AS (SELECT lang, bucket, max(rho) AS rho
+                       FROM regs_half GROUP BY lang, bucket),
+            gm AS (SELECT lang, count(*)::BIGINT AS n_set,
+                          sum(1::BIGINT << (49 - rho))::BIGINT AS sum_set
+                   FROM regs_m GROUP BY lang),
+            em AS (SELECT lang, n_set, (256 - n_set) AS v,
+                          ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0)
+                            / (sum_set + (256 - n_set) * (1::BIGINT << 49)) AS e_raw
+                   FROM gm),
+            est_m AS (SELECT lang, n_set,
+                             CASE WHEN e_raw <= 640.0 AND v > 0
+                                  THEN 256.0 * ln(256.0 / v)
+                                  ELSE e_raw END AS ee
+                      FROM em),
+            regs_f AS (SELECT lang, bucket, max(rho) AS rho
+                       FROM rr GROUP BY lang, bucket),
+            gf AS (SELECT lang, count(*)::BIGINT AS n_set,
+                          sum(1::BIGINT << (49 - rho))::BIGINT AS sum_set
+                   FROM regs_f GROUP BY lang),
+            ef AS (SELECT lang, n_set, (256 - n_set) AS v,
+                          ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0)
+                            / (sum_set + (256 - n_set) * (1::BIGINT << 49)) AS e_raw
+                   FROM gf),
+            est_f AS (SELECT lang,
+                             CASE WHEN e_raw <= 640.0 AND v > 0
+                                  THEN 256.0 * ln(256.0 / v)
+                                  ELSE e_raw END AS ee
+                      FROM ef),
+            ex AS (SELECT lang, count(DISTINCT sh)::BIGINT AS exact_distinct
+                   FROM it GROUP BY lang)
+            SELECT est_m.lang, ex.exact_distinct,
+                   CAST(round(est_m.ee) AS BIGINT) AS merged_estimate,
+                   CAST(round(est_f.ee) AS BIGINT) AS full_estimate,
+                   est_m.n_set::BIGINT AS registers_used
+            FROM est_m JOIN est_f USING (lang) JOIN ex USING (lang)
+        """,
+        "label_propagation": f"""
+            WITH {_knn_cte()},
+            edges AS (SELECT x AS src, y AS dst FROM knn
+                      UNION ALL SELECT y, x FROM knn),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+            n1 AS (SELECT e.src, l.label, count(*)::BIGINT AS n
+                   FROM edges e JOIN l0 l ON e.dst = l.node
+                   GROUP BY e.src, l.label),
+            l1 AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (PARTITION BY src
+                         ORDER BY n DESC, label ASC) AS rn FROM n1)
+                   WHERE rn = 1),
+            n2 AS (SELECT e.src, l.label, count(*)::BIGINT AS n
+                   FROM edges e JOIN l1 l ON e.dst = l.node
+                   GROUP BY e.src, l.label),
+            l2 AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (PARTITION BY src
+                         ORDER BY n DESC, label ASC) AS rn FROM n2)
+                   WHERE rn = 1),
+            n3 AS (SELECT e.src, l.label, count(*)::BIGINT AS n
+                   FROM edges e JOIN l2 l ON e.dst = l.node
+                   GROUP BY e.src, l.label),
+            l3 AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (PARTITION BY src
+                         ORDER BY n DESC, label ASC) AS rn FROM n3)
+                   WHERE rn = 1)
+            SELECT label, count(*)::BIGINT AS community_size,
+                   min(node) AS min_member
+            FROM l3 GROUP BY label
+        """,
+        "metapath_counts": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+            ent AS (SELECT DISTINCT doc_id, entity, ent_type
+                    FROM tok JOIN gaz ON tok = alias),
+            adj AS (SELECT DISTINCT a.entity AS e1, a.ent_type AS t1,
+                                    b.entity AS e2, b.ent_type AS t2
+                    FROM ent a JOIN ent b
+                      ON a.doc_id = b.doc_id AND a.entity <> b.entity),
+            lo AS (SELECT e1 AS op, e2 AS lib FROM adj
+                   WHERE t1 = 'OP' AND t2 = 'LIB')
+            SELECT l1.op AS subj, l2.op AS obj,
+                   count(DISTINCT l1.lib)::BIGINT AS n_paths
+            FROM lo l1 JOIN lo l2 ON l1.lib = l2.lib AND l1.op < l2.op
+            GROUP BY 1, 2
+        """,
+        "sorted_neighborhood_pairs": """
+            WITH r AS (
+              SELECT 'cust' AS src_table, c_name AS name,
+                     c_custkey::BIGINT AS rec_id FROM customer
+              UNION ALL
+              SELECT 'supp', s_name, s_suppkey::BIGINT FROM supplier
+            ),
+            k AS (SELECT src_table, rec_id,
+                         regexp_extract(name, '(\\d+)', 1)::BIGINT AS sort_key
+                  FROM r),
+            rk AS (SELECT *, row_number() OVER (
+                     ORDER BY sort_key, src_table, rec_id) AS rank FROM k)
+            SELECT a.src_table AS src_a, a.rec_id AS id_a,
+                   b.src_table AS src_b, b.rec_id AS id_b,
+                   (b.sort_key - a.sort_key)::BIGINT AS key_gap
+            FROM rk a JOIN rk b
+              ON b.rank > a.rank AND b.rank <= a.rank + 2
+             AND a.src_table <> b.src_table
         """,
         "bpe_pair_counts": f"""
             WITH t AS (SELECT {_TOKS} AS ts FROM documents),
