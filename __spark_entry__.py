@@ -2564,6 +2564,136 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion: two independent
+    top-50 rankings (term frequency of 'join' and of 'stream') fused
+    with RRF, score = Σ 1e6 div (60 + rank) in exact integers — the
+    standard way a retrieval stack merges lexical and semantic hit
+    lists without score calibration. Both rankings come from ONE
+    token-count scan; the fusion is a full outer join of two 50-row
+    frames, so the expensive part is exactly one pass over the
+    corpus regardless of how many signals get fused."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    g = (
+        toks.filter(F.col("tok").isin("join", "stream"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wr = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = g.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= 50)
+    ra = ranked.filter(F.col("tok") == "join").select(
+        "doc_id", F.col("rank").cast("long").alias("rank_a")
+    )
+    rb = ranked.filter(F.col("tok") == "stream").select(
+        "doc_id", F.col("rank").cast("long").alias("rank_b")
+    )
+    return ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rank_a)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rank_b)"), F.lit(0))
+        ).alias("rrf_e6"),
+    )
+
+
+def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist filtering with evidence extraction: every hit
+    of a blocked term with ±2 tokens of context — what a moderation
+    pipeline logs for review (the hit alone is unreviewable). The
+    context slice reads the SAME token array the hit was found in
+    (no re-scan, no second tokenization); posexplode + filter keeps
+    only hit rows past the filter, so the per-token frame never
+    carries the array beyond the match."""
+    blocked = ("slow", "dup", "fast")
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", X.tokens("text").alias("ts"))
+    hits = t.select(
+        "doc_id", "ts", F.posexplode("ts").alias("pos", "term")
+    ).filter(F.col("term").isin(*blocked))
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "term",
+        F.expr(
+            "array_join(slice(ts, pos - least(2, pos) + 1, least(2, pos)), ' ')"
+        ).alias("left_ctx"),
+        F.expr(
+            "array_join(slice(ts, pos + 2, least(2, size(ts) - pos - 1)), ' ')"
+        ).alias("right_ctx"),
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile over lineitem's numeric columns:
+    row count, null count, e2-quantized min/max, and exact NDV per
+    column, in ONE scan (a single multi-aggregate; the fixed column
+    list keeps the agg row bounded). Exact multi-column NDV uses
+    Spark's expand strategy — at 100 TB you swap those four exprs
+    for the HLL registers this repo already ships (`hll_distinct`);
+    the plan shape stays one scan + one constant-width reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def e2(c: str):
+        return F.round(F.col(c) * 100, 0).cast("long")
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_null"),
+            F.min(e2(c)).alias(f"{c}_min"),
+            F.max(e2(c)).alias(f"{c}_max"),
+            F.countDistinct(e2(c)).alias(f"{c}_ndv"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_null, {c}_min, {c}_max, {c}_ndv" for c in cols
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_null, min_e2, max_e2, ndv)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "min_e2", "max_e2", "ndv")
+
+
+def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation — the CBO trick:
+    |A ⋈ B| on a key is upper-bounded by min over CMS depths of the
+    sketch inner product Σ_cell a(cell)·b(cell). Both sides reduce
+    to 1024-cell sketches (constant state, one scan each); the dot
+    product is a 1024-row join. The exact join size rides alongside
+    to show the one-sided bound holds — at 100 TB you'd never
+    compute the exact side; here it is the oracle's witness."""
+    from ner_spark.operators import sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    sa = sketches.cms_sketch(o, "k")
+    sb = sketches.cms_sketch(c, "k")
+    dots = (
+        sa.alias("a")
+        .join(sb.alias("b"), ["depth", "cell"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").alias("cms_join_estimate"))
+    oc = o.groupBy("k").agg(F.count(F.lit(1)).alias("n_o"))
+    cc = c.groupBy("k").agg(F.count(F.lit(1)).alias("n_c"))
+    exact = (
+        oc.join(cc, "k")
+        .agg(F.sum(F.col("n_o") * F.col("n_c")).alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -4104,6 +4234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "metapath_counts": q_metapath_counts,
         "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "rrf_fusion": q_rrf_fusion,
+        "blocklist_hits": q_blocklist_hits,
+        "table_profile": q_table_profile,
+        "cms_join_estimate": q_cms_join_estimate,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -6108,6 +6242,88 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l1.lib)::BIGINT AS n_paths
             FROM lo l1 JOIN lo l2 ON l1.lib = l2.lib AND l1.op < l2.op
             GROUP BY 1, 2
+        """,
+        "rrf_fusion": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            g AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                  FROM toks WHERE tok IN ('join', 'stream')
+                  GROUP BY doc_id, tok),
+            r AS (SELECT doc_id, tok,
+                         row_number() OVER (PARTITION BY tok
+                             ORDER BY tf DESC, doc_id ASC) AS rank
+                  FROM g),
+            ra AS (SELECT doc_id, rank::BIGINT AS rank_a FROM r
+                   WHERE tok = 'join' AND rank <= 50),
+            rb AS (SELECT doc_id, rank::BIGINT AS rank_b FROM r
+                   WHERE tok = 'stream' AND rank <= 50)
+            SELECT doc_id, rank_a, rank_b,
+                   (coalesce(1000000 // (60 + rank_a), 0)
+                    + coalesce(1000000 // (60 + rank_b), 0))::BIGINT AS rrf_e6
+            FROM ra FULL OUTER JOIN rb USING (doc_id)
+        """,
+        "blocklist_hits": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, ts, unnest(ts) AS term,
+                           generate_subscripts(ts, 1) AS ps FROM t),
+            h AS (SELECT * FROM tok WHERE term IN ('slow', 'dup', 'fast'))
+            SELECT doc_id, (ps - 1)::BIGINT AS pos, term,
+                   coalesce(array_to_string(
+                     list_slice(ts, greatest(ps - 2, 1), ps - 1), ' '), '') AS left_ctx,
+                   coalesce(array_to_string(
+                     list_slice(ts, ps + 1, least(ps + 2, len(ts))), ' '), '') AS right_ctx
+            FROM h
+        """,
+        "table_profile": """
+            SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   min(CAST(round(l_quantity * 100) AS BIGINT)) AS min_e2,
+                   max(CAST(round(l_quantity * 100) AS BIGINT)) AS max_e2,
+                   count(DISTINCT CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS ndv
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*)::BIGINT,
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                   max(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                   count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*)::BIGINT,
+                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   min(CAST(round(l_discount * 100) AS BIGINT)),
+                   max(CAST(round(l_discount * 100) AS BIGINT)),
+                   count(DISTINCT CAST(round(l_discount * 100) AS BIGINT))::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*)::BIGINT,
+                   sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   min(CAST(round(l_tax * 100) AS BIGINT)),
+                   max(CAST(round(l_tax * 100) AS BIGINT)),
+                   count(DISTINCT CAST(round(l_tax * 100) AS BIGINT))::BIGINT
+            FROM lineitem
+        """,
+        "cms_join_estimate": """
+            WITH o AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+            c AS (SELECT c_custkey::VARCHAR AS k FROM customer),
+            d AS (SELECT unnest(range(0, 4)) AS depth),
+            oa AS (SELECT depth,
+                          ('0x' || substr(md5(depth || ':' || k), 1, 2))::BIGINT AS cell,
+                          count(*)::BIGINT AS cnt
+                   FROM o, d GROUP BY 1, 2),
+            ca AS (SELECT depth,
+                          ('0x' || substr(md5(depth || ':' || k), 1, 2))::BIGINT AS cell,
+                          count(*)::BIGINT AS cnt
+                   FROM c, d GROUP BY 1, 2),
+            dots AS (SELECT oa.depth, sum(oa.cnt * ca.cnt)::BIGINT AS dot
+                     FROM oa JOIN ca ON oa.depth = ca.depth AND oa.cell = ca.cell
+                     GROUP BY 1),
+            est AS (SELECT min(dot)::BIGINT AS cms_join_estimate FROM dots),
+            ex AS (SELECT sum(no * nc)::BIGINT AS exact_join_rows FROM
+                   (SELECT k, count(*)::BIGINT AS no FROM o GROUP BY k) a JOIN
+                   (SELECT k, count(*)::BIGINT AS nc FROM c GROUP BY k) b USING (k))
+            SELECT * FROM est, ex
         """,
         "sorted_neighborhood_pairs": """
             WITH r AS (
