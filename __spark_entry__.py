@@ -2694,6 +2694,120 @@ def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index posting-list construction: per token, document
+    frequency plus the first 20 doc_ids of the sorted posting list
+    (serialized as a comma string so the check is value-exact).
+    collect_list order is partition-dependent — sort_array makes the
+    result partitioning-invariant, the same discipline the round-1
+    verdict demanded of every collected array. Postings are capped
+    AFTER the sort, so the cap is deterministic too; at scale the cap
+    becomes a windowed top-k per token before the collect."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    ).distinct()
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.expr(
+            "array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 20),"
+            " x -> cast(x as string)), ',')"
+        ).alias("postings"),
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a telemetry value per user — the
+    metric that is CORRECT for irregularly sampled gauges (a plain
+    avg over-weights bursts). Trapezoid-free left-Riemann form: each
+    value holds until the next event; weights are exact microsecond
+    gaps from a per-user lead window, values e2-quantized, and the
+    final division is integer, so no float accumulates across
+    partitions. Users whose events all share one timestamp are
+    excluded on BOTH sides (zero total weight = undefined)."""
+    from ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        temporal.micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    g = e.select(
+        "user_id",
+        "v_e2",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.sum(F.col("v_e2") * F.col("gap_us")).alias("wsum"),
+        )
+        .filter(F.col("total_gap_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_gap_us",
+            F.expr("wsum div total_gap_us").alias("twa_e2"),
+        )
+    )
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: token frequency ranks in the 'old' half
+    (even doc_ids) vs the 'new' half (odd), with the rank shift — the
+    check a training-data pipeline runs before accepting a refreshed
+    crawl (a token that jumps 20 ranks means the distribution moved).
+    Two vocab-sized count tables from one exploded scan; ranks are
+    windows over those small tables, never over the corpus."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("is_old"),
+        F.explode(X.tokens("text")).alias("token"),
+    )
+    cnt = toks.groupBy("is_old", "token").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("is_old").orderBy(F.desc("n"), F.asc("token"))
+    ranked = cnt.withColumn("rank", F.row_number().over(wr).cast("long"))
+    old = ranked.filter(F.col("is_old")).select(
+        "token", F.col("n").alias("n_old"), F.col("rank").alias("rank_old")
+    )
+    new = ranked.filter(~F.col("is_old")).select(
+        "token", F.col("n").alias("n_new"), F.col("rank").alias("rank_new")
+    )
+    return old.join(new, "token").select(
+        "token", "n_old", "n_new", "rank_old", "rank_new",
+        (F.col("rank_old") - F.col("rank_new")).alias("drift"),
+    )
+
+
+def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry dedup in 5-second tumbling windows: collapse repeats
+    of (user, event_type) inside a window to one kept event — the
+    batch twin of the at-least-once-delivery cleanup every event
+    pipeline runs. One groupBy on the derived (user, type, window)
+    key, then a type-grain rollup of kept vs dropped; the window key
+    is pure integer arithmetic on the timestamp, so the map side
+    combines before any shuffle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        # NTZ cast is the identity under the session's pinned UTC
+        # (see temporal.micros); div keeps the window key integral.
+        F.expr("unix_micros(cast(ts as timestamp)) div 5000000").alias("win"),
+    )
+    per_key = e.groupBy("user_id", "event_type", "win").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n") - 1).alias("n_dropped"),
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -4238,6 +4352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_hits": q_blocklist_hits,
         "table_profile": q_table_profile,
         "cms_join_estimate": q_cms_join_estimate,
+        "inverted_index": q_inverted_index,
+        "time_weighted_avg": q_time_weighted_avg,
+        "vocab_drift": q_vocab_drift,
+        "event_dedup_window": q_event_dedup_window,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -6324,6 +6442,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT k, count(*)::BIGINT AS no FROM o GROUP BY k) a JOIN
                    (SELECT k, count(*)::BIGINT AS nc FROM c GROUP BY k) b USING (k))
             SELECT * FROM est, ex
+        """,
+        "inverted_index": f"""
+            WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, token FROM tk)
+            SELECT token, count(*)::BIGINT AS df_docs,
+                   array_to_string(list_transform(
+                     list_slice(list_sort(list(doc_id)), 1, 20),
+                     x -> x::VARCHAR), ',') AS postings
+            FROM pairs GROUP BY token
+        """,
+        "time_weighted_avg": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events
+            ),
+            g AS (SELECT user_id, v_e2,
+                         lead(t_us) OVER (PARTITION BY user_id
+                             ORDER BY t_us, event_id) - t_us AS gap_us
+                  FROM e),
+            f AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+            a AS (SELECT user_id, count(*)::BIGINT AS n_intervals,
+                         sum(gap_us)::BIGINT AS total_gap_us,
+                         sum(v_e2 * gap_us)::BIGINT AS wsum
+                  FROM f GROUP BY user_id)
+            SELECT user_id, n_intervals, total_gap_us,
+                   (wsum // total_gap_us)::BIGINT AS twa_e2
+            FROM a WHERE total_gap_us > 0
+        """,
+        "vocab_drift": f"""
+            WITH tk AS (SELECT doc_id % 2 = 0 AS is_old,
+                               unnest({_TOKS}) AS token FROM documents),
+            c AS (SELECT is_old, token, count(*)::BIGINT AS n
+                  FROM tk GROUP BY 1, 2),
+            r AS (SELECT *, (row_number() OVER (PARTITION BY is_old
+                     ORDER BY n DESC, token ASC))::BIGINT AS rank FROM c),
+            o AS (SELECT token, n AS n_old, rank AS rank_old FROM r WHERE is_old),
+            nn AS (SELECT token, n AS n_new, rank AS rank_new FROM r WHERE NOT is_old)
+            SELECT token, n_old, n_new, rank_old, rank_new,
+                   (rank_old - rank_new)::BIGINT AS drift
+            FROM o JOIN nn USING (token)
+        """,
+        "event_dedup_window": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) // 5000000 AS win FROM events),
+            k AS (SELECT user_id, event_type, win, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1, 2, 3)
+            SELECT event_type, sum(n)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_kept,
+                   sum(n - 1)::BIGINT AS n_dropped
+            FROM k GROUP BY event_type
         """,
         "sorted_neighborhood_pairs": """
             WITH r AS (
