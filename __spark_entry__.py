@@ -2808,6 +2808,136 @@ def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution similarity between source domains: pairwise
+    histogram intersection Σ min(p_a, p_b) over token frequencies,
+    exact e6 integers — the data-mixing diagnostic that says which
+    domains are near-duplicates of each other BEFORE you allocate
+    budget across them (pair it with token_budget_allocation). The
+    corpus reduces to a (domain × vocab)-sized histogram frame in one
+    scan; the pairwise join runs entirely on that small frame."""
+    d = _docs(spark, sf_dir)
+    c = (
+        d.select("source", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = c.select(
+        "source",
+        "token",
+        F.expr("n * 1000000 div sum(n) over (partition by source)").alias("p_e6"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.sum(F.least("a.p_e6", "b.p_e6")).alias("overlap_e6"))
+    )
+
+
+def q_quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of the quality score — the
+    calibration-free transform a curation pipeline applies before
+    thresholding across heterogeneous sources (raw scores are not
+    comparable; ranks are). pct_e6 = (rank−1)·1e6 div (n−1) under a
+    total (score, doc_id) order. Here the rank is one global window
+    over doc-grain rows; at 100 TB you bucketize scores first and
+    rank the bucket table (equi_depth_histogram is that building
+    block)."""
+    d = _docs(spark, sf_dir)
+    feats = X.quality_features("text")
+    q = d.select(
+        "doc_id",
+        F.round(F.round(feats["quality_score"], 6) * 1_000_000, 0)
+        .cast("long")
+        .alias("q_e6"),
+    )
+    wr = Window.orderBy("q_e6", "doc_id")
+    w_all = Window.partitionBy()
+    return q.select(
+        "doc_id",
+        "q_e6",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).select(
+        "doc_id",
+        "q_e6",
+        F.expr("(rank - 1) * 1000000 div (n - 1)").alias("pct_e6"),
+    )
+
+
+def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit for the streaming path: replay events
+    in arrival order (event_id) per user, track the running max
+    event-time, and measure how many rows a 10-minute watermark
+    would have dropped and how late the worst straggler was. This is
+    the batch evidence you gather BEFORE choosing withWatermark();
+    the high-water mark is a per-user cummax window (rows to
+    1 preceding), never global state."""
+    from ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", temporal.micros("ts").alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = e.select(
+        "event_type",
+        F.greatest(
+            F.coalesce(F.max("t_us").over(w) - F.col("t_us"), F.lit(0)),
+            F.lit(0),
+        ).alias("lateness_us"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("lateness_us") > 600_000_000).cast("long")).alias(
+            "n_dropped_10m"
+        ),
+        F.max("lateness_us").alias("max_lateness_us"),
+    )
+
+
+def q_hourly_type_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index construction at hour grain: each event type owns
+    a bit; the hourly bitmap is bit_or over the hour's events — the
+    membership structure a query engine consults to skip hours
+    ('which hours contain errors?') without touching row data.
+    Integer end-to-end (bit_or + bit_count are both codegen), and
+    the agg combines map-side like any sum."""
+    e = _t(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+        .cast("long")
+    )
+    return (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("hour"), bit.alias("bit"))
+        .groupBy("hour")
+        .agg(
+            F.expr("bit_or(bit)").alias("type_bitmap"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "hour",
+            "type_bitmap",
+            F.expr("bit_count(type_bitmap)").cast("long").alias("n_types"),
+            "n_events",
+        )
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -4356,6 +4486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "vocab_drift": q_vocab_drift,
         "event_dedup_window": q_event_dedup_window,
+        "domain_histogram_overlap": q_domain_histogram_overlap,
+        "quantile_normalized_quality": q_quantile_normalized_quality,
+        "watermark_lateness_audit": q_watermark_lateness_audit,
+        "hourly_type_bitmap": q_hourly_type_bitmap,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -6493,6 +6627,78 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_kept,
                    sum(n - 1)::BIGINT AS n_dropped
             FROM k GROUP BY event_type
+        """,
+        "domain_histogram_overlap": f"""
+            WITH tk AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+            c AS (SELECT source, token, count(*)::BIGINT AS n
+                  FROM tk GROUP BY 1, 2),
+            p AS (SELECT source, token,
+                         (n * 1000000 // sum(n) OVER (PARTITION BY source))::BIGINT AS p_e6
+                  FROM c)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   sum(least(a.p_e6, b.p_e6))::BIGINT AS overlap_e6
+            FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "quantile_normalized_quality": """
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|was|for|with|that)\\b')) AS n_stop
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_chars, n_words,
+                     n_punct / greatest(n_chars, 1) AS punct_ratio,
+                     n_stop / greatest(n_words, 1) AS stop_ratio,
+                     n_chars / greatest(n_words, 1) AS mean_word_len
+              FROM f
+            ), q AS (
+              SELECT doc_id,
+                     CAST(round(round(CASE WHEN n_chars < 20 THEN 0.0 ELSE
+                       least(1.0, n_chars / 2000.0) * 0.4
+                       + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END)
+                       + least(1.0, stop_ratio * 5) * 0.1 END, 6) * 1000000)
+                       AS BIGINT) AS q_e6
+              FROM g
+            ),
+            r AS (SELECT doc_id, q_e6,
+                         (row_number() OVER (ORDER BY q_e6, doc_id))::BIGINT AS rank,
+                         count(*) OVER () AS n
+                  FROM q)
+            SELECT doc_id, q_e6,
+                   ((rank - 1) * 1000000 // (n - 1))::BIGINT AS pct_e6
+            FROM r
+        """,
+        "watermark_lateness_audit": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS t_us FROM events),
+            l AS (SELECT event_type,
+                         greatest(coalesce(max(t_us) OVER (
+                             PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           - t_us, 0), 0) AS lateness_us
+                  FROM e)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN lateness_us > 600000000 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dropped_10m,
+                   max(lateness_us)::BIGINT AS max_lateness_us
+            FROM l GROUP BY event_type
+        """,
+        "hourly_type_bitmap": """
+            WITH e AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     (CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                           WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                           ELSE 16 END)::BIGINT AS bit
+              FROM events
+            )
+            SELECT hour, bit_or(bit)::BIGINT AS type_bitmap,
+                   bit_count(bit_or(bit))::BIGINT AS n_types,
+                   count(*)::BIGINT AS n_events
+            FROM e GROUP BY hour
         """,
         "sorted_neighborhood_pairs": """
             WITH r AS (
