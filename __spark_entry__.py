@@ -2938,6 +2938,163 @@ def q_hourly_type_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) action classification — the decision
+    table a lakehouse writer computes before touching any file: for
+    each incoming change row, INSERT (key absent), UPDATE (key
+    present, payload fingerprint differs) or NOOP (payload
+    identical, skip the rewrite). Changes are derived
+    deterministically from the corpus (odd docs remapped onto the
+    even key space, plus a slice of even docs re-sent verbatim to
+    exercise NOOP). One fingerprint-keyed left join against the
+    base — the same probe shape MERGE runs at 100 TB, where NOOP
+    detection is what saves the write amplification."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", X.fingerprint_md5("text").alias("fp")
+    )
+    base = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("key"), F.col("fp").alias("base_fp")
+    )
+    upd_a = d.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 101).alias("key"), "fp"
+    )
+    upd_b = d.filter(F.col("doc_id") % 14 == 0).select(
+        F.col("doc_id").alias("key"), "fp"
+    )
+    changes = upd_a.unionAll(upd_b)
+    j = changes.join(base, "key", "left")
+    classified = j.select(
+        "key",
+        F.when(F.col("base_fp").isNull(), "INSERT")
+        .when(F.col("base_fp") == F.col("fp"), "NOOP")
+        .otherwise("UPDATE")
+        .alias("action"),
+    )
+    return classified.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+
+
+def q_join_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic on the orders→customer key: key
+    count, max/p50/p99 per-key frequency (order statistics over the
+    key-frequency table, not interpolation), the p99/p50 ratio and
+    the hottest key's share — the numbers that decide whether the
+    join needs salting or AQE skew handling BEFORE it runs. The
+    probe itself is skew-proof: one key-grain agg, then windows over
+    the (much smaller) frequency table."""
+    o = _t(spark, sf_dir, "orders")
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy("n", "o_custkey")
+    w_all = Window.partitionBy()
+    r = freq.select(
+        "n",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return (
+        r.groupBy("k", "total")
+        .agg(
+            F.max("n").alias("max_n"),
+            F.max(F.when(F.expr("rn = (k + 1) div 2"), F.col("n"))).alias("p50_n"),
+            F.max(F.when(F.expr("rn = (k * 99 + 99) div 100"), F.col("n"))).alias(
+                "p99_n"
+            ),
+        )
+        .select(
+            F.col("k").alias("n_keys"),
+            "max_n",
+            "p50_n",
+            "p99_n",
+            F.expr("p99_n * 1000000 div p50_n").alias("p99_p50_ratio_e6"),
+            F.expr("max_n * 1000000 div total").alias("top1_share_e6"),
+        )
+    )
+
+
+def q_session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate analytics over gap-based sessions (30-minute
+    inactivity boundary): per day-of-week, sessions started, bounce
+    sessions (exactly one event) and the bounce ratio e6 — the
+    product-analytics rollup that runs on the same sessionization
+    the streaming path maintains statefully. Session ids are running
+    sums of boundary flags per user (one window pass), so the whole
+    thing is two shuffles: user-time window, then session-grain
+    agg."""
+    from ner_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", temporal.micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(w)) > 1800 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("new_s"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", "t_us", F.sum("new_s").over(ws).alias("session_no")
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t_us").alias("start_us"),
+    )
+    # dow: days since epoch mod 7 (epoch day 0 = Thursday) — the
+    # engine-invariant integer arithmetic proven by dow_hour_heatmap
+    per_sess = per_sess.select(
+        F.expr("(start_us div 86400000000) % 7").alias("dow_idx"),
+        (F.col("n_events") == 1).cast("long").alias("bounce"),
+    )
+    return per_sess.groupBy("dow_idx").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("bounce").alias("n_bounce"),
+        F.expr("sum(bounce) * 1000000 div count(1)").alias("bounce_e6"),
+    )
+
+
+def q_manifest_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest/metadata pruning arithmetic: given the compaction
+    planner's shards with (first_doc, last_doc) key ranges, how many
+    shards does a doc_id range predicate [max/4, max/2] skip without
+    reading data? This is exactly the min/max-stats decision an
+    Iceberg/Delta reader makes from the manifest — computed here
+    over the shard frame (metadata-sized), never the corpus. Emits
+    file counts, rows scanned vs skipped, and the prune ratio e6."""
+    files = q_compaction_bins(spark, sf_dir)
+    bounds = files.select(
+        "source", "bin", "n_docs", "first_doc", "last_doc",
+        F.expr("max(last_doc) over () div 4").alias("lo"),
+        F.expr("max(last_doc) over () div 2").alias("hi"),
+    )
+    flagged = bounds.select(
+        "n_docs",
+        ((F.col("first_doc") <= F.col("hi")) & (F.col("last_doc") >= F.col("lo")))
+        .cast("long")
+        .alias("scanned"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("scanned").alias("n_scanned"),
+        (F.count(F.lit(1)) - F.sum("scanned")).alias("n_pruned"),
+        F.sum(F.col("n_docs") * F.col("scanned")).alias("rows_scanned"),
+        F.expr(
+            "(count(1) - sum(scanned)) * 1000000 div count(1)"
+        ).alias("prune_ratio_e6"),
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -4490,6 +4647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalized_quality": q_quantile_normalized_quality,
         "watermark_lateness_audit": q_watermark_lateness_audit,
         "hourly_type_bitmap": q_hourly_type_bitmap,
+        "merge_upsert_classify": q_merge_upsert_classify,
+        "join_skew_probe": q_join_skew_probe,
+        "session_bounce_stats": q_session_bounce_stats,
+        "manifest_prune_stats": q_manifest_prune_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -6686,6 +6847,84 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dropped_10m,
                    max(lateness_us)::BIGINT AS max_lateness_us
             FROM l GROUP BY event_type
+        """,
+        "merge_upsert_classify": f"""
+            WITH d AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+            base AS (SELECT doc_id AS key, fp AS base_fp FROM d
+                     WHERE doc_id % 2 = 0),
+            ch AS (SELECT doc_id - 101 AS key, fp FROM d WHERE doc_id % 2 = 1
+                   UNION ALL
+                   SELECT doc_id AS key, fp FROM d WHERE doc_id % 14 = 0),
+            j AS (SELECT ch.key,
+                         CASE WHEN b.base_fp IS NULL THEN 'INSERT'
+                              WHEN b.base_fp = ch.fp THEN 'NOOP'
+                              ELSE 'UPDATE' END AS action
+                  FROM ch LEFT JOIN base b ON ch.key = b.key)
+            SELECT action, count(*)::BIGINT AS n_rows,
+                   min(key)::BIGINT AS min_key, max(key)::BIGINT AS max_key
+            FROM j GROUP BY action
+        """,
+        "join_skew_probe": """
+            WITH freq AS (SELECT o_custkey, count(*)::BIGINT AS n
+                          FROM orders GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n, o_custkey) AS rn,
+                         count(*) OVER () AS k, sum(n) OVER () AS total
+                  FROM freq),
+            s AS (SELECT k, total, max(n) AS max_n,
+                         max(CASE WHEN rn = (k + 1) // 2 THEN n END) AS p50_n,
+                         max(CASE WHEN rn = (k * 99 + 99) // 100 THEN n END) AS p99_n
+                  FROM r GROUP BY k, total)
+            SELECT k::BIGINT AS n_keys, max_n::BIGINT AS max_n,
+                   p50_n::BIGINT AS p50_n, p99_n::BIGINT AS p99_n,
+                   (p99_n * 1000000 // p50_n)::BIGINT AS p99_p50_ratio_e6,
+                   (max_n * 1000000 // total)::BIGINT AS top1_share_e6
+            FROM s
+        """,
+        "session_bounce_stats": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+            f AS (SELECT user_id, event_id, t_us,
+                         CASE WHEN t_us - lag(t_us) OVER (PARTITION BY user_id
+                                  ORDER BY t_us, event_id) > 1800 * 1000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e),
+            s AS (SELECT user_id, t_us,
+                         sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_no
+                  FROM f),
+            ps AS (SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+                          min(t_us) AS start_us
+                   FROM s GROUP BY 1, 2),
+            dd AS (SELECT (start_us // 86400000000) % 7 AS dow_idx,
+                          CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce
+                   FROM ps)
+            SELECT dow_idx::BIGINT AS dow_idx, count(*)::BIGINT AS n_sessions,
+                   sum(bounce)::BIGINT AS n_bounce,
+                   (sum(bounce) * 1000000 // count(*))::BIGINT AS bounce_e6
+            FROM dd GROUP BY 1
+        """,
+        "manifest_prune_stats": """
+            WITH b AS (
+              SELECT source, doc_id, n_chars,
+                     ((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                       - n_chars) // 16384) AS bin
+              FROM documents
+            ),
+            files AS (SELECT source, bin, count(*)::BIGINT AS n_docs,
+                             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+                      FROM b GROUP BY source, bin),
+            fl AS (SELECT n_docs,
+                          CASE WHEN first_doc <= (max(last_doc) OVER ()) // 2
+                                AND last_doc >= (max(last_doc) OVER ()) // 4
+                               THEN 1 ELSE 0 END AS scanned
+                   FROM files)
+            SELECT count(*)::BIGINT AS n_files, sum(scanned)::BIGINT AS n_scanned,
+                   (count(*) - sum(scanned))::BIGINT AS n_pruned,
+                   sum(n_docs * scanned)::BIGINT AS rows_scanned,
+                   ((count(*) - sum(scanned)) * 1000000 // count(*))::BIGINT
+                     AS prune_ratio_e6
+            FROM fl
         """,
         "hourly_type_bitmap": """
             WITH e AS (
