@@ -2575,20 +2575,40 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus regardless of how many signals get fused."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    # ONE scan + one agg: pivot both signals to doc grain, then rank
+    # with windows over the small candidate frame. Zeros sort after
+    # every positive tf under DESC, so ranking the union frame gives
+    # positives the identical ranks a filter-then-rank would — the
+    # CASE guard just refuses to hand a rank to a zero. No join, no
+    # duplicated corpus subplan (Catalyst does not dedupe branches).
     g = (
         toks.filter(F.col("tok").isin("join", "stream"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("tok") == "join").cast("long")).alias("tf_a"),
+            F.sum((F.col("tok") == "stream").cast("long")).alias("tf_b"),
+        )
     )
-    wr = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
-    ranked = g.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= 50)
-    ra = ranked.filter(F.col("tok") == "join").select(
-        "doc_id", F.col("rank").cast("long").alias("rank_a")
+    wa = Window.orderBy(F.desc("tf_a"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("tf_b"), F.asc("doc_id"))
+    ranked = g.select(
+        "doc_id",
+        "tf_a",
+        "tf_b",
+        F.row_number().over(wa).cast("long").alias("rn_a"),
+        F.row_number().over(wb).cast("long").alias("rn_b"),
+    ).select(
+        "doc_id",
+        F.when((F.col("tf_a") > 0) & (F.col("rn_a") <= 50), F.col("rn_a")).alias(
+            "rank_a"
+        ),
+        F.when((F.col("tf_b") > 0) & (F.col("rn_b") <= 50), F.col("rn_b")).alias(
+            "rank_b"
+        ),
     )
-    rb = ranked.filter(F.col("tok") == "stream").select(
-        "doc_id", F.col("rank").cast("long").alias("rank_b")
-    )
-    return ra.join(rb, "doc_id", "full_outer").select(
+    return ranked.filter(
+        F.col("rank_a").isNotNull() | F.col("rank_b").isNotNull()
+    ).select(
         "doc_id",
         "rank_a",
         "rank_b",
@@ -2768,16 +2788,25 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("is_old"),
         F.explode(X.tokens("text")).alias("token"),
     )
-    cnt = toks.groupBy("is_old", "token").agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.partitionBy("is_old").orderBy(F.desc("n"), F.asc("token"))
-    ranked = cnt.withColumn("rank", F.row_number().over(wr).cast("long"))
-    old = ranked.filter(F.col("is_old")).select(
-        "token", F.col("n").alias("n_old"), F.col("rank").alias("rank_old")
+    # ONE token-grain agg with conditional sums instead of a per-half
+    # split (Catalyst duplicates branch subplans → 2 content scans).
+    # Zero counts sort after every positive under DESC, so ranks among
+    # tokens PRESENT in a half are identical to filter-then-rank; the
+    # final filter keeps exactly the inner-join token set.
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.col("is_old").cast("long")).alias("n_old"),
+        F.sum((~F.col("is_old")).cast("long")).alias("n_new"),
     )
-    new = ranked.filter(~F.col("is_old")).select(
-        "token", F.col("n").alias("n_new"), F.col("rank").alias("rank_new")
+    wo = Window.orderBy(F.desc("n_old"), F.asc("token"))
+    wn = Window.orderBy(F.desc("n_new"), F.asc("token"))
+    ranked = cnt.select(
+        "token",
+        "n_old",
+        "n_new",
+        F.row_number().over(wo).cast("long").alias("rank_old"),
+        F.row_number().over(wn).cast("long").alias("rank_new"),
     )
-    return old.join(new, "token").select(
+    return ranked.filter((F.col("n_old") > 0) & (F.col("n_new") > 0)).select(
         "token", "n_old", "n_new", "rank_old", "rank_new",
         (F.col("rank_old") - F.col("rank_new")).alias("drift"),
     )
