@@ -3124,6 +3124,133 @@ def q_manifest_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition planning arithmetic: per table, row count,
+    size estimate (fixed row widths + content bytes for documents)
+    and the recommended partition count at a 64 MiB target — the
+    sizing pass that turns `spark.sql.shuffle.partitions` from a
+    guess into a number derived from data. Counts come from
+    metadata-cheap aggs (documents additionally sums n_chars); at
+    100 TB this query IS how you avoid the 200-partition default
+    crushing a 10 TB shuffle."""
+    target = 64 * 1024 * 1024
+
+    def one(name: str, width: int) -> DataFrame:
+        t = _t(spark, sf_dir, name)
+        return t.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            (F.col("n_rows") * width).alias("est_bytes"),
+        )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.lit("documents").alias("table_name"),
+            "n_rows",
+            (F.col("n_rows") * 64 + F.col("chars")).alias("est_bytes"),
+        )
+    )
+    u = one("orders", 120).unionAll(one("lineitem", 140)).unionAll(
+        one("events", 80)
+    ).unionAll(docs)
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.greatest(
+            F.expr(f"(est_bytes + {target - 1}) div {target}"), F.lit(1).cast("long")
+        ).alias("parts_64mb"),
+    )
+
+
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability percentile bands (daily p50/p95 of the event
+    value) as exact ORDER STATISTICS per day partition — the SLO
+    time series, computed the engine-safe way: rank window inside
+    each day, bound = the row value at rank k, never an
+    interpolation two engines could round differently. Day grain
+    bounds the window partitions; nothing is global."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_id",
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("v_e6"),
+    )
+    wn = Window.partitionBy("day")
+    wr = Window.partitionBy("day").orderBy("v_e6", "event_id")
+    r = e.select(
+        "day",
+        "v_e6",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return r.groupBy("day").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("v_e6"))).alias("p50_e6"),
+        F.max(F.when(F.expr("rn = (n * 95 + 99) div 100"), F.col("v_e6"))).alias(
+            "p95_e6"
+        ),
+    )
+
+
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution: how many components
+    of each size the MinHash+CC dedup produces — the shape a
+    curation report shows before deciding the keep policy (a fat
+    tail of giant clusters means boilerplate, not near-dups).
+    Composes on the same connected-components frame the keep-list
+    uses; the histogram is two tiny aggs past it."""
+    comps = q_doc_components(spark, sf_dir)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def q_gazetteer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-extraction health metric per source: what fraction of a
+    source's documents contain at least one linkable entity, and the
+    mean distinct entities per doc (e6) — the number that says
+    whether triple extraction is even seeing the corpus (a source at
+    2% coverage needs a bigger gazetteer, not a bigger cluster).
+    Doc totals and hit totals come from the same incidence frame the
+    triple queries build; sources with zero hits still appear
+    (left join + coalesce), so silence is visible."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "repo", "doc_id", F.explode(X.tokens("content")).alias("alias")
+    )
+    gaz = _gazetteer_df(spark)
+    inc = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("repo", "doc_id", "entity")
+        .distinct()
+    )
+    per_doc = inc.groupBy("repo", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_ents")
+    )
+    tot = files.groupBy("repo").agg(F.count(F.lit(1)).alias("n_docs"))
+    hit = per_doc.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_docs_with_hit"),
+        F.sum("n_ents").alias("total_ents"),
+    )
+    return (
+        tot.join(hit, "repo", "left")
+        .select(
+            F.col("repo").alias("source"),
+            "n_docs",
+            F.coalesce("n_docs_with_hit", F.lit(0)).alias("n_docs_with_hit"),
+            F.expr(
+                "coalesce(n_docs_with_hit, 0) * 1000000 div n_docs"
+            ).alias("coverage_e6"),
+            F.expr("coalesce(total_ents, 0) * 1000000 div n_docs").alias(
+                "avg_entities_e6"
+            ),
+        )
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -4680,6 +4807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_probe": q_join_skew_probe,
         "session_bounce_stats": q_session_bounce_stats,
         "manifest_prune_stats": q_manifest_prune_stats,
+        "partition_planner": q_partition_planner,
+        "daily_value_bands": q_daily_value_bands,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
+        "gazetteer_coverage": q_gazetteer_coverage,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -6932,6 +7063,81 @@ def oracle_sql() -> dict[str, str]:
                    sum(bounce)::BIGINT AS n_bounce,
                    (sum(bounce) * 1000000 // count(*))::BIGINT AS bounce_e6
             FROM dd GROUP BY 1
+        """,
+        "partition_planner": """
+            SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows,
+                   (count(*) * 120)::BIGINT AS est_bytes,
+                   greatest((count(*) * 120 + 67108863) // 67108864, 1)::BIGINT
+                     AS parts_64mb
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem', count(*)::BIGINT, (count(*) * 140)::BIGINT,
+                   greatest((count(*) * 140 + 67108863) // 67108864, 1)::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'events', count(*)::BIGINT, (count(*) * 80)::BIGINT,
+                   greatest((count(*) * 80 + 67108863) // 67108864, 1)::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'documents', count(*)::BIGINT,
+                   (count(*) * 64 + sum(n_chars))::BIGINT,
+                   greatest(((count(*) * 64 + sum(n_chars)) + 67108863)
+                            // 67108864, 1)::BIGINT
+            FROM documents
+        """,
+        "daily_value_bands": """
+            WITH e AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_id,
+                     CAST(round(value * 1000000) AS BIGINT) AS v_e6
+              FROM events
+            ),
+            r AS (SELECT day, v_e6,
+                         count(*) OVER (PARTITION BY day) AS n,
+                         row_number() OVER (PARTITION BY day
+                             ORDER BY v_e6, event_id) AS rn
+                  FROM e)
+            SELECT day, max(n)::BIGINT AS n,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN v_e6 END)::BIGINT AS p50_e6,
+                   max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v_e6 END)::BIGINT
+                     AS p95_e6
+            FROM r GROUP BY day
+        """,
+        "dup_cluster_histogram": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTES.strip().rstrip()},
+            sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT sym.dst, reach.lab FROM reach JOIN sym ON reach.node = sym.src
+            ),
+            comp AS (SELECT node AS doc_id, min(lab) AS component
+                     FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+                      FROM comp GROUP BY component)
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+        "gazetteer_coverage": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT source, doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT source, doc_id, unnest(ts) AS tok FROM t),
+            inc AS (SELECT DISTINCT source, doc_id, entity
+                    FROM tok JOIN gaz ON tok = alias),
+            pd AS (SELECT source, doc_id, count(*)::BIGINT AS n_ents
+                   FROM inc GROUP BY 1, 2),
+            tot AS (SELECT source, count(*)::BIGINT AS n_docs
+                    FROM documents GROUP BY source),
+            hit AS (SELECT source, count(*)::BIGINT AS n_docs_with_hit,
+                           sum(n_ents)::BIGINT AS total_ents
+                    FROM pd GROUP BY source)
+            SELECT tot.source, n_docs,
+                   coalesce(n_docs_with_hit, 0)::BIGINT AS n_docs_with_hit,
+                   (coalesce(n_docs_with_hit, 0) * 1000000 // n_docs)::BIGINT
+                     AS coverage_e6,
+                   (coalesce(total_ents, 0) * 1000000 // n_docs)::BIGINT
+                     AS avg_entities_e6
+            FROM tot LEFT JOIN hit USING (source)
         """,
         "manifest_prune_stats": """
             WITH b AS (
