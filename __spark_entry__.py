@@ -2546,20 +2546,32 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("sort_key", "src_table", "rec_id")
     ranked = recs.withColumn("rank", F.row_number().over(w))
-    a, b = ranked.alias("a"), ranked.alias("b")
+    # w=2 neighborhood as an EQUI join: explode each row into its two
+    # probe ranks (rank+1, rank+2) and hash-join on b.rank == probe.
+    # Semantically identical to `b.rank > a.rank AND b.rank <= a.rank+2`
+    # but Catalyst gets a hash join instead of a nested-loop over the
+    # full rank range — measured 8.8 s → sub-second at sf0.1.
+    a = ranked.select(
+        F.col("src_table").alias("src_a"),
+        F.col("rec_id").alias("id_a"),
+        F.col("sort_key").alias("key_a"),
+        F.explode(F.array(F.col("rank") + 1, F.col("rank") + 2)).alias("probe"),
+    )
+    b = ranked.select(
+        F.col("src_table").alias("src_b"),
+        F.col("rec_id").alias("id_b"),
+        F.col("sort_key").alias("key_b"),
+        F.col("rank").alias("probe"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("b.rank") > F.col("a.rank"))
-            & (F.col("b.rank") <= F.col("a.rank") + 2)
-            & (F.col("a.src_table") != F.col("b.src_table")),
-        )
+        a.join(b, "probe")
+        .filter(F.col("src_a") != F.col("src_b"))
         .select(
-            F.col("a.src_table").alias("src_a"),
-            F.col("a.rec_id").alias("id_a"),
-            F.col("b.src_table").alias("src_b"),
-            F.col("b.rec_id").alias("id_b"),
-            (F.col("b.sort_key") - F.col("a.sort_key")).alias("key_gap"),
+            "src_a",
+            "id_a",
+            "src_b",
+            "id_b",
+            (F.col("key_b") - F.col("key_a")).alias("key_gap"),
         )
     )
 
