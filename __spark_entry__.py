@@ -3263,6 +3263,169 @@ def q_gazetteer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_fpp_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter calibration: build the filter from the base
+    half's fingerprints, probe with TRUE non-members (the delta
+    half, anti-joined to be certain), and report the measured false
+    positive rate plus the bit-array load factor — the check that
+    says whether the m/k sizing survives contact with real
+    cardinalities before you ship the pre-filter into a 100 TB
+    semi-join. All integers; the filter is its set-bit list
+    (broadcast-sized by construction)."""
+    from ner_spark.operators import sketches
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", X.fingerprint_md5("text").alias("fp")
+    )
+    mem = d.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    non = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("fp")
+        .distinct()
+        .join(mem, "fp", "left_anti")
+    )
+    bloom = sketches.bloom_build(mem, "fp")
+    probed = sketches.bloom_probe(non, bloom, "fp")
+    n_mem = mem.agg(F.count(F.lit(1)).alias("n_members"))
+    n_bits = bloom.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        probed.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("bloom_positive").cast("long")).alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(n_mem))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members",
+            "n_bits_set",
+            F.expr("n_bits_set * 1000000 div 65536").alias("load_e6"),
+            "n_probes",
+            "n_false_positives",
+            F.expr("n_false_positives * 1000000 div n_probes").alias("fpp_e6"),
+        )
+    )
+
+
+def q_domain_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain signature terms: top-5 tokens per source by lift vs the
+    whole corpus (n_st·N / (n_s·n_t), exact e6) — the
+    interpretable 'what makes this domain different' feature a
+    mixture designer reads next to the histogram overlap. One
+    (source, token) agg; the two marginals broadcast back onto it;
+    the top-5 window runs on the (domains × vocab) frame."""
+    d = _docs(spark, sf_dir)
+    st = (
+        d.select("source", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t_tot = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    n_all = st.agg(F.sum("n_st").alias("n_corpus"))
+    scored = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(t_tot), "token")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "token",
+            F.expr("n_st * n_corpus * 1000000 div (n_s * n_t)").alias("lift_e6"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("lift_e6"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def q_token_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the token co-occurrence graph — the
+    first thing you plot before choosing graph algorithms (a
+    power-law tail means hub handling; a flat histogram means the
+    kNN sparsification is optional). Node-sized state end-to-end:
+    edges → per-node degree → (degree, count) histogram."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    bg = lm.bigram_counts(d).select(
+        F.split("bigram", " ")[0].alias("t1"),
+        F.split("bigram", " ")[1].alias("t2"),
+    ).filter(F.col("t1") != F.col("t2"))
+    und = bg.select(
+        F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
+    ).distinct()
+    sym = und.select(F.col("x").alias("node")).unionAll(
+        und.select(F.col("y").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+def q_length_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way variance decomposition (ANOVA shape) of document
+    length across languages, in exact integers: between-group and
+    within-group sums of squares via the S²/n identity with FLOOR
+    division applied identically on both engines, and the F
+    statistic e6 from the floored mean squares. The decision this
+    feeds — 'does language explain length?' — only needs the
+    ratio's magnitude, which floors cannot flip. Group-sized state
+    after one scan."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("n_chars").alias("s_g"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q_g"),
+    )
+    return (
+        g.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("n_g").alias("n"),
+            F.sum("s_g").alias("s"),
+            F.sum("q_g").alias("q"),
+            F.sum(F.expr("s_g * s_g div n_g")).alias("sb_raw"),
+        )
+        .select(
+            "k",
+            "n",
+            (F.col("sb_raw") - F.expr("s * s div n")).alias("ss_between"),
+            (F.col("q") - F.col("sb_raw")).alias("ss_within"),
+            F.expr(
+                "((sb_raw - s * s div n) div (k - 1)) * 1000000"
+                " div ((q - sb_raw) div (n - k))"
+            ).alias("f_e6"),
+        )
+    )
+
+
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (storage-dedup primitive): boundary
+    wherever the rolling 8-char window hash ≡ 0 (mod 64), so chunk
+    edges survive insertions — the property fixed-size blocks lack
+    and the reason backup/dedup systems use CDC. Per doc: chunk
+    count and mean chunk length e2. The per-position hash runs as a
+    codegen HOF over the character range (the content pass is the
+    cost, as it must be); docs shorter than the window are one
+    chunk by definition on both engines."""
+    d = _docs(spark, sf_dir)
+    boundaries = F.expr(
+        "case when length(text) >= 8 then "
+        "size(filter(sequence(1, length(text) - 7), "
+        "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) as bigint) % 64 = 0)) "
+        "else 0 end"
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars"),
+        (boundaries + 1).cast("long").alias("n_chunks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_chunks",
+        F.expr("n_chars * 100 div n_chunks").alias("avg_chunk_len_e2"),
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE tokenizer-training iteration: global adjacent
     char-pair counts within words — explode words, per-word pair array
@@ -4823,6 +4986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_value_bands": q_daily_value_bands,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "gazetteer_coverage": q_gazetteer_coverage,
+        "bloom_fpp_measured": q_bloom_fpp_measured,
+        "domain_signature_terms": q_domain_signature_terms,
+        "token_degree_distribution": q_token_degree_distribution,
+        "length_variance_decomposition": q_length_variance_decomposition,
+        "cdc_chunking": q_cdc_chunking,
         "bpe_pair_counts": q_bpe_pair_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
@@ -5026,6 +5194,11 @@ def _dk_hex8(expr: str) -> str:
         for k in range(8)
     )
     return f"({terms})"
+
+
+def _bloom_pos_sql(j: int, col: str) -> str:
+    """DuckDB twin of sketches._bloom_pos: 4 hex chars of md5(j:key)."""
+    return f"('0x' || substr(md5('{j}:' || {col}), 1, 4))::BIGINT"
 
 
 # kNN-sparsified token graph (top-2 by bigram weight) — the DuckDB twin
@@ -7129,6 +7302,99 @@ def oracle_sql() -> dict[str, str]:
                       FROM comp GROUP BY component)
             SELECT cluster_size, count(*)::BIGINT AS n_clusters
             FROM sizes GROUP BY cluster_size
+        """,
+        "bloom_fpp_measured": f"""
+            WITH d AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+            mem AS (SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 0),
+            non AS (SELECT DISTINCT dl.fp FROM d dl
+                    WHERE dl.doc_id % 2 = 1
+                      AND NOT EXISTS (SELECT 1 FROM mem WHERE mem.fp = dl.fp)),
+            bits AS (SELECT DISTINCT pos FROM (
+                       SELECT unnest([{_bloom_pos_sql(0, 'fp')},
+                                      {_bloom_pos_sql(1, 'fp')},
+                                      {_bloom_pos_sql(2, 'fp')}]) AS pos
+                       FROM mem)),
+            pp AS (SELECT fp, {_bloom_pos_sql(0, 'fp')} AS p0,
+                          {_bloom_pos_sql(1, 'fp')} AS p1,
+                          {_bloom_pos_sql(2, 'fp')} AS p2
+                   FROM non),
+            hits AS (SELECT fp,
+                            ((p0 IN (SELECT pos FROM bits))::INT
+                             + (p1 IN (SELECT pos FROM bits))::INT
+                             + (p2 IN (SELECT pos FROM bits))::INT) AS h
+                     FROM pp),
+            agg AS (SELECT count(*)::BIGINT AS n_probes,
+                           sum(CASE WHEN h = 3 THEN 1 ELSE 0 END)::BIGINT
+                             AS n_false_positives
+                    FROM hits),
+            nm AS (SELECT count(*)::BIGINT AS n_members FROM mem),
+            nb AS (SELECT count(*)::BIGINT AS n_bits_set FROM bits)
+            SELECT n_members, n_bits_set,
+                   (n_bits_set * 1000000 // 65536)::BIGINT AS load_e6,
+                   n_probes, n_false_positives,
+                   (n_false_positives * 1000000 // n_probes)::BIGINT AS fpp_e6
+            FROM agg, nm, nb
+        """,
+        "domain_signature_terms": f"""
+            WITH tk AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+            st AS (SELECT source, token, count(*)::BIGINT AS n_st
+                   FROM tk GROUP BY 1, 2),
+            sm AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY source),
+            tm AS (SELECT token, sum(n_st)::BIGINT AS n_t FROM st GROUP BY token),
+            na AS (SELECT sum(n_st)::BIGINT AS n_corpus FROM st),
+            sc AS (SELECT st.source, st.token,
+                          (n_st * n_corpus * 1000000 // (n_s * n_t))::BIGINT
+                            AS lift_e6
+                   FROM st JOIN sm USING (source) JOIN tm USING (token), na),
+            r AS (SELECT *, (row_number() OVER (PARTITION BY source
+                     ORDER BY lift_e6 DESC, token ASC))::BIGINT AS rank FROM sc)
+            SELECT source, token, lift_e6, rank FROM r WHERE rank <= 5
+        """,
+        "token_degree_distribution": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT DISTINCT split_part(bigram, ' ', 1) AS t1,
+                                  split_part(bigram, ' ', 2) AS t2
+                  FROM bg
+                  WHERE split_part(bigram, ' ', 1) <> split_part(bigram, ' ', 2)),
+            und AS (SELECT DISTINCT least(t1, t2) AS x, greatest(t1, t2) AS y
+                    FROM c),
+            sym AS (SELECT x AS node FROM und UNION ALL SELECT y FROM und),
+            deg AS (SELECT node, count(*)::BIGINT AS degree FROM sym GROUP BY node)
+            SELECT degree, count(*)::BIGINT AS n_tokens FROM deg GROUP BY degree
+        """,
+        "length_variance_decomposition": """
+            WITH g AS (SELECT lang, count(*)::BIGINT AS n_g,
+                              sum(n_chars)::BIGINT AS s_g,
+                              sum(n_chars * n_chars)::BIGINT AS q_g
+                       FROM documents GROUP BY lang),
+            a AS (SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+                         sum(s_g)::BIGINT AS s, sum(q_g)::BIGINT AS q,
+                         sum(s_g * s_g // n_g)::BIGINT AS sb_raw
+                  FROM g)
+            SELECT k, n, (sb_raw - s * s // n)::BIGINT AS ss_between,
+                   (q - sb_raw)::BIGINT AS ss_within,
+                   (((sb_raw - s * s // n) // (k - 1)) * 1000000
+                    // ((q - sb_raw) // (n - k)))::BIGINT AS f_e6
+            FROM a
+        """,
+        "cdc_chunking": """
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     (CASE WHEN length(text) >= 8 THEN
+                        len(list_filter(range(1, length(text) - 6),
+                            i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+                                 % 64 = 0))
+                      ELSE 0 END + 1)::BIGINT AS n_chunks
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_chunks,
+                   (n_chars * 100 // n_chunks)::BIGINT AS avg_chunk_len_e2
+            FROM b
         """,
         "gazetteer_coverage": f"""
             WITH {_GAZ_CTE},
