@@ -1189,14 +1189,27 @@ def q_w2v_extend_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    # ONE exploded scan to token grain with a pre-vocab membership
+    # flag; both build_new_map inputs derive from the same aggregate,
+    # so the physical plan reuses the exchange instead of exploding
+    # the corpus twice (branches must be IDENTICAL below the exchange
+    # for ReuseExchange to fire — a pre-agg filter would defeat it).
+    tg = tok.groupBy("token").agg(
+        F.max((F.col("doc_id") % 7 == 0).cast("int")).alias("in_pre")
+    )
+    # build_new_map's lazy union chain consumes its inputs in three
+    # places per union (max-id agg, anti-join, final union) — fed the
+    # raw corpus plan, that compounds to ~36 parquet scans. Pinning
+    # the vocab-sized aggregate (31 rows) makes every one of those
+    # branches read the materialized frame: ONE content scan total,
+    # the same localCheckpoint discipline as the tag_metrics family.
+    tg = tg.localCheckpoint(eager=True)
     w = Window.orderBy(F.md5("token"))
     pre = (
-        tok.filter(F.col("doc_id") % 7 == 0)
-        .select("token")
-        .distinct()
+        tg.filter(F.col("in_pre") == 1)
         .select("token", (F.row_number().over(w) - 1).cast("long").alias("id"))
     )
-    return build_new_map(pre, tok.select("token"))
+    return build_new_map(pre, tg.select("token"))
 
 
 def q_sentence_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
