@@ -1167,11 +1167,15 @@ def q_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.posexplode(X.tokens("text")).alias("pos", "token"))
+    # union_vocab consumes `old` in three branches (max-id, anti-join,
+    # union) — pin the vocab-sized frame so the corpus explode behind
+    # build_map runs once, not per branch (4 scans → 2: one for the
+    # old-vocab build, one for the new-token stream).
     old = build_map(
         tok.filter(F.col("doc_id") < 250),
         token_col="token",
         order_cols=("doc_id", "pos"),
-    )
+    ).localCheckpoint(eager=True)
     return union_vocab(old, tok.select("token"))
 
 
