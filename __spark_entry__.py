@@ -1931,7 +1931,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_spark.operators import lm
 
     d = _docs(spark, sf_dir)
-    model = lm.bigram_counts(d.filter(F.col("doc_id") % 2 == 0))
+    # bigram-table-sized LM pinned: score_docs broadcasts it, and the
+    # ntile join re-reads only the corpus, not the LM training branch
+    model = lm.bigram_counts(d.filter(F.col("doc_id") % 2 == 0)).localCheckpoint(
+        eager=True
+    )
     scored = lm.score_docs(d, model).select("doc_id", "avg_prob_e6")
     j = d.select("doc_id", "lang").join(scored, "doc_id")
     w = Window.partitionBy("lang").orderBy(
@@ -2457,6 +2461,10 @@ def _knn_token_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
         .distinct()
+        # vocab-sized edge list consumed by multi-branch (link
+        # prediction) and iterative (label propagation) plans — pinned
+        # so the bigram corpus scan runs once, not per branch/round.
+        .localCheckpoint(eager=True)
     )
 
 
@@ -3294,12 +3302,20 @@ def q_bloom_fpp_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", X.fingerprint_md5("text").alias("fp")
     )
-    mem = d.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    # both fingerprint sets feed multiple branches (positions, counts,
+    # anti-join) — pin them so the content fingerprinting runs once
+    mem = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     non = (
         d.filter(F.col("doc_id") % 2 == 1)
         .select("fp")
         .distinct()
         .join(mem, "fp", "left_anti")
+        .localCheckpoint(eager=True)
     )
     bloom = sketches.bloom_build(mem, "fp")
     probed = sketches.bloom_probe(non, bloom, "fp")
@@ -3600,6 +3616,11 @@ def _adjacency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.entity").alias("src"), F.col("b.entity").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # entity-sized frame; iterative consumers (pagerank rounds, BFS
+        # relaxations, triangle/kcore branches) would otherwise clone
+        # the whole corpus subplan per round — bfs_distances measured
+        # 60 parquet scans unpinned, 0 pinned.
+        .localCheckpoint(eager=True)
     )
 
 
@@ -3641,6 +3662,9 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 40)
+        # vocab-sized edge frame consumed by the degree + triangle
+        # branches — pinned so the tokenization scan runs once
+        .localCheckpoint(eager=True)
     )
     return clustering_coefficients(heavy).select(
         F.col("node").alias("token"), "degree", "n_triangles", "clustering_e6"
@@ -4767,6 +4791,10 @@ def q_token_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    # peel rounds re-consume the edge stream — pin it so the corpus
+    # tokenization runs once (the checkpoint is the bounded
+    # materialization a production job would persist anyway)
+    bg = bg.localCheckpoint(eager=True)
     return kcore_flags(bg, k=29).select(
         F.col("node").alias("token"), "in_core"
     )

@@ -123,7 +123,10 @@ def semdedup(
         "cluster_id",
         F.col(vec_col).cast("array<double>").alias("_dv"),
         norm(vec_col).alias("_nrm"),
-    )
+    # both self-join sides and the keep-list anti-join consume `m`;
+    # unpinned, each branch replays the k-means assignment lineage
+    # (Lloyd rounds included) — pin the assignment+vector frame once
+    ).localCheckpoint(eager=True)
     a = m.select(
         F.col(id_col).alias("_ida"), "cluster_id",
         F.col("_dv").alias("_va"), F.col("_nrm").alias("_na"),
