@@ -4919,6 +4919,508 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension-history build (the islands problem):
+    collapse each user's consecutive runs of the same event_type into
+    validity intervals [valid_from, valid_to), open interval = current
+    row. Two window passes over the SAME user-keyed partitioning
+    (change flag + run id, then interval close via lead) and a tiny
+    type-keyed rollup — the exact shape a warehouse dimension-history
+    builder runs at 100 TB, where the one per-key shuffle is reused by
+    every window. Durations stay in integer microseconds end-to-end."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "t_us",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        "t_us",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    iv = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("t_us").alias("from_us"), F.count(F.lit(1)).alias("n_rows")
+    )
+    wl = Window.partitionBy("user_id").orderBy("from_us")
+    closed = iv.select(
+        "user_id",
+        "event_type",
+        "from_us",
+        "n_rows",
+        F.lead("from_us").over(wl).alias("to_us"),
+    )
+    return (
+        closed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(F.col("to_us").isNull(), 1).otherwise(0)).alias("n_open"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("to_us").isNotNull(), F.col("to_us") - F.col("from_us")
+                ).otherwise(F.lit(0))
+            ).alias("_dur_us"),
+        )
+        # non-negative, so Spark's truncating div == the oracle's floor //
+        .select(
+            "event_type",
+            "n_intervals",
+            "n_open",
+            "n_rows",
+            F.expr("_dur_us div 1000000").alias("closed_dur_s"),
+        )
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy k-anonymity audit: equivalence-class size histogram
+    over the quasi-identifier (nation, market segment, $1000 balance
+    band) plus the below-k=5 flag a release gate checks before
+    publishing. Two cheap aggs (QI-keyed, then size-keyed). The
+    offset-before-floor-divide keeps negative balances on the same
+    band grid in both engines (Spark div truncates toward zero, the
+    oracle's // floors — adding 1e8 makes every operand positive)."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(100000000)).alias(
+            "_bal_off"
+        ),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("_bal_off div 100000").alias("bal_band"),
+    )
+    cls = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("k_size")
+    )
+    return (
+        cls.groupBy("k_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "k_size",
+            "n_classes",
+            (F.col("k_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("k_size") < 5).cast("long").alias("below_k5"),
+        )
+    )
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (MDM golden record): per user entity, elect
+    canonical attributes by rule — modal event type (majority vote,
+    deterministic lexicographic tiebreak), most-recent timestamp,
+    exact monetary total, row support. ONE content scan: all the
+    survivorship evidence lives at (user,type) grain, so the vote,
+    the recency, the total and the support are partial-aggregated
+    there, the modal rank runs over the tiny grain frame, and the
+    final per-user merge reuses the window's user partitioning —
+    2 shuffles, 1 scan (the naive vote-branch + base-branch plan
+    reads the corpus twice)."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("mx_ts"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_e2"),
+    )
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    g = ut.select(
+        "user_id", "event_type", "n", "mx_ts", "v_e2",
+        F.row_number().over(wv).alias("rk"),
+    )
+    return g.groupBy("user_id").agg(
+        F.max("mx_ts").alias("last_seen"),
+        F.sum("v_e2").alias("total_value_e2"),
+        F.sum("n").alias("n_events"),
+        F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias("modal_type"),
+    ).select("user_id", "last_seen", "total_value_e2", "n_events", "modal_type")
+
+
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch: per-shard fixed-grid
+    histograms (the map-side partial any executor can emit on its
+    own), merged by bin, then P50/P90/P99 read off the merged CDF
+    with integer linear interpolation. The two-level merge is the
+    whole point — at 100 TB no global sort ever happens; each shard
+    ships 64 counters. Every estimate is exact e6 integer arithmetic,
+    so the sketch is engine-reproducible bit-for-bit. The CDF window
+    runs over bin-cardinality rows (64), not data rows."""
+    e = _t(spark, sf_dir, "events")
+    # value >= 0 (checked range [0, 560.21]), so div == floor
+    binned = e.select(
+        (F.col("user_id") % 8).alias("shard"),
+        F.least(
+            F.expr("cast(round(value * 100) as bigint) div 900"), F.lit(63)
+        ).alias("bin"),
+    )
+    shard_hist = binned.groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("n"))
+    merged = shard_hist.groupBy("bin").agg(F.sum("n").alias("n"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = merged.select("bin", "n", F.sum("n").over(wc).alias("cum"))
+    tot = merged.agg(F.sum("n").alias("total"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    )
+    j = cdf.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qs))
+    target = F.expr("(q * total + 99) div 100")
+    return (
+        j.select("bin", "n", "cum", "total", F.col("q").cast("long").alias("q"),
+                 target.alias("target_rank"))
+        .filter(
+            (F.col("cum") - F.col("n") < F.col("target_rank"))
+            & (F.col("target_rank") <= F.col("cum"))
+        )
+        .select(
+            "q",
+            "target_rank",
+            (
+                (
+                    F.col("bin") * 900
+                    + F.expr("(target_rank - (cum - n)) * 900 div n")
+                )
+                * 10000
+            ).alias("est_value_e6"),
+            "total",
+        )
+    )
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (Deequ-style) evaluated in ONE
+    scan: uniqueness(o_orderkey), completeness(o_custkey),
+    accepted-values(o_orderstatus), positivity(o_totalprice) and
+    date-range(o_orderdate) all fold into a single aggregate row,
+    then unpivot via stack to (check_name, metric_e6, passed). At
+    100 TB this is the difference between five table scans and one."""
+    o = _t(spark, sf_dir, "orders")
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("2001-12-31").cast("timestamp")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.sum(F.col("o_custkey").isNotNull().cast("long")).alias("n_cust"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long")).alias(
+            "n_status"
+        ),
+        F.sum((F.col("o_totalprice") > 0).cast("long")).alias("n_pos"),
+        F.sum(
+            ((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)).cast(
+                "long"
+            )
+        ).alias("n_range"),
+    )
+    m = agg.select(
+        F.expr(
+            "stack(5,"
+            " 'unique_orderkey', n_key,"
+            " 'complete_custkey', n_cust,"
+            " 'status_accepted', n_status,"
+            " 'price_positive', n_pos,"
+            " 'date_in_range', n_range) AS (check_name, n_ok)"
+        ),
+        "n",
+    )
+    return m.select(
+        "check_name",
+        F.expr("n_ok * 1000000 div n").alias("metric_e6"),
+        (F.col("n_ok") == F.col("n")).cast("long").alias("passed"),
+    )
+
+
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan-lite): frequent
+    consecutive event-type 3-grams, support = distinct users whose
+    stream contains the pattern, reported when support covers ≥25%
+    of the user base. One user-keyed window (two leads share it), a
+    per-user distinct at pattern grain, one pattern agg — the
+    support threshold rides along as a broadcast 1-row crossJoin, so
+    no driver action and the 25% cut scales with the corpus."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "t2", "t3").alias("pattern"),
+        )
+        .distinct()
+    )
+    tot = e.agg(F.countDistinct("user_id").alias("n_total"))
+    return (
+        tri.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_users") * 4 >= F.col("n_total"))
+        .select(
+            "pattern",
+            "n_users",
+            F.expr("n_users * 1000000 div n_total").alias("share_e6"),
+        )
+    )
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (arm = user_id parity,
+    conversion = any purchase): the 95% significance verdict is
+    decided ENTIRELY in integer arithmetic — the z² inequality is
+    multiplied through by every denominator so no float proportion
+    ever exists ((c1·n2−c2·n1)²·N·10⁴ > 38415·n1·n2·C·(N−C), the
+    squares in decimal(38,0) = int128 on both engines). One
+    user-grain agg + one 1-row fold; nothing here grows with data."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    st = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = d("c1") * d("n2") - d("c2") * d("n1")
+    num = diff * diff * (d("n1") + d("n2")) * F.lit(10000)
+    den = (
+        F.lit(38415)
+        * d("n1")
+        * d("n2")
+        * (d("c1") + d("c2"))
+        * (d("n1") + d("n2") - d("c1") - d("c2"))
+    )
+    return st.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("c2").cast("long").alias("c2"),
+        (num > den).cast("long").alias("significant"),
+    )
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit audit (fraud / synthetic-data smell test):
+    leading-digit distribution of positive amounts vs the expected
+    log10(1+1/d) mass, deviation in e6. The expected table is a
+    9-entry literal (no float log at query time) and the leading
+    digit comes off the integer's decimal string — both engines
+    compute the identical bytes. One scan, digit-sized state."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(F.round(F.col("value") * 100).cast("long").alias("e2")).filter(
+        F.col("e2") > 0
+    )
+    g = v.groupBy(
+        F.substring(F.col("e2").cast("string"), 1, 1).cast("long").alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = v.agg(F.count(F.lit(1)).alias("n_total"))
+    benford = (
+        F.when(F.col("digit") == 1, 301030)
+        .when(F.col("digit") == 2, 176091)
+        .when(F.col("digit") == 3, 124939)
+        .when(F.col("digit") == 4, 96910)
+        .when(F.col("digit") == 5, 79181)
+        .when(F.col("digit") == 6, 66947)
+        .when(F.col("digit") == 7, 58496)
+        .when(F.col("digit") == 8, 51153)
+        .otherwise(45757)
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div n_total").alias("share_e6"),
+            benford.cast("long").alias("benford_e6"),
+        )
+        .select(
+            "digit",
+            "n",
+            "share_e6",
+            "benford_e6",
+            F.abs(F.col("share_e6") - F.col("benford_e6")).alias("dev_e6"),
+        )
+    )
+
+
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join (last-touch attribution): each
+    purchase joins the browsing-state SCD2 interval active at its
+    timestamp — state = the user's run of consecutive non-purchase
+    event types, interval [from_us, to_us). The PIT condition is an
+    equi join on the entity key plus a range predicate, so Spark
+    executes one user-keyed join with per-user interval lists (small
+    by construction — intervals are run-length-compressed); purchases
+    before any state land in 'none' via the left join. This is the
+    leakage-free way to attach dimension history to facts at 100 TB —
+    the naive alternative (join latest state) silently leaks the
+    future."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    ne = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    runs = ne.select(
+        "user_id",
+        "event_type",
+        "t_us",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    iv = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("t_us").alias("from_us")
+    )
+    wl = Window.partitionBy("user_id").orderBy("from_us")
+    dim = iv.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "from_us",
+        F.coalesce(
+            F.lead("from_us").over(wl), F.lit(2**62)
+        ).alias("to_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", "v_e2"
+    )
+    j = p.join(
+        dim,
+        (p["user_id"] == dim["d_user"])
+        & (dim["from_us"] <= p["t_us"])
+        & (p["t_us"] < dim["to_us"]),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("state")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v_e2").alias("total_value_e2"),
+    )
+
+
+def q_ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / join-coverage audit: orphan counts and
+    rates for three FK edges — lineitem→orders, orders→customer
+    (both clean, the audit proves it), and orders→telemetry-users
+    (the source-blending coverage check: ~90% of orders have no
+    event telemetry, the number a feature-join planner needs before
+    blending). Each edge is one anti-join fold; parents are reduced
+    to distinct keys first so the probe side ships key-sized
+    state."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    eu = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("c_custkey"))
+        .distinct()
+    )
+
+    def edge(child: DataFrame, key: str, parent: DataFrame, pkey: str, fk: str):
+        orphan = child.join(
+            parent.distinct().withColumnRenamed(pkey, key), key, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphan.agg(F.count(F.lit(1)).alias("n_orphan")))
+            .select(
+                F.lit(fk).alias("fk"),
+                "n_child",
+                "n_orphan",
+                F.expr("n_orphan * 1000000 div n_child").alias("orphan_e6"),
+            )
+        )
+
+    return (
+        edge(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+             "lineitem.l_orderkey->orders")
+        .unionByName(
+            edge(o.select("o_custkey"), "o_custkey", c, "c_custkey",
+                 "orders.o_custkey->customer")
+        )
+        .unionByName(
+            edge(o.select("o_custkey"), "o_custkey", eu, "c_custkey",
+                 "orders.o_custkey->events.user_id")
+        )
+    )
+
+
+def q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality evaluation: pairwise recall of first-char
+    blocking against the exhaustive edit-distance truth (surface ×
+    alias, Levenshtein ≤ 2, surface ≠ alias). The truth cross runs
+    over the DISTINCT vocabulary × gazetteer — both bounded and
+    scale-free by construction (vocabulary grows sublinearly; the
+    evaluation is a vocabulary-sized job even when the corpus is
+    100 TB). One row: truth size, blocked-candidate hits, recall —
+    the number that decides whether a cheaper blocking key is safe
+    to ship."""
+    d = _docs(spark, sf_dir)
+    surf = d.select(F.explode(X.tokens("text")).alias("surface")).distinct()
+    gaz = _gazetteer_df(spark).select("alias").distinct()
+    truth = (
+        surf.crossJoin(F.broadcast(gaz))
+        .filter(F.col("surface") != F.col("alias"))
+        .select(
+            "surface",
+            "alias",
+            (
+                F.substring("surface", 1, 1) == F.substring("alias", 1, 1)
+            ).cast("long").alias("same_block"),
+            F.levenshtein("surface", "alias").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum("same_block").alias("n_blocked"),
+    ).select(
+        "n_truth",
+        "n_blocked",
+        F.expr("n_blocked * 1000000 div n_truth").alias("recall_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -5100,6 +5602,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_skyline": q_supplier_skyline,
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "zipf_rank_size": q_zipf_rank_size,
+        "scd2_intervals": q_scd2_intervals,
+        "k_anonymity": q_k_anonymity,
+        "golden_record": q_golden_record,
+        "hist_quantile_sketch": q_hist_quantile_sketch,
+        "dq_expectations": q_dq_expectations,
+        "sequential_patterns": q_sequential_patterns,
+        "ab_test_ztest": q_ab_test_ztest,
+        "benford_first_digit": q_benford_first_digit,
+        "point_in_time_join": q_point_in_time_join,
+        "ri_orphan_audit": q_ri_orphan_audit,
+        "blocking_recall": q_blocking_recall,
     }
 
 
@@ -8614,5 +9127,258 @@ def oracle_sql() -> dict[str, str]:
                              > 4 * (n * sq - s * s)
                         THEN 1 ELSE 0 END::BIGINT AS is_anomaly
             FROM daily, st
+        """,
+        "scd2_intervals": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS t_us FROM events),
+            f AS (SELECT user_id, event_type, t_us, event_id,
+                         CASE WHEN lag(event_type) OVER (
+                                  PARTITION BY user_id ORDER BY t_us, event_id)
+                              IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM e),
+            r AS (SELECT user_id, event_type, t_us,
+                         sum(chg) OVER (PARTITION BY user_id
+                             ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS run_id
+                  FROM f),
+            iv AS (SELECT user_id, run_id, event_type,
+                          min(t_us) AS from_us, count(*) AS n_rows
+                   FROM r GROUP BY 1, 2, 3),
+            c AS (SELECT user_id, event_type, from_us, n_rows,
+                         lead(from_us) OVER (PARTITION BY user_id
+                             ORDER BY from_us) AS to_us
+                  FROM iv)
+            SELECT event_type, count(*)::BIGINT AS n_intervals,
+                   sum(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_open,
+                   sum(n_rows)::BIGINT AS n_rows,
+                   (sum(CASE WHEN to_us IS NOT NULL THEN to_us - from_us
+                             ELSE 0 END) // 1000000)::BIGINT AS closed_dur_s
+            FROM c GROUP BY event_type
+        """,
+        "k_anonymity": """
+            WITH qi AS (SELECT c_nationkey, c_mktsegment,
+                               (CAST(round(c_acctbal * 100) AS BIGINT)
+                                + 100000000) // 100000 AS bal_band
+                        FROM customer),
+            cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+                           count(*)::BIGINT AS k_size
+                    FROM qi GROUP BY 1, 2, 3)
+            SELECT k_size, count(*)::BIGINT AS n_classes,
+                   (k_size * count(*))::BIGINT AS n_rows,
+                   (CASE WHEN k_size < 5 THEN 1 ELSE 0 END)::BIGINT AS below_k5
+            FROM cls GROUP BY k_size
+        """,
+        "golden_record": """
+            WITH v AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT user_id, event_type AS modal_type,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY n DESC, event_type) AS rk
+                  FROM v),
+            b AS (SELECT user_id, max(ts) AS last_seen,
+                         sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                           AS total_value_e2,
+                         count(*)::BIGINT AS n_events
+                  FROM events GROUP BY 1)
+            SELECT b.user_id, b.last_seen, b.total_value_e2, b.n_events,
+                   m.modal_type
+            FROM b JOIN m ON b.user_id = m.user_id AND m.rk = 1
+        """,
+        "hist_quantile_sketch": """
+            WITH b AS (SELECT least(CAST(round(value * 100) AS BIGINT) // 900,
+                                    63) AS bin
+                       FROM events),
+            h AS (SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY bin),
+            c AS (SELECT bin, n,
+                         sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum,
+                         sum(n) OVER () AS total
+                  FROM h),
+            q AS (SELECT unnest([50, 90, 99]) AS q)
+            SELECT q.q::BIGINT AS q,
+                   ((q.q * c.total + 99) // 100)::BIGINT AS target_rank,
+                   ((c.bin * 900
+                     + ((q.q * c.total + 99) // 100 - (c.cum - c.n)) * 900
+                       // c.n) * 10000)::BIGINT AS est_value_e6,
+                   c.total::BIGINT AS total
+            FROM c, q
+            WHERE c.cum - c.n < (q.q * c.total + 99) // 100
+              AND (q.q * c.total + 99) // 100 <= c.cum
+        """,
+        "dq_expectations": """
+            WITH a AS (SELECT count(*)::BIGINT AS n,
+                              count(DISTINCT o_orderkey)::BIGINT AS n_key,
+                              sum(CASE WHEN o_custkey IS NOT NULL
+                                       THEN 1 ELSE 0 END)::BIGINT AS n_cust,
+                              sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                       THEN 1 ELSE 0 END)::BIGINT AS n_status,
+                              sum(CASE WHEN o_totalprice > 0
+                                       THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                              sum(CASE WHEN o_orderdate
+                                       BETWEEN '1995-01-01' AND '2001-12-31'
+                                       THEN 1 ELSE 0 END)::BIGINT AS n_range
+                       FROM orders),
+            u AS (SELECT 'unique_orderkey' AS check_name, n_key AS n_ok, n
+                    FROM a
+                  UNION ALL SELECT 'complete_custkey', n_cust, n FROM a
+                  UNION ALL SELECT 'status_accepted', n_status, n FROM a
+                  UNION ALL SELECT 'price_positive', n_pos, n FROM a
+                  UNION ALL SELECT 'date_in_range', n_range, n FROM a)
+            SELECT check_name, (n_ok * 1000000 // n)::BIGINT AS metric_e6,
+                   (CASE WHEN n_ok = n THEN 1 ELSE 0 END)::BIGINT AS passed
+            FROM u
+        """,
+        "sequential_patterns": """
+            WITH s AS (SELECT user_id, event_type AS t1,
+                              lead(event_type, 1) OVER w AS t2,
+                              lead(event_type, 2) OVER w AS t3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            p AS (SELECT DISTINCT user_id,
+                         t1 || '>' || t2 || '>' || t3 AS pattern
+                  FROM s WHERE t3 IS NOT NULL),
+            tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+            SELECT pattern, count(*)::BIGINT AS n_users,
+                   (count(*) * 1000000 // tot.n_total)::BIGINT AS share_e6
+            FROM p, tot GROUP BY pattern, tot.n_total
+            HAVING count(*) * 4 >= tot.n_total
+        """,
+        "ab_test_ztest": """
+            WITH u AS (SELECT user_id,
+                              max(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS conv
+                       FROM events GROUP BY 1),
+            a AS (SELECT
+                    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::HUGEINT
+                      AS n1,
+                    sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::HUGEINT
+                      AS c1,
+                    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::HUGEINT
+                      AS n2,
+                    sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::HUGEINT
+                      AS c2
+                  FROM u)
+            SELECT n1::BIGINT AS n1, c1::BIGINT AS c1,
+                   n2::BIGINT AS n2, c2::BIGINT AS c2,
+                   (CASE WHEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1)
+                              * (n1 + n2) * 10000
+                              > 38415 * n1 * n2 * (c1 + c2)
+                                * (n1 + n2 - c1 - c2)
+                         THEN 1 ELSE 0 END)::BIGINT AS significant
+            FROM a
+        """,
+        "benford_first_digit": """
+            WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS e2
+                       FROM events
+                       WHERE CAST(round(value * 100) AS BIGINT) > 0),
+            g AS (SELECT CAST(substr(CAST(e2 AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit,
+                         count(*)::BIGINT AS n
+                  FROM v GROUP BY 1),
+            tot AS (SELECT count(*) AS n_total FROM v)
+            SELECT digit, n,
+                   (n * 1000000 // tot.n_total)::BIGINT AS share_e6,
+                   (CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                               WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                               WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                               WHEN 7 THEN 58496 WHEN 8 THEN 51153
+                               ELSE 45757 END)::BIGINT AS benford_e6,
+                   abs((n * 1000000 // tot.n_total)
+                       - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                                    WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                                    WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                                    WHEN 7 THEN 58496 WHEN 8 THEN 51153
+                                    ELSE 45757 END)::BIGINT AS dev_e6
+            FROM g, tot
+        """,
+        "point_in_time_join": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS t_us,
+                              CAST(round(value * 100) AS BIGINT) AS v_e2
+                       FROM events),
+            nf AS (SELECT user_id, event_type, t_us, event_id,
+                          CASE WHEN lag(event_type) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY t_us, event_id)
+                               IS DISTINCT FROM event_type
+                               THEN 1 ELSE 0 END AS chg
+                   FROM e WHERE event_type <> 'purchase'),
+            ne AS (SELECT user_id, event_type, t_us,
+                          sum(chg) OVER (
+                              PARTITION BY user_id ORDER BY t_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+                   FROM nf),
+            iv AS (SELECT user_id, run_id, event_type,
+                          min(t_us) AS from_us
+                   FROM ne GROUP BY 1, 2, 3),
+            dim AS (SELECT user_id AS d_user, event_type AS state, from_us,
+                           coalesce(lead(from_us) OVER (
+                               PARTITION BY user_id ORDER BY from_us),
+                               4611686018427387904) AS to_us
+                    FROM iv),
+            p AS (SELECT user_id, t_us, v_e2 FROM e
+                  WHERE event_type = 'purchase')
+            SELECT coalesce(dim.state, 'none') AS state,
+                   count(*)::BIGINT AS n_purchases,
+                   sum(p.v_e2)::BIGINT AS total_value_e2
+            FROM p LEFT JOIN dim
+              ON p.user_id = dim.d_user
+             AND dim.from_us <= p.t_us AND p.t_us < dim.to_us
+            GROUP BY 1
+        """,
+        "ri_orphan_audit": """
+            WITH l AS (SELECT count(*) AS n_child,
+                              sum(CASE WHEN o.o_orderkey IS NULL
+                                       THEN 1 ELSE 0 END) AS n_orphan
+                       FROM lineitem li LEFT JOIN
+                            (SELECT DISTINCT o_orderkey FROM orders) o
+                         ON li.l_orderkey = o.o_orderkey),
+            oc AS (SELECT count(*) AS n_child,
+                          sum(CASE WHEN c.c_custkey IS NULL
+                                   THEN 1 ELSE 0 END) AS n_orphan
+                   FROM orders LEFT JOIN
+                        (SELECT DISTINCT c_custkey FROM customer) c
+                     ON orders.o_custkey = c.c_custkey),
+            oe AS (SELECT count(*) AS n_child,
+                          sum(CASE WHEN u.user_id IS NULL
+                                   THEN 1 ELSE 0 END) AS n_orphan
+                   FROM orders LEFT JOIN
+                        (SELECT DISTINCT user_id FROM events) u
+                     ON orders.o_custkey = u.user_id)
+            SELECT 'lineitem.l_orderkey->orders' AS fk,
+                   n_child::BIGINT AS n_child, n_orphan::BIGINT AS n_orphan,
+                   (n_orphan * 1000000 // n_child)::BIGINT AS orphan_e6
+            FROM l
+            UNION ALL
+            SELECT 'orders.o_custkey->customer', n_child::BIGINT,
+                   n_orphan::BIGINT, (n_orphan * 1000000 // n_child)::BIGINT
+            FROM oc
+            UNION ALL
+            SELECT 'orders.o_custkey->events.user_id', n_child::BIGINT,
+                   n_orphan::BIGINT, (n_orphan * 1000000 // n_child)::BIGINT
+            FROM oe
+        """,
+        "blocking_recall": f"""
+            WITH {_GAZ_CTE},
+            surf AS (SELECT DISTINCT unnest({_TOKS}) AS surface
+                     FROM documents),
+            g AS (SELECT DISTINCT alias FROM gaz),
+            truth AS (SELECT surface, alias,
+                             CASE WHEN substr(surface, 1, 1)
+                                       = substr(alias, 1, 1)
+                                  THEN 1 ELSE 0 END AS same_block
+                      FROM surf, g
+                      WHERE surface <> alias
+                        AND levenshtein(surface, alias) <= 2)
+            SELECT count(*)::BIGINT AS n_truth,
+                   sum(same_block)::BIGINT AS n_blocked,
+                   (sum(same_block) * 1000000 // count(*))::BIGINT
+                     AS recall_e6
+            FROM truth
         """,
     }
