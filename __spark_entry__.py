@@ -3015,8 +3015,14 @@ def q_merge_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise NOOP). One fingerprint-keyed left join against the
     base — the same probe shape MERGE runs at 100 TB, where NOOP
     detection is what saves the write amplification."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", X.fingerprint_md5("text").alias("fp")
+    # the fingerprint frame feeds three branches (base, remapped
+    # changes, verbatim re-sends) — pin it so the content hashing
+    # runs once; (doc_id, fp) is the bounded frame a MERGE planner
+    # would persist anyway
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", X.fingerprint_md5("text").alias("fp"))
+        .localCheckpoint(eager=True)
     )
     base = d.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("key"), F.col("fp").alias("base_fp")
@@ -5344,44 +5350,68 @@ def q_ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both clean, the audit proves it), and orders→telemetry-users
     (the source-blending coverage check: ~90% of orders have no
     event telemetry, the number a feature-join planner needs before
-    blending). Each edge is one anti-join fold; parents are reduced
-    to distinct keys first so the probe side ships key-sized
-    state."""
+    blending). Every child table is scanned exactly ONCE: the count
+    and the orphan flag fold through one left join + conditional agg
+    (not count-branch + anti-join-branch, which doubles the child
+    scan), and the two orders edges share a single orders pass with
+    two marker joins. Parents reduce to distinct keys first —
+    dimension-sized markers broadcast; the orders-key parent for the
+    lineitem edge stays a shuffle join, as it must at 100 TB."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    eu = (
-        _t(spark, sf_dir, "events")
-        .select(F.col("user_id").alias("c_custkey"))
+    c_keys = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"))
         .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    e_keys = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("o_custkey"))
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    o_keys = (
+        o.select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("_o", F.lit(1))
     )
 
-    def edge(child: DataFrame, key: str, parent: DataFrame, pkey: str, fk: str):
-        orphan = child.join(
-            parent.distinct().withColumnRenamed(pkey, key), key, "left_anti"
+    li_row = (
+        li.join(o_keys, "l_orderkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("_o").isNull().cast("long")).alias("n_orphan"),
         )
-        return (
-            child.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(orphan.agg(F.count(F.lit(1)).alias("n_orphan")))
-            .select(
-                F.lit(fk).alias("fk"),
-                "n_child",
-                "n_orphan",
-                F.expr("n_orphan * 1000000 div n_child").alias("orphan_e6"),
+        .select(
+            F.lit("lineitem.l_orderkey->orders").alias("fk"),
+            "n_child",
+            "n_orphan",
+        )
+    )
+    o_rows = (
+        o.select("o_custkey")
+        .join(F.broadcast(c_keys), "o_custkey", "left")
+        .join(F.broadcast(e_keys), "o_custkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_c").isNull().cast("long")).alias("orph_c"),
+            F.sum(F.col("_e").isNull().cast("long")).alias("orph_e"),
+        )
+        .select(
+            F.expr(
+                "stack(2,"
+                " 'orders.o_custkey->customer', n, orph_c,"
+                " 'orders.o_custkey->events.user_id', n, orph_e)"
+                " AS (fk, n_child, n_orphan)"
             )
         )
-
-    return (
-        edge(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
-             "lineitem.l_orderkey->orders")
-        .unionByName(
-            edge(o.select("o_custkey"), "o_custkey", c, "c_custkey",
-                 "orders.o_custkey->customer")
-        )
-        .unionByName(
-            edge(o.select("o_custkey"), "o_custkey", eu, "c_custkey",
-                 "orders.o_custkey->events.user_id")
-        )
+    )
+    return li_row.unionByName(o_rows).select(
+        "fk",
+        "n_child",
+        "n_orphan",
+        F.expr("n_orphan * 1000000 div n_child").alias("orphan_e6"),
     )
 
 
