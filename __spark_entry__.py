@@ -5451,6 +5451,87 @@ def q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten impact analysis: given a deletion
+    cohort (every 50th user), count the rows each table loses when
+    the delete cascades — events by user, orders by customer,
+    lineitems by those orders. The cohort and the affected order
+    keys are key-sized frames (broadcast / semi-join probes); no
+    fact table is rewritten to answer the question. This is the
+    pre-flight audit a compliance pipeline runs before issuing the
+    actual deletes at 100 TB."""
+    cohort_pred = F.col("user_id") % 50 == 0
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev_n = ev.filter(cohort_pred).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("events").alias("table_name"), "n_rows"
+    )
+    del_orders = o.filter(F.col("o_custkey") % 50 == 0).select("o_orderkey")
+    o_n = del_orders.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("orders").alias("table_name"), "n_rows"
+    )
+    li_n = (
+        li.join(
+            del_orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("lineitem").alias("table_name"), "n_rows")
+    )
+    return ev_n.unionByName(o_n).unionByName(li_n)
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, the delay from the
+    FIRST click to the FIRST purchase after it; report exact p50/p90
+    order statistics of the delay in seconds plus the converter
+    count. One user-grain conditional agg finds both anchors in a
+    single events pass (min-with-filter, then min-purchase-after);
+    the percentile rank runs over the user-sized delay frame.
+    Everything is integer microseconds until the final floor-divide
+    to seconds."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+    )
+    anchors = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("t_us"))).alias(
+            "first_click_us"
+        )
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(anchors, "user_id")
+        .filter(F.col("t_us") >= F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("t_us") - F.col("first_click_us")).alias("delay_us")
+        )
+    )
+    w = Window.orderBy("delay_us", "user_id")
+    ranked = conv.select(
+        "delay_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n * 9 + 9) div 10"))
+        )
+        .select(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), "p50")
+            .otherwise("p90")
+            .alias("quantile"),
+            F.expr("delay_us div 1000000").alias("delay_s"),
+            F.col("n").alias("n_converters"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -5643,6 +5724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time_join": q_point_in_time_join,
         "ri_orphan_audit": q_ri_orphan_audit,
         "blocking_recall": q_blocking_recall,
+        "deletion_impact": q_deletion_impact,
+        "time_to_convert": q_time_to_convert,
     }
 
 
@@ -9410,5 +9493,38 @@ def oracle_sql() -> dict[str, str]:
                    (sum(same_block) * 1000000 // count(*))::BIGINT
                      AS recall_e6
             FROM truth
+        """,
+        "deletion_impact": """
+            SELECT 'events' AS table_name, count(*)::BIGINT AS n_rows
+            FROM events WHERE user_id % 50 = 0
+            UNION ALL
+            SELECT 'orders', count(*)::BIGINT
+            FROM orders WHERE o_custkey % 50 = 0
+            UNION ALL
+            SELECT 'lineitem', count(*)::BIGINT
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_custkey % 50 = 0)
+        """,
+        "time_to_convert": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
+                       FROM events),
+            a AS (SELECT user_id,
+                         min(CASE WHEN event_type = 'click' THEN t_us END)
+                           AS fc
+                  FROM e GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.t_us - a.fc) AS delay_us
+                  FROM e JOIN a ON e.user_id = a.user_id
+                  WHERE e.event_type = 'purchase' AND e.t_us >= a.fc
+                  GROUP BY e.user_id),
+            r AS (SELECT delay_us, user_id,
+                         row_number() OVER (ORDER BY delay_us, user_id) AS rn,
+                         count(*) OVER () AS n
+                  FROM c)
+            SELECT CASE WHEN rn = (n + 1) // 2 THEN 'p50' ELSE 'p90' END
+                     AS quantile,
+                   (delay_us // 1000000)::BIGINT AS delay_s,
+                   n::BIGINT AS n_converters
+            FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 9 + 9) // 10
         """,
     }
