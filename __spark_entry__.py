@@ -5532,6 +5532,303 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation over the kNN token
+    graph — the preprocessing step every graph-embedding trainer
+    (DeepWalk/node2vec) runs before skip-gram. One walk of 3 steps per
+    node; step s out of node `cur` picks sorted-neighbor index
+    md5(start|s|cur) % deg(cur) — md5, not rand(), so the corpus is
+    reproducible across engines, retries and partitionings. Scale
+    shape: walk state is (n_nodes × n_walks)-sized, each step is one
+    join against the adjacency list; adjacency is vocab-sized here
+    (broadcast) and node-partitioned on a real KG — never more than
+    L=3 fixed rounds, no driver action in the loop."""
+    knn = _knn_token_edges(spark, sf_dir)
+    sym = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    wn = Window.partitionBy("src").orderBy("dst")
+    adj = sym.select(
+        "src", "dst", (F.row_number().over(wn) - 1).cast("long").alias("idx")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.join(deg, "src").localCheckpoint(eager=True)  # vocab-sized
+    state = adj.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur"), F.col("start").alias("path")
+    )
+    for s in (1, 2, 3):
+        # fresh column names per round: state descends from adj, so a
+        # bare re-join would hit ambiguous attribute lineage
+        a = adj.select(
+            F.col("src").alias("_src"),
+            F.col("dst").alias("_dst"),
+            F.col("idx").alias("_idx"),
+            F.col("deg").alias("_deg"),
+        )
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "start", F.lit(str(s)), "cur")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("_deg")
+        )
+        state = (
+            state.join(F.broadcast(a), F.col("cur") == F.col("_src"))
+            .filter(F.col("_idx") == pick)
+            .select(
+                "start",
+                F.col("_dst").alias("cur"),
+                F.concat_ws(" ", "path", "_dst").alias("path"),
+            )
+        )
+    return state.select("start", F.col("path").alias("walk"))
+
+
+def q_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching: connected components over the
+    bipartite user–device graph (device = events.props.$.k), the
+    standard identity-graph construction every CDP/ads pipeline runs.
+    Only STRONG edges enter the graph — a (user, device) pair with at
+    least 2x the average events-per-pair, compared in integers
+    (cnt * n_pairs >= 2 * total) so no float division. Output is the
+    user-grain mapping a CDP materializes: (user_id, canonical
+    identity, component fan-out) — over-merging shows up as fan-out,
+    which is exactly what the threshold is there to control."""
+    from ner_spark.operators import components
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.get_json_object("props", "$.k").alias("device")
+    )
+    pairs = e.groupBy("user_id", "device").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pairs.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    strong = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("n_pairs") >= 2 * F.col("total"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("d"), F.col("device")).alias("dst"),
+            "cnt",
+        )
+    )
+    cc = components.connected_components(strong.select("src", "dst"))
+    sizes = cc.groupBy("component").agg(
+        F.sum(F.when(F.col("node").startswith("u"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+        F.sum(F.when(F.col("node").startswith("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_devices"),
+    )
+    return (
+        cc.filter(F.col("node").startswith("u"))
+        .join(sizes, "component")
+        .select(
+            F.substring("node", 2, 20).cast("long").alias("user_id"),
+            F.col("component").alias("identity"),
+            "n_users",
+            "n_devices",
+        )
+    )
+
+
+def q_graphsage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 1-hop mean-pool: for each seed node (vec_id %
+    50 == 0) average its 8 nearest neighbors' embeddings — the
+    neighborhood-aggregation kernel of every GNN layer, expressed as
+    join + groupBy so Tungsten does the pooling. Exactness: each
+    component is floor(x * 1e6) BEFORE summing (integer partial sums
+    merge exactly in any shuffle order); the mean divides by the fixed
+    fan-in with truncating div on both engines. On a real graph the
+    kNN edge list is precomputed and the join shuffles on neighbor id;
+    here the seed side broadcasts."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") % 50 == 0)
+    knn = similarity.brute_force_topk(e, seeds, k=8).select(
+        "query_id", "neighbor_id"
+    )
+    nbr = knn.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    )
+    comp = nbr.select(
+        "query_id",
+        F.posexplode(F.col("embedding")),
+    ).select(
+        "query_id",
+        F.col("pos").cast("long").alias("dim"),
+        F.floor(F.col("col").cast("double") * 1_000_000).alias("q_e6"),
+    )
+    return comp.groupBy("query_id", "dim").agg(
+        F.expr(
+            "case when sum(q_e6) >= 0 then sum(q_e6) div 8 "
+            "else -((-sum(q_e6)) div 8) end"
+        ).alias("mean_e6")
+    )
+
+
+def q_minhash_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compare the signature estimate (matching hash positions / 12)
+    against the EXACT token-set Jaccard, grouped by matching-position
+    count. This is the measurement a pipeline owner runs before
+    trusting a sketch at 100 TB — it quantifies sketch error on the
+    corpus itself instead of assuming the textbook bound. One
+    signature scan feeds both the band join and the position
+    comparison; exact sets re-attach only on the (sparse) candidates.
+    All error arithmetic is integer e6."""
+    d = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature_df(d).localCheckpoint(eager=True)  # doc-sized
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{j}") for j in range(i * 3, i * 3 + 3)]
+                    )
+                ).alias("band_hash"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", "b.band_idx", "b.band_hash"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(12)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(12)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(12)
+    )
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", matches.cast("long").alias("n_matching")
+    )
+    ts = d.select("doc_id", dedup.token_set(F.col("text")).alias("s"))
+    ta = ts.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    tb = ts.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    scored = (
+        est.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "n_matching",
+            F.expr("n_matching * 1000000 div 12").alias("est_e6"),
+            F.expr(
+                "size(array_intersect(sa, sb)) * 1000000L div "
+                "greatest(size(array_union(sa, sb)), 1)"
+            ).alias("exact_e6"),
+        )
+    )
+    return scored.groupBy("n_matching").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(abs(est_e6 - exact_e6)) div count(1)").alias(
+            "mean_abs_err_e6"
+        ),
+        F.expr("sum(exact_e6) div count(1)").alias("mean_exact_e6"),
+    )
+
+
+def q_fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage weight estimation: m/u agreement
+    probabilities per comparison feature, learned from a labeled pair
+    set — matches = LSH near-dup pairs (token Jaccard >= 0.6),
+    non-matches = consecutive-id pairs outside the match set (the
+    cheap deterministic negative protocol). Features: same source,
+    |n_chars| within 10, token Jaccard >= 0.5. Probabilities stay
+    integer (agree * 1e6 div n); the match/agreement ratio m/u is the
+    log-odds numerator every probabilistic ER engine (Splink et al.)
+    scores with. Pair volume is candidate-bounded, never all-pairs."""
+    d = _docs(spark, sf_dir)
+    feat = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        dedup.token_set(F.col("text")).alias("s"),
+    ).localCheckpoint(eager=True)  # doc-sized, consumed by 3 branches
+    matches = dedup.near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
+    neg = (
+        feat.select(F.col("doc_id").alias("id_a"))
+        .join(
+            feat.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+        .join(matches, ["id_a", "id_b"], "left_anti")
+    )
+    labeled = matches.withColumn("is_match", F.lit(1)).unionByName(
+        neg.withColumn("is_match", F.lit(0))
+    )
+    fa = feat.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("s").alias("sa"),
+    )
+    fb = feat.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("s").alias("sb"),
+    )
+    pairs = (
+        labeled.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "is_match",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("same_source").alias("feature"),
+                        (F.col("src_a") == F.col("src_b"))
+                        .cast("int")
+                        .alias("agree"),
+                    ),
+                    F.struct(
+                        F.lit("len_within_10").alias("feature"),
+                        (F.abs(F.col("len_a") - F.col("len_b")) <= 10)
+                        .cast("int")
+                        .alias("agree"),
+                    ),
+                    F.struct(
+                        F.lit("jaccard_ge_half").alias("feature"),
+                        F.expr(
+                            "size(array_intersect(sa, sb)) * 2 >= "
+                            "size(array_union(sa, sb))"
+                        )
+                        .cast("int")
+                        .alias("agree"),
+                    ),
+                )
+            ).alias("f"),
+        )
+        .select("is_match", "f.feature", "f.agree")
+    )
+    return pairs.groupBy("feature").agg(
+        F.expr(
+            "sum(case when is_match = 1 then agree else 0 end) * 1000000 div "
+            "greatest(sum(is_match), 1)"
+        ).alias("m_e6"),
+        F.expr(
+            "sum(case when is_match = 0 then agree else 0 end) * 1000000 div "
+            "greatest(sum(1 - is_match), 1)"
+        ).alias("u_e6"),
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum(F.lit(1) - F.col("is_match")).cast("long").alias("n_nonmatch"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -5726,6 +6023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_recall": q_blocking_recall,
         "deletion_impact": q_deletion_impact,
         "time_to_convert": q_time_to_convert,
+        "random_walks": q_random_walks,
+        "identity_stitching": q_identity_stitching,
+        "graphsage_agg": q_graphsage_agg,
+        "minhash_error_calibration": q_minhash_error_calibration,
+        "fs_linkage_weights": q_fs_linkage_weights,
     }
 
 
@@ -9526,5 +9828,196 @@ def oracle_sql() -> dict[str, str]:
                    (delay_us // 1000000)::BIGINT AS delay_s,
                    n::BIGINT AS n_converters
             FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 9 + 9) // 10
+        """,
+        "random_walks": f"""
+            WITH {_knn_cte()},
+            symw AS (SELECT x AS src, y AS dst FROM knn
+                     UNION ALL SELECT y, x FROM knn),
+            nbr AS (SELECT src, dst,
+                           (row_number() OVER (PARTITION BY src ORDER BY dst)
+                            - 1)::BIGINT AS idx
+                    FROM symw),
+            degt AS (SELECT src, count(*)::BIGINT AS deg
+                     FROM symw GROUP BY src),
+            w0 AS (SELECT src AS start, src AS cur, src AS path FROM degt),
+            w1 AS (SELECT w0.start, n.dst AS cur,
+                          w0.path || ' ' || n.dst AS path
+                   FROM w0
+                   JOIN degt d ON d.src = w0.cur
+                   JOIN nbr n ON n.src = w0.cur
+                    AND n.idx = {_dk_hex8("w0.start || '|1|' || w0.cur")} % d.deg),
+            w2 AS (SELECT w1.start, n.dst AS cur,
+                          w1.path || ' ' || n.dst AS path
+                   FROM w1
+                   JOIN degt d ON d.src = w1.cur
+                   JOIN nbr n ON n.src = w1.cur
+                    AND n.idx = {_dk_hex8("w1.start || '|2|' || w1.cur")} % d.deg),
+            w3 AS (SELECT w2.start, n.dst AS cur,
+                          w2.path || ' ' || n.dst AS path
+                   FROM w2
+                   JOIN degt d ON d.src = w2.cur
+                   JOIN nbr n ON n.src = w2.cur
+                    AND n.idx = {_dk_hex8("w2.start || '|3|' || w2.cur")} % d.deg)
+            SELECT start, path AS walk FROM w3
+        """,
+        "identity_stitching": """
+            WITH RECURSIVE p AS (
+              SELECT user_id, json_extract_string(props, '$.k') AS device,
+                     count(*)::BIGINT AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT sum(cnt)::BIGINT AS total,
+                         count(*)::BIGINT AS n_pairs FROM p),
+            strong AS (
+              SELECT 'u' || user_id AS src, 'd' || device AS dst, cnt
+              FROM p, t WHERE cnt * n_pairs >= 2 * total
+            ),
+            sym AS (SELECT src, dst FROM strong
+                    UNION SELECT dst, src FROM strong),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT sym.dst, reach.lab FROM reach
+              JOIN sym ON reach.node = sym.src
+            ),
+            comp AS (SELECT node, min(lab) AS component
+                     FROM reach GROUP BY node),
+            sizes AS (
+              SELECT component,
+                     sum(CASE WHEN starts_with(node, 'u') THEN 1 ELSE 0 END)::BIGINT
+                       AS n_users,
+                     sum(CASE WHEN starts_with(node, 'd') THEN 1 ELSE 0 END)::BIGINT
+                       AS n_devices
+              FROM comp GROUP BY component
+            )
+            SELECT substr(node, 2)::BIGINT AS user_id,
+                   component AS identity, n_users, n_devices
+            FROM comp JOIN sizes USING (component)
+            WHERE starts_with(node, 'u')
+        """,
+        "graphsage_agg": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id, {_DK_COSINE} AS cosine_sim
+                  FROM q JOIN c ON neighbor_id <> query_id),
+            k AS (SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+                    FROM s) WHERE rank <= 8),
+            comp AS (
+              SELECT k.query_id,
+                     (generate_subscripts(e.embedding, 1) - 1)::BIGINT AS dim,
+                     floor(unnest(e.embedding::DOUBLE[]) * 1000000)::BIGINT
+                       AS q_e6
+              FROM k JOIN embeddings e ON e.vec_id = k.neighbor_id
+            )
+            SELECT query_id, dim,
+                   (CASE WHEN sum(q_e6) >= 0 THEN sum(q_e6) // 8
+                         ELSE -((-sum(q_e6)) // 8) END)::BIGINT AS mean_e6
+            FROM comp GROUP BY 1, 2
+        """,
+        "minhash_error_calibration": f"""
+            WITH shing AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                    i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS shingles
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+            ),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 11),
+                                    j -> list_min(list_transform(shingles,
+                                         s -> md5(j::VARCHAR || ':' || s)))) AS sig
+              FROM shing
+            ),
+            bands AS (
+              SELECT doc_id, i AS band_idx,
+                     md5(array_to_string(list_slice(sig, i*3 + 1, i*3 + 3), '|'))
+                       AS band_hash
+              FROM sig, range(0, 4) t(i)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            m AS (
+              SELECT id_a, id_b,
+                     len(list_filter(range(1, 13),
+                                     j -> sa.sig[j] = sb.sig[j]))::BIGINT
+                       AS n_matching
+              FROM cand JOIN sig sa ON sa.doc_id = id_a
+                        JOIN sig sb ON sb.doc_id = id_b
+            ),
+            tsets AS (SELECT doc_id, {_DK_TOKSET} AS s FROM documents),
+            scored AS (
+              SELECT n_matching,
+                     n_matching * 1000000 // 12 AS est_e6,
+                     len(list_intersect(ta.s, tb.s)) * 1000000
+                       // greatest(len(list_distinct(list_cat(ta.s, tb.s))), 1)
+                       AS exact_e6
+              FROM m JOIN tsets ta ON ta.doc_id = id_a
+                     JOIN tsets tb ON tb.doc_id = id_b
+            )
+            SELECT n_matching,
+                   count(*)::BIGINT AS n_pairs,
+                   (sum(abs(est_e6 - exact_e6)) // count(*))::BIGINT
+                     AS mean_abs_err_e6,
+                   (sum(exact_e6) // count(*))::BIGINT AS mean_exact_e6
+            FROM scored GROUP BY n_matching
+        """,
+        "fs_linkage_weights": f"""
+            WITH {_MINHASH_PAIRS_CTES.strip().rstrip()},
+            feat AS (SELECT doc_id, source, n_chars, {_DK_TOKSET} AS s
+                     FROM documents),
+            neg AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM feat a JOIN feat b ON b.doc_id = a.doc_id + 1
+              WHERE NOT EXISTS (SELECT 1 FROM pairs m
+                                WHERE m.id_a = a.doc_id
+                                  AND m.id_b = b.doc_id)
+            ),
+            labeled AS (
+              SELECT id_a, id_b, 1 AS is_match FROM pairs
+              UNION ALL SELECT id_a, id_b, 0 FROM neg
+            ),
+            px AS (
+              SELECT is_match,
+                     (fa.source = fb.source)::INT AS same_source,
+                     (abs(fa.n_chars - fb.n_chars) <= 10)::INT AS len_within_10,
+                     (len(list_intersect(fa.s, fb.s)) * 2 >=
+                      len(list_distinct(list_cat(fa.s, fb.s))))::INT
+                       AS jaccard_ge_half
+              FROM labeled JOIN feat fa ON fa.doc_id = id_a
+                           JOIN feat fb ON fb.doc_id = id_b
+            )
+            SELECT 'same_source' AS feature,
+                   (sum(CASE WHEN is_match = 1 THEN same_source ELSE 0 END) * 1000000
+                    // greatest(sum(is_match), 1))::BIGINT AS m_e6,
+                   (sum(CASE WHEN is_match = 0 THEN same_source ELSE 0 END) * 1000000
+                    // greatest(sum(1 - is_match), 1))::BIGINT AS u_e6,
+                   sum(is_match)::BIGINT AS n_match,
+                   sum(1 - is_match)::BIGINT AS n_nonmatch
+            FROM px
+            UNION ALL
+            SELECT 'len_within_10',
+                   (sum(CASE WHEN is_match = 1 THEN len_within_10 ELSE 0 END) * 1000000
+                    // greatest(sum(is_match), 1))::BIGINT,
+                   (sum(CASE WHEN is_match = 0 THEN len_within_10 ELSE 0 END) * 1000000
+                    // greatest(sum(1 - is_match), 1))::BIGINT,
+                   sum(is_match)::BIGINT, sum(1 - is_match)::BIGINT
+            FROM px
+            UNION ALL
+            SELECT 'jaccard_ge_half',
+                   (sum(CASE WHEN is_match = 1 THEN jaccard_ge_half ELSE 0 END) * 1000000
+                    // greatest(sum(is_match), 1))::BIGINT,
+                   (sum(CASE WHEN is_match = 0 THEN jaccard_ge_half ELSE 0 END) * 1000000
+                    // greatest(sum(1 - is_match), 1))::BIGINT,
+                   sum(is_match)::BIGINT, sum(1 - is_match)::BIGINT
+            FROM px
         """,
     }
