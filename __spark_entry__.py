@@ -5829,6 +5829,169 @@ def q_fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_delta_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: the triple delta between two
+    versions of every document (v1 = first 70% of tokens, v2 = last
+    70% — an edit that trims the head and appends a tail). Instead of
+    extracting both versions' mention sets and anti-joining them —
+    two content scans plus two shuffles — the diff FOLDS in one pass:
+    per (doc, entity), one groupBy records whether it appears in each
+    version's window, and the status projects from the two flags
+    (PLANS.md rule 8/10 discipline: fold fact-sized comparisons,
+    never pin or rescan them). At 100 TB this is the difference
+    between an update job bounded by one scan of the changed
+    partition and one that replays the whole corpus."""
+    files = _doc_files(spark, sf_dir)
+    t = X.tokens("content")
+    toks = files.select(
+        "doc_id", F.size(t).alias("n"), F.posexplode(t)
+    ).select("doc_id", "n", "pos", F.col("col").alias("alias"))
+    gaz = _gazetteer_df(spark)
+    g = (
+        toks.join(F.broadcast(gaz), "alias")
+        .groupBy("doc_id", "entity")
+        .agg(
+            F.max(
+                F.when(F.col("pos") * 10 < F.col("n") * 7, 1).otherwise(0)
+            ).alias("has_v1"),
+            F.max(
+                F.when(F.col("pos") * 10 >= F.col("n") * 3, 1).otherwise(0)
+            ).alias("has_v2"),
+        )
+    )
+    return g.filter(F.col("has_v1") != F.col("has_v2")).select(
+        F.concat(F.lit("doc_"), "doc_id").alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("entity").alias("obj"),
+        F.when(F.col("has_v2") == 1, "added").otherwise("removed").alias("status"),
+    )
+
+
+def q_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema profiling: per-predicate cardinality class — the
+    functionality audit (1:1 / 1:N / N:1 / M:N) every KG ingestion
+    runs before choosing indexes and constraints. Profiles all three
+    triple families (CONTAINS, COOCCURS, DECLARES); n_triples equals
+    distinct triples by construction, so functionality falls out of
+    comparing it with the distinct subject/object counts."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "repo", "doc_id", F.explode(X.tokens("content")).alias("alias")
+    )
+    gaz = _gazetteer_df(spark)
+    fe = toks.join(F.broadcast(gaz), "alias")
+    contains = (
+        fe.select(
+            F.col("repo").alias("subj"),
+            F.lit("CONTAINS").alias("pred"),
+            F.col("entity").alias("obj"),
+        ).distinct()
+    )
+    de = fe.select("doc_id", "entity").distinct()
+    a, b = de.alias("a"), de.alias("b")
+    cooccurs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(
+            F.col("a.entity").alias("subj"),
+            F.lit("COOCCURS").alias("pred"),
+            F.col("b.entity").alias("obj"),
+        )
+        .distinct()
+    )
+    declares = q_declares_triples(spark, sf_dir)
+    triples = contains.unionByName(cooccurs).unionByName(declares)
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.expr(
+            "case when count(1) = count(distinct subj) "
+            "     and count(1) = count(distinct obj) then '1:1' "
+            "when count(1) = count(distinct subj) then 'N:1' "
+            "when count(1) = count(distinct obj) then '1:N' "
+            "else 'M:N' end"
+        ).alias("cardinality"),
+    )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the compression step behind every
+    100 TB-scale ANN index (IVF-PQ): split each 64-dim embedding into
+    4 subspaces of 16 dims and assign each to its nearest of 8
+    codebook centroids (here: the embeddings of the 8 smallest
+    vec_ids — a deterministic stand-in for trained centroids). The
+    whole encode is a zero-shuffle projection: the codebook rides a
+    one-row broadcast crossJoin and the per-subspace argmin runs
+    inside the row over let-bound e6-floored components (PLANS.md
+    rule 7), so at any scale the job is exactly one scan. Distances
+    are exact integers: floor(x * 1e6) per component before the
+    squared difference."""
+    e = _t(spark, sf_dir, "embeddings")
+    wj = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select((F.row_number().over(wj) - 1).alias("j"), F.col("embedding").alias("emb"))
+    )
+    cents = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("j", "emb"))).alias("cents")
+    )
+    v = e.crossJoin(F.broadcast(cents))
+
+    def floored(arr):
+        return F.transform(arr, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
+
+    def best_for(s: int):
+        # NB: body must stay single-argument — a second (even
+        # defaulted) parameter makes F.transform treat it as the
+        # (element, index) form and silently bind the extra name to
+        # the array index
+        vq_expr = floored(F.slice("embedding", s * 16 + 1, 16))
+
+        def body(vq):
+            return F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                vq,
+                                floored(F.slice(c["emb"], s * 16 + 1, 16)),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, d: acc + d,
+                        ).alias("dist"),
+                        c["j"].cast("long").alias("j"),
+                    ),
+                )
+            )
+
+        return X.let_bound(vq_expr, body)
+
+    outs = [best_for(s).alias(f"b{s}") for s in range(4)]
+    best = v.select("vec_id", *outs)
+    return best.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("subspace"),
+                        F.col(f"b{s}.j").alias("code"),
+                        F.col(f"b{s}.dist").alias("sq_dist"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("r"),
+    ).select("vec_id", "r.subspace", "r.code", "r.sq_dist")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -6028,6 +6191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphsage_agg": q_graphsage_agg,
         "minhash_error_calibration": q_minhash_error_calibration,
         "fs_linkage_weights": q_fs_linkage_weights,
+        "kg_delta_triples": q_kg_delta_triples,
+        "predicate_cardinality": q_predicate_cardinality,
+        "pq_codes": q_pq_codes,
     }
 
 
@@ -10019,5 +10185,110 @@ def oracle_sql() -> dict[str, str]:
                     // greatest(sum(1 - is_match), 1))::BIGINT,
                    sum(is_match)::BIGINT, sum(1 - is_match)::BIGINT
             FROM px
+        """,
+        "kg_delta_triples": f"""
+            WITH {_GAZ_CTE},
+            tk AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok,
+                     generate_subscripts({_TOKS}, 1) - 1 AS pos,
+                     len({_TOKS}) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, entity,
+                     max(CASE WHEN pos * 10 < n * 7 THEN 1 ELSE 0 END)
+                       AS has_v1,
+                     max(CASE WHEN pos * 10 >= n * 3 THEN 1 ELSE 0 END)
+                       AS has_v2
+              FROM tk JOIN gaz ON tok = alias GROUP BY 1, 2
+            )
+            SELECT 'doc_' || doc_id AS subj, 'MENTIONS' AS pred,
+                   entity AS obj,
+                   CASE WHEN has_v2 = 1 THEN 'added'
+                        ELSE 'removed' END AS status
+            FROM g WHERE has_v1 <> has_v2
+        """,
+        "predicate_cardinality": f"""
+            WITH {_GAZ_CTE},
+            toks AS (
+              SELECT source AS repo, doc_id, unnest({_TOKS}) AS tok
+              FROM documents
+            ),
+            fe AS (SELECT repo, doc_id, entity
+                   FROM toks JOIN gaz ON tok = alias),
+            contains_t AS (
+              SELECT DISTINCT repo AS subj, 'CONTAINS' AS pred,
+                     entity AS obj FROM fe
+            ),
+            de AS (SELECT DISTINCT doc_id, entity FROM fe),
+            cooccurs_t AS (
+              SELECT DISTINCT a.entity AS subj, 'COOCCURS' AS pred,
+                     b.entity AS obj
+              FROM de a JOIN de b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+            ),
+            f AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT repo || '/' || path AS subj,
+                     'def ' || t[1] || '(x):' || chr(10) || '    pass' || chr(10)
+                       || 'class ' || upper(t[2]) || ':' || chr(10) || '    pass'
+                       || chr(10) AS content
+              FROM f WHERE len(t) >= 2
+            ),
+            declares_t AS (
+              SELECT DISTINCT subj, 'DECLARES' AS pred, obj FROM (
+                SELECT subj, unnest(regexp_extract_all(content,
+                       '(?m)^(?:def|class|func|void|public\\s+\\w+)\\s+([A-Za-z_][A-Za-z0-9_]*)',
+                       1)) AS obj
+                FROM p
+              )
+            ),
+            triples AS (
+              SELECT * FROM contains_t
+              UNION ALL SELECT * FROM cooccurs_t
+              UNION ALL SELECT * FROM declares_t
+            )
+            SELECT pred, count(*)::BIGINT AS n_triples,
+                   count(DISTINCT subj)::BIGINT AS n_subj,
+                   count(DISTINCT obj)::BIGINT AS n_obj,
+                   CASE WHEN count(*) = count(DISTINCT subj)
+                         AND count(*) = count(DISTINCT obj) THEN '1:1'
+                        WHEN count(*) = count(DISTINCT subj) THEN 'N:1'
+                        WHEN count(*) = count(DISTINCT obj) THEN '1:N'
+                        ELSE 'M:N' END AS cardinality
+            FROM triples GROUP BY pred
+        """,
+        "pq_codes": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding AS cemb
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            cd AS (
+              SELECT j, generate_subscripts(cemb, 1) - 1 AS dim,
+                     floor(unnest(cemb::DOUBLE[]) * 1000000)::BIGINT AS c_e6
+              FROM cent
+            ),
+            vd AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS v_e6
+              FROM embeddings
+            ),
+            d2 AS (
+              SELECT vec_id, (vd.dim // 16)::BIGINT AS subspace, j,
+                     sum((v_e6 - c_e6) * (v_e6 - c_e6))::BIGINT AS dist
+              FROM vd JOIN cd ON vd.dim = cd.dim
+              GROUP BY 1, 2, 3
+            )
+            SELECT vec_id, subspace, j::BIGINT AS code, dist AS sq_dist
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                               ORDER BY dist, j) AS rn
+                  FROM d2)
+            WHERE rn = 1
         """,
     }
