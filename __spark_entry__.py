@@ -5992,6 +5992,202 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "r.subspace", "r.code", "r.sq_dist")
 
 
+def q_calls_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file-CALLS-symbol triples — call-graph edges, the fourth triple
+    family of a source-code KG (reference analog: the entity-mention
+    pass of my_ner.py generalized to callsites). Like declares_triples
+    the driver tables carry no code, so both engines derive the same
+    deterministic pseudo-source (a def header + a call chain) and the
+    oracle checks the REAL operator: strip declaration headers
+    (RE2-safe — no lookbehind), extract `<ident>(` callsites, explode,
+    distinct. One scan, zero UDFs; distinct is the only exchange."""
+    from ner_spark.operators.triples import calls_triples
+
+    files = _doc_files(spark, sf_dir)
+    t = X.tokens("content")
+    pseudo = files.filter(F.size(t) >= 3).select(
+        "repo",
+        "path",
+        F.concat(
+            F.lit("def "),
+            F.element_at(t, 1),
+            F.lit("(x):\n    return "),
+            F.element_at(t, 2),
+            F.lit("("),
+            F.element_at(t, 3),
+            F.lit("(x))\n"),
+            F.element_at(t, 1),
+            F.lit("(x)\n"),
+        ).alias("content"),
+    )
+    return calls_triples(pseudo)
+
+
+def q_imports_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file-IMPORTS-module triples plus dependency resolution: each
+    extracted module is flagged resolved=1 iff some file in the corpus
+    declares a symbol of that name — the intra-corpus linkage step a
+    code KG runs to separate internal edges from external ones. The
+    module dimension is vocabulary-sized, so resolution is a broadcast
+    join against the (tiny) declared-symbol set; the corpus itself is
+    scanned once per side and never shuffles before the distinct."""
+    from ner_spark.operators.triples import imports_triples
+
+    files = _doc_files(spark, sf_dir)
+    t = X.tokens("content")
+    pseudo = files.filter(F.size(t) >= 3).select(
+        "repo",
+        "path",
+        F.concat(
+            F.lit("import "),
+            F.element_at(t, 1),
+            F.lit("\nfrom "),
+            F.element_at(t, 2),
+            F.lit(" import "),
+            F.element_at(t, 3),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+    imps = imports_triples(pseudo)
+    declared = (
+        files.filter(F.size(t) >= 2)
+        .select(F.element_at(t, 1).alias("obj"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        imps.join(F.broadcast(declared), "obj", "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("resolved"),
+        )
+    )
+
+
+def q_symbol_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-file symbol references: for every file that USES an
+    identifier some other file declares (declared symbol = the def
+    name of the file's pseudo-source, i.e. its first token), emit a
+    (file, REFERENCES, symbol) edge with the count of declaring files
+    — the xref table behind go-to-definition at repo scale. Single
+    content scan: one groupBy((file, token)) computes both usage and
+    an is_decl flag; the grouped frame is bounded (files x vocabulary)
+    and multi-consumer, so it is pinned with an eager localCheckpoint
+    (PLANS.md rule 10); the symbol dimension re-derives from the pin
+    and rides a broadcast join. Self-declarations are excluded by the
+    flag, not an anti-join."""
+    files = _doc_files(spark, sf_dir)
+    t = X.tokens("content")
+    ex = files.select(
+        "repo", "path", F.size(t).alias("n"), F.posexplode(t).alias("pos", "tok")
+    )
+    g = (
+        ex.groupBy("repo", "path", "tok")
+        .agg(
+            F.max(
+                F.when((F.col("pos") == 0) & (F.col("n") >= 2), 1).otherwise(0)
+            ).alias("is_decl")
+        )
+        .localCheckpoint(eager=True)
+    )
+    syms = (
+        g.filter(F.col("is_decl") == 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_decl"))
+    )
+    return (
+        g.filter(F.col("is_decl") == 0)
+        .join(F.broadcast(syms), "tok")
+        .select(
+            F.concat_ws("/", "repo", "path").alias("subj"),
+            F.lit("REFERENCES").alias("pred"),
+            F.col("tok").alias("obj"),
+            "n_decl",
+        )
+    )
+
+
+def q_transe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE triple-plausibility scoring — the KG-embedding quality
+    gate (score(s,p,o) = ||e_s + r_p - e_o||_1) run over the COOCCURS
+    triples before accepting them into a production graph. Entity and
+    relation vectors come from the embeddings table via the
+    deterministic md5-mod lookup (same idiom as
+    embedding_lookup_concat), each component floored to e6 integers
+    BEFORE the sum so the L1 distance is exact in both engines. Scale
+    shape: the only corpus-sized work is the COOCCURS derivation; the
+    entity-vector dimension is gazetteer-sized, broadcast everywhere,
+    and the scoring join touches pair-sized state only."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    de = (
+        toks.join(F.broadcast(gaz), "alias").select("doc_id", "entity").distinct()
+    )
+    a, b = de.alias("a"), de.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(F.col("a.entity").alias("subj"), F.col("b.entity").alias("obj"))
+        .distinct()
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    nv = e.agg(F.count(F.lit(1)).alias("_nv"))
+    names = gaz.select("entity").distinct().unionByName(
+        spark.createDataFrame([("COOCCURS",)], "entity string")
+    ).distinct()
+    ev = (
+        names.crossJoin(F.broadcast(nv))
+        .select(
+            "entity",
+            (
+                F.conv(F.substring(F.md5("entity"), 1, 8), 16, 10).cast("long")
+                % F.col("_nv")
+            ).alias("vid"),
+        )
+    )
+    # ed is gazetteer-sized but consumed three times (s/o/r); pin it so
+    # the embeddings scan behind it runs once (PLANS.md rule 10)
+    ed = (
+        e.join(F.broadcast(ev), e.vec_id == ev.vid)
+        .select(
+            "entity",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)),
+            ).alias("fv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s, o, r = ed.alias("s"), ed.alias("o"), ed.filter(F.col("entity") == "COOCCURS").alias("r")
+    return (
+        co.join(F.broadcast(s), F.col("subj") == F.col("s.entity"))
+        .join(F.broadcast(o), F.col("obj") == F.col("o.entity"))
+        .crossJoin(F.broadcast(r.select(F.col("fv").alias("rv"))))
+        .select(
+            "subj",
+            F.lit("COOCCURS").alias("pred"),
+            "obj",
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        F.col("s.fv"), F.col("rv"), lambda x, y: x + y
+                    ),
+                    F.col("o.fv"),
+                    lambda x, y: F.abs(x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("l1_e6"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -6194,6 +6390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta_triples": q_kg_delta_triples,
         "predicate_cardinality": q_predicate_cardinality,
         "pq_codes": q_pq_codes,
+        "calls_triples": q_calls_triples,
+        "imports_triples": q_imports_triples,
+        "symbol_xref": q_symbol_xref,
+        "transe_scores": q_transe_scores,
     }
 
 
@@ -10290,5 +10490,115 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY dist, j) AS rn
                   FROM d2)
             WHERE rn = 1
+        """,
+        "calls_triples": f"""
+            WITH f AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT repo || '/' || path AS subj,
+                     'def ' || t[1] || '(x):' || chr(10)
+                       || '    return ' || t[2] || '(' || t[3] || '(x))'
+                       || chr(10) || t[1] || '(x)' || chr(10) AS content
+              FROM f WHERE len(t) >= 3
+            ),
+            s AS (
+              SELECT subj,
+                     regexp_replace(content,
+                       '(?m)^(?:def|class|func|void|public\\s+\\w+)\\s+[A-Za-z_][A-Za-z0-9_]*',
+                       '', 'g') AS sc
+              FROM p
+            )
+            SELECT DISTINCT subj, 'CALLS' AS pred, obj FROM (
+              SELECT subj, unnest(regexp_extract_all(sc,
+                     '([A-Za-z_][A-Za-z0-9_]*)\\s*\\(', 1)) AS obj
+              FROM s
+            )
+        """,
+        "imports_triples": f"""
+            WITH f AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT repo || '/' || path AS subj,
+                     'import ' || t[1] || chr(10)
+                       || 'from ' || t[2] || ' import ' || t[3] || chr(10)
+                       AS content
+              FROM f WHERE len(t) >= 3
+            ),
+            imp AS (
+              SELECT DISTINCT subj, 'IMPORTS' AS pred, obj FROM (
+                SELECT subj, unnest(regexp_extract_all(content,
+                       '(?m)^(?:import|from)\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1))
+                  AS obj
+                FROM p
+              )
+            ),
+            decl AS (SELECT DISTINCT t[1] AS obj FROM f WHERE len(t) >= 2)
+            SELECT imp.subj, imp.pred, imp.obj,
+                   (CASE WHEN decl.obj IS NULL THEN 0 ELSE 1 END)::BIGINT
+                     AS resolved
+            FROM imp LEFT JOIN decl ON imp.obj = decl.obj
+        """,
+        "symbol_xref": f"""
+            WITH tk AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) - 1 AS pos,
+                     len(ts) AS n
+              FROM (SELECT source, doc_id, {_TOKS} AS ts FROM documents)
+            ),
+            g AS (
+              SELECT repo, path, tok,
+                     max(CASE WHEN pos = 0 AND n >= 2 THEN 1 ELSE 0 END)
+                       AS is_decl
+              FROM tk GROUP BY 1, 2, 3
+            ),
+            syms AS (
+              SELECT tok, count(*)::BIGINT AS n_decl
+              FROM g WHERE is_decl = 1 GROUP BY 1
+            )
+            SELECT g.repo || '/' || g.path AS subj, 'REFERENCES' AS pred,
+                   g.tok AS obj, syms.n_decl
+            FROM g JOIN syms ON g.tok = syms.tok
+            WHERE g.is_decl = 0
+        """,
+        "transe_scores": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            de AS (SELECT DISTINCT doc_id, entity
+                   FROM tk JOIN gaz ON tok = alias),
+            co AS (
+              SELECT DISTINCT a.entity AS subj, b.entity AS obj
+              FROM de a JOIN de b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+            ),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            names AS (SELECT DISTINCT entity FROM gaz
+                      UNION SELECT 'COOCCURS'),
+            ev AS (
+              SELECT entity,
+                     {_dk_hex8('entity')} % (SELECT n FROM nv) AS vid
+              FROM names
+            ),
+            ed AS (
+              SELECT entity, generate_subscripts(embedding, 1) AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS f
+              FROM ev JOIN embeddings ON vec_id = vid
+            )
+            SELECT co.subj, 'COOCCURS' AS pred, co.obj,
+                   sum(abs(s.f + r.f - o.f))::BIGINT AS l1_e6
+            FROM co
+            JOIN ed s ON s.entity = co.subj
+            JOIN ed o ON o.entity = co.obj AND o.dim = s.dim
+            JOIN ed r ON r.entity = 'COOCCURS' AND r.dim = s.dim
+            GROUP BY 1, 2, 3
         """,
     }

@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 # shared with synth.golden_triples_for_file and the DuckDB oracles
 DECL_RE = r"(?m)^(?:def|class|func|void|public\s+\w+)\s+([A-Za-z_][A-Za-z0-9_]*)"
 
+# declaration HEADER (no capture) — stripped before callsite extraction
+# so `def f(x):` does not read as a call of f. RE2-compatible (the
+# DuckDB oracle runs the same pattern); no lookbehind, which RE2 lacks.
+DECL_HEAD_RE = r"(?m)^(?:def|class|func|void|public\s+\w+)\s+[A-Za-z_][A-Za-z0-9_]*"
+
+# callsite: identifier immediately followed by an open paren
+CALL_RE = r"([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+# import header: `import x` / `from x import y` — captures the module
+IMPORT_RE = r"(?m)^(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+
 
 def contains_triples(mentions: DataFrame, files_meta: DataFrame) -> DataFrame:
     """repo CONTAINS entity (distinct). `files_meta` = (file_key, repo)."""
@@ -60,6 +71,45 @@ def declares_triples(files: DataFrame, key_col: str = "file_key",
             F.explode(F.regexp_extract_all(F.col(content_col), F.lit(DECL_RE), 1)).alias("obj"),
         )
         .select("subj", F.lit("DECLARES").alias("pred"), "obj")
+        .distinct()
+    )
+
+
+def calls_triples(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """file CALLS symbol — call-graph edge extraction (fourth triple
+    family a code KG carries beyond CONTAINS/COOCCURS/DECLARES).
+
+    Declaration headers are stripped first (regexp_replace with
+    DECL_HEAD_RE) so `def f(x):` is not misread as a call of f; what
+    remains of `<ident>(` is a callsite. Both regexes are RE2-safe —
+    RE2 has no lookbehind, so the strip-then-extract two-step is the
+    portable formulation, and it stays entirely in codegen: one scan,
+    no UDF, distinct is the only exchange.
+    """
+    stripped = F.regexp_replace(F.col(content_col), DECL_HEAD_RE, "")
+    return (
+        files.select(
+            F.concat_ws("/", "repo", "path").alias("subj"),
+            F.explode(F.regexp_extract_all(stripped, F.lit(CALL_RE), 1)).alias("obj"),
+        )
+        .select("subj", F.lit("CALLS").alias("pred"), "obj")
+        .distinct()
+    )
+
+
+def imports_triples(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """file IMPORTS module — dependency-edge extraction from import
+    headers (`import x` / `from x import y`). Same shape as
+    declares_triples: native regexp_extract_all + explode + distinct.
+    """
+    return (
+        files.select(
+            F.concat_ws("/", "repo", "path").alias("subj"),
+            F.explode(
+                F.regexp_extract_all(F.col(content_col), F.lit(IMPORT_RE), 1)
+            ).alias("obj"),
+        )
+        .select("subj", F.lit("IMPORTS").alias("pred"), "obj")
         .distinct()
     )
 
