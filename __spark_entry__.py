@@ -6188,6 +6188,193 @@ def q_transe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — how a 100 TB ANN
+    serving tier actually scans: queries never touch raw vectors, only
+    per-(query, subspace, centroid) lookup tables joined against the
+    n x 4 compressed code table. The LUT is queries x 8 centroids x 4
+    subspaces — broadcast-sized by construction — so the only
+    corpus-sized work is one pass over the codes plus a (query, vec)
+    partial-agg groupBy; the raw-embedding scan behind the codes runs
+    once. All distances are exact integers (e6-floored components
+    squared), so ranking ties are impossible to get wrong across
+    engines; residual ties break on vec_id."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def floored(arr):
+        return F.transform(arr, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
+
+    wj = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select((F.row_number().over(wj) - 1).cast("long").alias("j"),
+                F.col("embedding").alias("emb"))
+    )
+    cd = seeds.select(
+        "j", F.posexplode(floored("emb")).alias("dim", "c")
+    )
+    qd = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("qid"),
+                F.posexplode(floored("embedding")).alias("dim", "q"))
+    )
+    lut = (
+        qd.join(F.broadcast(cd), "dim")
+        .groupBy(
+            "qid",
+            (F.col("dim") / 16).cast("int").cast("long").alias("lss"),
+            F.col("j").alias("lj"),
+        )
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("ld"))
+    )
+    codes = q_pq_codes(spark, sf_dir).select("vec_id", "subspace", "code")
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("subspace") == F.col("lss")) & (F.col("code") == F.col("lj")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("ld").alias("adc_e12"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("adc_e12"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", "adc_e12", "rank")
+    )
+
+
+def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit — the
+    compression step before shipping an embedding column to a serving
+    index, plus the reconstruction-error report that decides whether
+    int8 is acceptable. Exact integer arithmetic throughout: e6 floors
+    first, then sign-split truncating division (Spark `div` truncates
+    toward zero while DuckDB `//` floors — splitting on sign makes
+    both operate on non-negative operands where they agree). One scan;
+    the per-dim max and the final per-dim aggregate share the same
+    hash partitioning, so the window adds no second exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+            )
+        ).alias("dim", "f"),
+    )
+    w = Window.partitionBy("dim")
+    d2 = d.withColumn(
+        "scale0", F.greatest(F.max(F.abs("f")).over(w), F.lit(1).cast("long"))
+    )
+    d3 = d2.withColumn(
+        "qv",
+        F.expr(
+            "CASE WHEN f >= 0 THEN (f * 127) div scale0 "
+            "ELSE -(((-f) * 127) div scale0) END"
+        ),
+    ).withColumn(
+        "deq",
+        F.expr(
+            "CASE WHEN qv >= 0 THEN (qv * scale0) div 127 "
+            "ELSE -(((-qv) * scale0) div 127) END"
+        ),
+    )
+    return d3.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.max("scale0").alias("scale_e6"),
+        F.sum((F.col("f") - F.col("deq")) * (F.col("f") - F.col("deq"))).alias(
+            "sum_sq_err"
+        ),
+        F.max(F.abs("qv")).alias("max_abs_q"),
+    )
+
+
+def q_resource_allocation_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the kNN token graph:
+    non-adjacent pairs scored by sum over common neighbors z of
+    1/deg(z) — the degree-weighted sibling of common-neighbors that
+    down-weights hub bridges (Zhou et al.'s RA index). Exact integers:
+    each summand is floor(1e9 / deg(z)) — pure integer division on
+    positive operands, so Spark and DuckDB agree bit-for-bit. Same
+    scale argument as link_prediction_cn: the 2-hop self-join fans out
+    by the sparsified degree (k + in-links), keeping sum(deg^2) linear
+    in nodes."""
+    knn = _knn_token_edges(spark, sf_dir)
+    ks = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = ks.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ksd = ks.join(
+        F.broadcast(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_mid"))
+        ),
+        "dst",
+    )
+    a, b = ksd.alias("a"), ks.alias("b")
+    knn2 = knn.select(F.col("x").alias("kx"), F.col("y").alias("ky"))
+    return (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("x"), F.col("b.src").alias("z"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.expr("1000000000 div deg_mid")).alias("ra_e9"),
+        )
+        .join(
+            knn2,
+            (F.col("x") == F.col("kx")) & (F.col("z") == F.col("ky")),
+            "left_anti",
+        )
+        .select(
+            F.col("x").alias("src"),
+            F.col("z").alias("dst"),
+            "common_neighbors",
+            "ra_e9",
+        )
+    )
+
+
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (X^T X upper triangle) over the
+    embedding column — the one-pass covariance/PCA-prep kernel: each
+    row emits its 64x65/2 products locally (nested transform over a
+    let-bound floored array — no self-join, no per-row shuffle) and
+    the groupBy(i, j) reduces with map-side partials into a
+    4096-cell result. This is how the classic 'compute covariance
+    then PCA on the driver' pattern survives 100 TB: the shuffle
+    carries dim-pair partial sums, never rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    fv_expr = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+    )
+    pairs = X.let_bound(
+        fv_expr,
+        lambda v: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(63)),
+                    lambda j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (
+                            F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        ),
+    )
+    return (
+        e.select(F.explode(pairs).alias("r"))
+        .groupBy(F.col("r.i").alias("i"), F.col("r.j").alias("j"))
+        .agg(F.sum("r.p").alias("gram_e12"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -6394,6 +6581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imports_triples": q_imports_triples,
         "symbol_xref": q_symbol_xref,
         "transe_scores": q_transe_scores,
+        "pq_adc_topk": q_pq_adc_topk,
+        "embedding_int8_quant": q_embedding_int8_quant,
+        "resource_allocation_lp": q_resource_allocation_lp,
+        "gram_matrix": q_gram_matrix,
     }
 
 
@@ -10600,5 +10791,115 @@ def oracle_sql() -> dict[str, str]:
             JOIN ed o ON o.entity = co.obj AND o.dim = s.dim
             JOIN ed r ON r.entity = 'COOCCURS' AND r.dim = s.dim
             GROUP BY 1, 2, 3
+        """,
+        "pq_adc_topk": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding AS cemb
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            cd AS (
+              SELECT j, generate_subscripts(cemb, 1) - 1 AS dim,
+                     floor(unnest(cemb::DOUBLE[]) * 1000000)::BIGINT AS c_e6
+              FROM cent
+            ),
+            vd AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS v_e6
+              FROM embeddings
+            ),
+            d2 AS (
+              SELECT vec_id, (vd.dim // 16)::BIGINT AS subspace, j,
+                     sum((v_e6 - c_e6) * (v_e6 - c_e6))::BIGINT AS dist
+              FROM vd JOIN cd ON vd.dim = cd.dim
+              GROUP BY 1, 2, 3
+            ),
+            codes AS (
+              SELECT vec_id, subspace, j AS code
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                                 ORDER BY dist, j) AS rn
+                    FROM d2)
+              WHERE rn = 1
+            ),
+            qd AS (SELECT vec_id AS qid, dim, v_e6 AS q FROM vd
+                   WHERE vec_id % 100 = 0),
+            lut AS (
+              SELECT qid, (qd.dim // 16)::BIGINT AS subspace, j,
+                     sum((q - c_e6) * (q - c_e6))::BIGINT AS ld
+              FROM qd JOIN cd ON qd.dim = cd.dim
+              GROUP BY 1, 2, 3
+            ),
+            adc AS (
+              SELECT qid, vec_id, sum(ld)::BIGINT AS adc_e12
+              FROM codes JOIN lut
+                ON codes.subspace = lut.subspace AND codes.code = lut.j
+              GROUP BY 1, 2
+            )
+            SELECT qid, vec_id, adc_e12, rn::BIGINT AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                               ORDER BY adc_e12, vec_id) AS rn
+                  FROM adc)
+            WHERE rn <= 5
+        """,
+        "embedding_int8_quant": """
+            WITH d AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS f
+              FROM embeddings
+            ),
+            d2 AS (
+              SELECT *,
+                     greatest(max(abs(f)) OVER (PARTITION BY dim), 1)::BIGINT
+                       AS scale0
+              FROM d
+            ),
+            d3 AS (
+              SELECT *,
+                     (CASE WHEN f >= 0 THEN (f * 127) // scale0
+                           ELSE -(((-f) * 127) // scale0) END)::BIGINT AS qv
+              FROM d2
+            ),
+            d4 AS (
+              SELECT *,
+                     (CASE WHEN qv >= 0 THEN (qv * scale0) // 127
+                           ELSE -(((-qv) * scale0) // 127) END)::BIGINT AS deq
+              FROM d3
+            )
+            SELECT dim::BIGINT AS dim, max(scale0)::BIGINT AS scale_e6,
+                   sum((f - deq) * (f - deq))::BIGINT AS sum_sq_err,
+                   max(abs(qv))::BIGINT AS max_abs_q
+            FROM d4 GROUP BY 1
+        """,
+        "resource_allocation_lp": f"""
+            WITH {_knn_cte()},
+            ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY src),
+            ksd AS (SELECT ks.src, ks.dst, deg.deg AS deg_mid
+                    FROM ks JOIN deg ON ks.dst = deg.src),
+            ra AS (
+              SELECT a.src AS x, b.src AS z,
+                     count(*)::BIGINT AS common_neighbors,
+                     sum(1000000000 // a.deg_mid)::BIGINT AS ra_e9
+              FROM ksd a JOIN ks b
+                ON a.dst = b.dst AND a.src < b.src
+              GROUP BY 1, 2
+            )
+            SELECT ra.x AS src, ra.z AS dst, common_neighbors, ra_e9
+            FROM ra
+            WHERE NOT EXISTS (SELECT 1 FROM knn
+                              WHERE knn.x = ra.x AND knn.y = ra.z)
+        """,
+        "gram_matrix": """
+            WITH vd AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS f
+              FROM embeddings
+            )
+            SELECT a.dim::BIGINT AS i, b.dim::BIGINT AS j,
+                   sum(a.f * b.f)::BIGINT AS gram_e12
+            FROM vd a JOIN vd b
+              ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2
         """,
     }
