@@ -6375,6 +6375,218 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repo_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level dependency graph — the rollup a code KG serves to
+    architecture tooling: file-IMPORTS-module edges resolved against
+    the corpus-wide declared-symbol dimension and aggregated to
+    (repo, DEPENDS_ON, repo) with a link count. The module dimension
+    is vocabulary-sized (broadcast); the rollup groupBy runs on
+    already-distinct import edges, so the corpus is scanned once per
+    side and everything after the extraction is repo^2-bounded."""
+    from ner_spark.operators.triples import imports_triples
+
+    files = _doc_files(spark, sf_dir)
+    t = X.tokens("content")
+    pseudo = files.filter(F.size(t) >= 3).select(
+        "repo",
+        "path",
+        F.concat(
+            F.lit("import "),
+            F.element_at(t, 1),
+            F.lit("\nfrom "),
+            F.element_at(t, 2),
+            F.lit(" import "),
+            F.element_at(t, 3),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+    imps = imports_triples(pseudo).select(
+        F.split("subj", "/")[0].alias("repo"), F.col("obj").alias("module")
+    )
+    decl = (
+        files.filter(F.size(t) >= 2)
+        .select(F.col("repo").alias("drepo"), F.element_at(t, 1).alias("module"))
+        .distinct()
+    )
+    return (
+        imps.join(F.broadcast(decl), "module")
+        .filter(F.col("repo") != F.col("drepo"))
+        .groupBy("repo", "drepo")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .select(
+            F.col("repo").alias("subj"),
+            F.lit("DEPENDS_ON").alias("pred"),
+            F.col("drepo").alias("obj"),
+            "n_links",
+        )
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (sklearn HashingVectorizer semantics):
+    each token hashes to one of 64 feature dims via md5, with a sign
+    bit from the next md5 nibble so collisions cancel in expectation
+    — the stateless featurizer linear models use at 100 TB because it
+    needs NO vocabulary broadcast and no fit pass. One scan: explode,
+    two pure hash projections, one (doc, dim)-keyed partial-agg
+    groupBy. Output is the sparse matrix itself."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    h = F.md5("token")
+    feat = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).alias("feat")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", feat, sign.cast("long").alias("sign"))
+        .groupBy("doc_id", "feat")
+        .agg(F.sum("sign").alias("val"))
+    )
+
+
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning effectiveness — the
+    audit behind every Iceberg/Delta table-layout decision: partition
+    events by day, collect per-partition min/max of `value`, and for
+    each candidate predicate threshold report how many partitions a
+    `value >= T` scan skips and how many rows that avoids. One
+    events scan builds the day-stats frame (days-sized); thresholds
+    ride a literal explode, so the what-if sweep costs nothing
+    extra. Stats are e6-floored integers (value >= 0 in this table,
+    so floor == truncate in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.min(F.floor(F.col("value") * 1000000).cast("long")).alias("vmin"),
+        F.max(F.floor(F.col("value") * 1000000).cast("long")).alias("vmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in (100, 200, 300, 400, 500)])
+    ).alias("threshold")
+    return (
+        stats.select(th, "vmin", "vmax", "n_rows")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                (F.col("vmax") < F.col("threshold") * 1000000).cast("long")
+            ).alias("n_pruned"),
+            F.sum(
+                F.when(
+                    F.col("vmax") < F.col("threshold") * 1000000, F.col("n_rows")
+                ).otherwise(0)
+            ).alias("rows_avoided"),
+            F.sum("n_rows").alias("rows_total"),
+        )
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy audit (distinct-l variant) — the follow-up
+    to k-anonymity: per quasi-identifier class (nation, $1000 balance
+    band), how many DISTINCT values of the sensitive attribute
+    (market segment) appear; a class with l < 3 lets an attacker
+    infer the sensitive value even when k is large. Same
+    offset-before-floor-divide band trick as k_anonymity; two cheap
+    aggs, QI-keyed then l-keyed."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(100000000)
+        ).alias("_bal_off"),
+    ).select(
+        "c_nationkey", "c_mktsegment", F.expr("_bal_off div 100000").alias("bal_band")
+    )
+    cls = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.countDistinct("c_mktsegment").alias("l_val"),
+        F.count(F.lit(1)).alias("k_size"),
+    )
+    return (
+        cls.groupBy("l_val")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k_size").alias("n_rows"),
+        )
+        .select(
+            "l_val",
+            "n_classes",
+            "n_rows",
+            (F.col("l_val") < 3).cast("long").alias("below_l3"),
+        )
+    )
+
+
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster purity against the table's ground-truth
+    `label` column — the clustering-quality eval run before trusting
+    kmeans/IVF partitions for semantic dedup or routing. Assignment
+    is the exact-integer nearest-of-8-seeds argmin (same codebook
+    convention as pq_codes); purity = modal-label share per cluster
+    in e6 integers. The (cluster, label) contingency is 8 x 10 rows,
+    so everything after the one assignment scan is free; modal pick
+    and totals share one window partitioning, no second exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    wj = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(wj) - 1).cast("long").alias("j"),
+            F.col("embedding").alias("emb"),
+        )
+    )
+    cents = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("j", "emb"))).alias("cents")
+    )
+    v = e.crossJoin(F.broadcast(cents))
+
+    def floored(arr):
+        return F.transform(arr, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
+
+    fv_expr = floored("embedding")
+
+    def body(vq):
+        return F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vq,
+                            floored(c["emb"]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    c["j"].cast("long").alias("j"),
+                ),
+            )
+        )
+
+    assign = v.select(
+        "label", X.let_bound(fv_expr, body)["j"].alias("cluster")
+    )
+    cl = assign.groupBy("cluster", F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        cl.withColumn("n_total", F.sum("n").over(wp))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("n_total").alias("n"),
+            F.col("label").alias("top_label"),
+            F.expr("n * 1000000 div n_total").alias("purity_e6"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -6585,6 +6797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_int8_quant": q_embedding_int8_quant,
         "resource_allocation_lp": q_resource_allocation_lp,
         "gram_matrix": q_gram_matrix,
+        "repo_deps": q_repo_deps,
+        "feature_hashing": q_feature_hashing,
+        "zone_map_pruning": q_zone_map_pruning,
+        "l_diversity": q_l_diversity,
+        "cluster_label_purity": q_cluster_label_purity,
     }
 
 
@@ -10901,5 +11118,124 @@ def oracle_sql() -> dict[str, str]:
             FROM vd a JOIN vd b
               ON a.vec_id = b.vec_id AND b.dim >= a.dim
             GROUP BY 1, 2
+        """,
+        "repo_deps": f"""
+            WITH f AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT repo,
+                     repo || '/' || path AS subj,
+                     'import ' || t[1] || chr(10)
+                       || 'from ' || t[2] || ' import ' || t[3] || chr(10)
+                       AS content
+              FROM f WHERE len(t) >= 3
+            ),
+            imp AS (
+              SELECT DISTINCT repo, subj, module FROM (
+                SELECT repo, subj, unnest(regexp_extract_all(content,
+                       '(?m)^(?:import|from)\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1))
+                  AS module
+                FROM p
+              )
+            ),
+            decl AS (SELECT DISTINCT repo AS drepo, t[1] AS module
+                     FROM f WHERE len(t) >= 2)
+            SELECT imp.repo AS subj, 'DEPENDS_ON' AS pred,
+                   decl.drepo AS obj, count(*)::BIGINT AS n_links
+            FROM imp JOIN decl ON imp.module = decl.module
+            WHERE imp.repo <> decl.drepo
+            GROUP BY 1, 2, 3
+        """,
+        "feature_hashing": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     {_dk_hex8('token')} % 64 AS feat,
+                     CASE WHEN (strpos('0123456789abcdef',
+                                       substr(md5(token), 9, 1)) - 1) % 2 = 0
+                          THEN 1 ELSE -1 END AS sign
+              FROM toks
+            )
+            SELECT doc_id, feat::BIGINT AS feat, sum(sign)::BIGINT AS val
+            FROM h GROUP BY 1, 2
+        """,
+        "zone_map_pruning": """
+            WITH stats AS (
+              SELECT date_trunc('day', ts) AS day,
+                     min(floor(value * 1000000)::BIGINT) AS vmin,
+                     max(floor(value * 1000000)::BIGINT) AS vmax,
+                     count(*)::BIGINT AS n_rows
+              FROM events GROUP BY 1
+            ),
+            th(threshold) AS (VALUES (100::BIGINT), (200), (300), (400), (500))
+            SELECT threshold, count(*)::BIGINT AS n_parts,
+                   sum(CASE WHEN vmax < threshold * 1000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_pruned,
+                   sum(CASE WHEN vmax < threshold * 1000000
+                            THEN n_rows ELSE 0 END)::BIGINT AS rows_avoided,
+                   sum(n_rows)::BIGINT AS rows_total
+            FROM stats CROSS JOIN th
+            GROUP BY threshold
+        """,
+        "l_diversity": """
+            WITH qi AS (SELECT c_nationkey, c_mktsegment,
+                               (CAST(round(c_acctbal * 100) AS BIGINT)
+                                + 100000000) // 100000 AS bal_band
+                        FROM customer),
+            cls AS (SELECT c_nationkey, bal_band,
+                           count(DISTINCT c_mktsegment)::BIGINT AS l_val,
+                           count(*)::BIGINT AS k_size
+                    FROM qi GROUP BY 1, 2)
+            SELECT l_val, count(*)::BIGINT AS n_classes,
+                   sum(k_size)::BIGINT AS n_rows,
+                   (CASE WHEN l_val < 3 THEN 1 ELSE 0 END)::BIGINT AS below_l3
+            FROM cls GROUP BY l_val
+        """,
+        "cluster_label_purity": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding AS cemb
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            cd AS (
+              SELECT j, generate_subscripts(cemb, 1) - 1 AS dim,
+                     floor(unnest(cemb::DOUBLE[]) * 1000000)::BIGINT AS c_e6
+              FROM cent
+            ),
+            vd AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS v_e6
+              FROM embeddings
+            ),
+            d2 AS (
+              SELECT vec_id, label, j,
+                     sum((v_e6 - c_e6) * (v_e6 - c_e6))::BIGINT AS dist
+              FROM vd JOIN cd ON vd.dim = cd.dim
+              GROUP BY 1, 2, 3
+            ),
+            asg AS (
+              SELECT vec_id, label::BIGINT AS label, j::BIGINT AS cluster
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, j) AS rn
+                    FROM d2)
+              WHERE rn = 1
+            ),
+            cl AS (SELECT cluster, label, count(*)::BIGINT AS n
+                   FROM asg GROUP BY 1, 2),
+            tot AS (SELECT *, sum(n) OVER (PARTITION BY cluster) AS n_total
+                    FROM cl),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, label ASC) AS rn
+                   FROM tot)
+            SELECT cluster, n_total::BIGINT AS n, label AS top_label,
+                   (n * 1000000 // n_total)::BIGINT AS purity_e6
+            FROM rk WHERE rn = 1
         """,
     }
