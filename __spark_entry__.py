@@ -6587,6 +6587,240 @@ def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra (DataSketches semantics): estimate
+    |clickers|, |purchasers|, their union AND intersection from two
+    k=64 smallest-hash sketches, next to the exact answers — the set
+    operation HLL cannot do (no sketch intersection) and the reason
+    theta sketches power cross-segment audience overlap at 100 TB.
+    Everything is exact integer arithmetic on 32-bit md5 prefixes:
+    theta = the k-th smallest hash (2^32 when the sketch isn't full,
+    which sf0.001's 15 users exercises — exact mode), and every
+    estimate is (#hashes < theta) * 2^32 div theta, which degrades to
+    the exact count in exact mode. Scale shape: the per-user flag
+    frame is dimension-sized and pinned once (rule 10); each sketch
+    is an orderBy().limit(64) — Spark's TakeOrdered, a per-partition
+    top-k merge, never a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    U32 = 4294967296
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "b"
+            ),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = u.agg(
+        F.sum("a").alias("exact_a"),
+        F.sum("b").alias("exact_b"),
+        F.sum(F.greatest("a", "b")).alias("exact_union"),
+        F.sum(F.least("a", "b")).alias("exact_inter"),
+    )
+    sa = u.filter(F.col("a") == 1).select("user_id", "h").orderBy("h").limit(64)
+    sb = u.filter(F.col("b") == 1).select("user_id", "h").orderBy("h").limit(64)
+    ta = sa.agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("mxa"))
+    tb = sb.agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("mxb"))
+    th = (
+        ta.crossJoin(tb)
+        .select(
+            F.when(F.col("na") < 64, F.lit(U32)).otherwise(F.col("mxa")).alias(
+                "theta_a"
+            ),
+            F.when(F.col("nb") < 64, F.lit(U32)).otherwise(F.col("mxb")).alias(
+                "theta_b"
+            ),
+            "na",
+            "nb",
+        )
+        .select(
+            "theta_a",
+            "theta_b",
+            F.least("theta_a", "theta_b").alias("theta"),
+            F.expr(f"CASE WHEN na < 64 THEN na ELSE (63 * {U32}) div theta_a END").alias(
+                "est_a"
+            ),
+            F.expr(f"CASE WHEN nb < 64 THEN nb ELSE (63 * {U32}) div theta_b END").alias(
+                "est_b"
+            ),
+        )
+    )
+    sab = (
+        sa.withColumn("ina", F.lit(1))
+        .join(sb.withColumn("inb", F.lit(1)), ["user_id", "h"], "full")
+        .select(
+            "h",
+            F.coalesce("ina", F.lit(0)).alias("ina"),
+            F.coalesce("inb", F.lit(0)).alias("inb"),
+        )
+    )
+    ui = (
+        sab.crossJoin(F.broadcast(th))
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("theta"), 1).otherwise(0)).alias("cu"),
+            F.sum(
+                F.when(
+                    (F.col("h") < F.col("theta"))
+                    & (F.col("ina") == 1)
+                    & (F.col("inb") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("ci"),
+            F.first("theta").alias("theta"),
+            F.first("est_a").alias("est_a"),
+            F.first("est_b").alias("est_b"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            F.expr(f"(cu * {U32}) div theta").alias("est_union"),
+            F.expr(f"(ci * {U32}) div theta").alias("est_inter"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(ui)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_inter",
+    )
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield/Lund/Thorup): keep the
+    top-100 documents by priority q = weight * 2^32 div (hash + 1) —
+    the deterministic, mergeable weighted sample a curation pipeline
+    draws for human eval, where longer documents should surface
+    proportionally to size. Integer end to end (md5 prefix as the
+    uniform variate), so the sample is reproducible across engines
+    and partitionings; orderBy().limit() compiles to distributed
+    TakeOrdered — per-partition top-k then a 100-row merge, no global
+    sort at any scale."""
+    d = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", h.alias("h0"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("(n_chars * 4294967296) div (h0 + 1)").alias("q"),
+        )
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q_daily_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer autocovariance numerators of the daily event
+    count series at lags 1..7 — the seasonality probe (is there a
+    weekly cycle?) run before anomaly thresholds are trusted. The
+    numerator n*Sxy - Sx*Sy is kept unreduced so both engines stay in
+    BIGINT (no float variance division); sign and relative magnitude
+    across lags is what the analyst reads. The daily-count frame is
+    days-sized and consumed by both sides of the lag self-join, so it
+    is pinned once (rule 10); the 7 lags ride an explode, making the
+    whole probe one events scan plus a days-sized join."""
+    ev = _t(spark, sf_dir, "events")
+    dc = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = dc.select(
+        "day", "c", F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    ).alias("a")
+    b = dc.alias("b")
+    return (
+        a.join(b, F.col("b.day") == F.date_add(F.col("a.day"), F.col("a.lag")))
+        .groupBy(F.col("a.lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+            F.sum(F.col("a.c")).alias("sx"),
+            F.sum(F.col("b.c")).alias("sy"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "cov_num"
+            ),
+        )
+    )
+
+
+def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret scanning over source files — the security sweep every
+    code corpus runs before training or publishing: extract hex-32
+    credential literals and roll up exposure per repo. The driver
+    corpus carries no secrets, so both engines plant one
+    deterministically in every third file (md5 of the file's own
+    text) and the oracle checks the REAL operator: the native regex
+    extraction, explode, and repo rollup — one scan, the word-soup
+    text itself can never produce 32 consecutive hex chars, so
+    planted hits are exactly what comes back."""
+    d = _docs(spark, sf_dir)
+    content = F.concat(
+        F.col("text"),
+        F.lit("\nAWS_KEY = '"),
+        F.when(F.col("doc_id") % 3 == 0, F.md5("text")).otherwise(F.lit("")),
+        F.lit("'\n"),
+    )
+    hits = d.select(
+        F.col("source").alias("repo"),
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(content, F.lit(r"([0-9a-f]{32})"), 1)
+        ).alias("secret"),
+    )
+    return hits.groupBy("repo").agg(
+        F.countDistinct("doc_id").alias("n_files_exposed"),
+        F.count(F.lit(1)).alias("n_secrets"),
+        F.min("secret").alias("sample_secret"),
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical
+    feature every tabular trainer derives at scale: for each
+    (event_type, fold = event_id % 5), the mean target over the OTHER
+    four folds, in exact e6 integers (value >= 0 here, so truncating
+    div == floor div across engines). One scan, one (type, fold)
+    groupBy; the per-type totals come from a window over the same
+    partitioning, so leave-fold-out subtraction adds no exchange."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", (F.col("event_id") % 5).cast("long").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("n_f"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("s_f"),
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        g.withColumn("n_tot", F.sum("n_f").over(w))
+        .withColumn("s_tot", F.sum("s_f").over(w))
+        .select(
+            "event_type",
+            "fold",
+            (F.col("n_tot") - F.col("n_f")).alias("n_oof"),
+            F.expr("(s_tot - s_f) div (n_tot - n_f)").alias("enc_e6"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -6802,6 +7036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_map_pruning": q_zone_map_pruning,
         "l_diversity": q_l_diversity,
         "cluster_label_purity": q_cluster_label_purity,
+        "theta_sketch_setops": q_theta_sketch_setops,
+        "priority_sample": q_priority_sample,
+        "daily_autocovariance": q_daily_autocovariance,
+        "secret_scan": q_secret_scan,
+        "target_encoding": q_target_encoding,
     }
 
 
@@ -11237,5 +11476,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_total::BIGINT AS n, label AS top_label,
                    (n * 1000000 // n_total)::BIGINT AS purity_e6
             FROM rk WHERE rn = 1
+        """,
+        "theta_sketch_setops": f"""
+            WITH u AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS b
+              FROM events GROUP BY 1
+            ),
+            uh AS (SELECT *, {_dk_hex8("CAST(user_id AS VARCHAR)")} AS h
+                   FROM u),
+            sa AS (SELECT user_id, h FROM uh WHERE a = 1 ORDER BY h LIMIT 64),
+            sb AS (SELECT user_id, h FROM uh WHERE b = 1 ORDER BY h LIMIT 64),
+            ta AS (SELECT count(*) AS na, max(h) AS mxa FROM sa),
+            tb AS (SELECT count(*) AS nb, max(h) AS mxb FROM sb),
+            th AS (
+              SELECT CASE WHEN na < 64 THEN 4294967296 ELSE mxa END AS theta_a,
+                     CASE WHEN nb < 64 THEN 4294967296 ELSE mxb END AS theta_b,
+                     na, nb
+              FROM ta, tb
+            ),
+            th2 AS (
+              SELECT least(theta_a, theta_b) AS theta,
+                     CASE WHEN na < 64 THEN na
+                          ELSE (63 * 4294967296) // theta_a END AS est_a,
+                     CASE WHEN nb < 64 THEN nb
+                          ELSE (63 * 4294967296) // theta_b END AS est_b
+              FROM th
+            ),
+            sab AS (
+              SELECT coalesce(sa.h, sb.h) AS h,
+                     CASE WHEN sa.user_id IS NOT NULL THEN 1 ELSE 0 END AS ina,
+                     CASE WHEN sb.user_id IS NOT NULL THEN 1 ELSE 0 END AS inb
+              FROM sa FULL JOIN sb
+                ON sa.user_id = sb.user_id AND sa.h = sb.h
+            ),
+            ui AS (
+              SELECT sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS cu,
+                     sum(CASE WHEN h < theta AND ina = 1 AND inb = 1
+                              THEN 1 ELSE 0 END) AS ci,
+                     any_value(theta) AS theta,
+                     any_value(est_a) AS est_a,
+                     any_value(est_b) AS est_b
+              FROM sab CROSS JOIN th2
+            ),
+            exact AS (
+              SELECT sum(a)::BIGINT AS exact_a, sum(b)::BIGINT AS exact_b,
+                     sum(greatest(a, b))::BIGINT AS exact_union,
+                     sum(least(a, b))::BIGINT AS exact_inter
+              FROM u
+            )
+            SELECT exact_a, exact_b, exact_union, exact_inter,
+                   est_a::BIGINT AS est_a, est_b::BIGINT AS est_b,
+                   ((cu * 4294967296) // theta)::BIGINT AS est_union,
+                   ((ci * 4294967296) // theta)::BIGINT AS est_inter
+            FROM exact, ui
+        """,
+        "priority_sample": f"""
+            SELECT doc_id, n_chars,
+                   ((n_chars * 4294967296)
+                    // ({_dk_hex8("CAST(doc_id AS VARCHAR)")} + 1))::BIGINT AS q
+            FROM documents
+            ORDER BY q DESC, doc_id ASC
+            LIMIT 100
+        """,
+        "daily_autocovariance": """
+            WITH dc AS (
+              SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ),
+            lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7))
+            SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+                   (count(*) * sum(a.c * b.c)
+                    - sum(a.c) * sum(b.c))::BIGINT AS cov_num
+            FROM dc a CROSS JOIN lags JOIN dc b ON b.day = a.day + lag
+            GROUP BY 1
+        """,
+        "secret_scan": """
+            WITH c AS (
+              SELECT source AS repo, doc_id,
+                     text || chr(10) || 'AWS_KEY = ''' ||
+                     CASE WHEN doc_id % 3 = 0 THEN md5(text) ELSE '' END
+                     || '''' || chr(10) AS content
+              FROM documents
+            ),
+            hits AS (
+              SELECT repo, doc_id,
+                     unnest(regexp_extract_all(content, '([0-9a-f]{32})', 1))
+                       AS secret
+              FROM c
+            )
+            SELECT repo, count(DISTINCT doc_id)::BIGINT AS n_files_exposed,
+                   count(*)::BIGINT AS n_secrets,
+                   min(secret) AS sample_secret
+            FROM hits GROUP BY repo
+        """,
+        "target_encoding": """
+            WITH g AS (
+              SELECT event_type, (event_id % 5)::BIGINT AS fold,
+                     count(*)::BIGINT AS n_f,
+                     sum(floor(value * 1000000)::BIGINT)::BIGINT AS s_f
+              FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT *,
+                         sum(n_f) OVER (PARTITION BY event_type) AS n_tot,
+                         sum(s_f) OVER (PARTITION BY event_type) AS s_tot
+                  FROM g)
+            SELECT event_type, fold, (n_tot - n_f)::BIGINT AS n_oof,
+                   ((s_tot - s_f) // (n_tot - n_f))::BIGINT AS enc_e6
+            FROM t
         """,
     }
