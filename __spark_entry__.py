@@ -6821,6 +6821,184 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph neighborhood function N(h) for h = 0..4 over the kNN
+    token graph — the HyperBall/ANF primitive behind effective-
+    diameter and centrality estimation on web-scale graphs. At 100 TB
+    the per-node reachable set is a HyperLogLog register; here the
+    vocabulary fits 63 bits, so the same message-passing runs with
+    EXACT bitmaps: one BIGINT per node, each round ORs neighbor
+    masks (union all + bit_or groupBy — node-sized state, no driver
+    action in the loop, masks pinned per round so plans stay flat).
+    Output: total reachable (node, node) pairs within h hops."""
+    knn = _knn_token_edges(spark, sf_dir)
+    edges = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    wn = Window.orderBy("node")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(wn) - 1)
+        .filter(F.col("idx") < 63)
+    )
+    m = nodes.select(
+        "node", F.expr("shiftleft(cast(1 as bigint), idx)").alias("mask")
+    ).localCheckpoint(eager=True)
+    out = [
+        m.agg(
+            F.lit(0).cast("long").alias("h"),
+            F.sum(F.bit_count("mask")).alias("reachable_pairs"),
+        )
+    ]
+    for h in range(1, 5):
+        contrib = m.unionAll(
+            edges.join(
+                m.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "mask")
+        )
+        m = (
+            contrib.groupBy("node")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            m.agg(
+                F.lit(h).cast("long").alias("h"),
+                F.sum(F.bit_count("mask")).alias("reachable_pairs"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def q_knowledge_fusion_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion / truth discovery (Dong et al. style majority
+    vote): when sources assert conflicting (entity, HAS_TYPE, ?)
+    claims, resolve per entity by vote count with deterministic ties
+    (smallest type) and report how contested the fact was. Conflicts
+    are planted deterministically — every doc_id % 7 == 0 source
+    claims 'LIB' — so the resolution path is non-vacuous in both
+    engines. The (entity, claim) contingency is entity x types sized;
+    modal pick, totals, and the conflicting-type count all come from
+    one window partitioning over that bounded frame."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "doc_id", F.explode(X.tokens("content")).alias("alias")
+    )
+    gaz = _gazetteer_df(spark)
+    claims = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select(
+            "doc_id",
+            "entity",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("LIB")).otherwise(
+                F.col("ent_type")
+            ).alias("claim"),
+        )
+        .distinct()
+    )
+    cl = claims.groupBy("entity", "claim").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("entity")
+    wr = Window.partitionBy("entity").orderBy(F.desc("n"), F.asc("claim"))
+    return (
+        cl.withColumn("n_total", F.sum("n").over(wp))
+        .withColumn("n_types", F.count(F.lit(1)).over(wp))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity",
+            F.col("claim").alias("resolved_type"),
+            F.col("n").alias("n_votes"),
+            "n_total",
+            "n_types",
+        )
+    )
+
+
+def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring assignment (8 shards x 16 virtual nodes)
+    plus the balance report — how routing/sharding layers place keys
+    so that adding a shard moves only ~1/9 of them. The 128-vnode
+    ring collapses to ONE sorted broadcast array row, so assignment
+    is a zero-shuffle projection: per doc, the first vnode clockwise
+    from md5(doc_id) via a let-bound array filter (wrap-around falls
+    back to the ring minimum). Exact integers throughout; share_e6 =
+    n * 8e6 div total quantifies imbalance."""
+    d = _docs(spark, sf_dir)
+    ring_rows = spark.range(8).crossJoin(
+        spark.range(16).withColumnRenamed("id", "v")
+    ).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("shard"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("shard"),
+                        F.col("id").cast("string"),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("pos"),
+    )
+    ring = ring_rows.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "shard"))).alias("ring")
+    )
+    p = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    withp = d.select("doc_id", p.alias("p")).crossJoin(F.broadcast(ring))
+    chosen = withp.select(
+        "doc_id",
+        X.let_bound(
+            F.filter(F.col("ring"), lambda r: r["pos"] >= F.col("p")),
+            lambda cand: F.when(
+                F.size(cand) > 0, F.array_min(cand)["shard"]
+            ).otherwise(F.array_min(F.col("ring"))["shard"]),
+        ).alias("shard"),
+    )
+    g = chosen.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = Window.partitionBy()
+    return g.withColumn("n_total", F.sum("n_docs").over(wt)).select(
+        "shard",
+        "n_docs",
+        F.expr("(n_docs * 8000000) div n_total").alias("share_e6"),
+    )
+
+
+def q_cross_lang_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language near-duplicate pairs — the parallel-corpus /
+    contamination sweep a multilingual curation pipeline runs: the
+    same MinHash-LSH candidate + exact-Jaccard verify as
+    minhash_near_dups, kept only where the two sides carry different
+    lang tags. The lang attach joins the (sparse) verified pairs
+    against the doc dimension, so the extra cost over the monolingual
+    sweep is two id-keyed joins on candidate-sized data."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(d, threshold=0.6)
+    langs = d.select("doc_id", "lang")
+    return (
+        pairs.join(
+            langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")),
+            "id_a",
+        )
+        .join(
+            langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")),
+            "id_b",
+        )
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "lang_a", "lang_b", "jaccard")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -7041,6 +7219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_autocovariance": q_daily_autocovariance,
         "secret_scan": q_secret_scan,
         "target_encoding": q_target_encoding,
+        "neighborhood_function": q_neighborhood_function,
+        "knowledge_fusion_vote": q_knowledge_fusion_vote,
+        "consistent_hash_ring": q_consistent_hash_ring,
+        "cross_lang_near_dups": q_cross_lang_near_dups,
     }
 
 
@@ -11586,5 +11768,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, fold, (n_tot - n_f)::BIGINT AS n_oof,
                    ((s_tot - s_f) // (n_tot - n_f))::BIGINT AS enc_e6
             FROM t
+        """,
+        "neighborhood_function": f"""
+            WITH {_knn_cte()},
+            ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            nodes AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+                      FROM (SELECT DISTINCT src AS node FROM ks)),
+            m0 AS (SELECT node, (1::BIGINT << idx) AS mask FROM nodes
+                   WHERE idx < 63),
+            m1 AS (SELECT node, bit_or(mask) AS mask FROM (
+                     SELECT node, mask FROM m0
+                     UNION ALL
+                     SELECT ks.src AS node, m0.mask FROM ks
+                     JOIN m0 ON m0.node = ks.dst
+                   ) GROUP BY node),
+            m2 AS (SELECT node, bit_or(mask) AS mask FROM (
+                     SELECT node, mask FROM m1
+                     UNION ALL
+                     SELECT ks.src AS node, m1.mask FROM ks
+                     JOIN m1 ON m1.node = ks.dst
+                   ) GROUP BY node),
+            m3 AS (SELECT node, bit_or(mask) AS mask FROM (
+                     SELECT node, mask FROM m2
+                     UNION ALL
+                     SELECT ks.src AS node, m2.mask FROM ks
+                     JOIN m2 ON m2.node = ks.dst
+                   ) GROUP BY node),
+            m4 AS (SELECT node, bit_or(mask) AS mask FROM (
+                     SELECT node, mask FROM m3
+                     UNION ALL
+                     SELECT ks.src AS node, m3.mask FROM ks
+                     JOIN m3 ON m3.node = ks.dst
+                   ) GROUP BY node)
+            SELECT 0::BIGINT AS h,
+                   sum(bit_count(mask))::BIGINT AS reachable_pairs FROM m0
+            UNION ALL SELECT 1, sum(bit_count(mask))::BIGINT FROM m1
+            UNION ALL SELECT 2, sum(bit_count(mask))::BIGINT FROM m2
+            UNION ALL SELECT 3, sum(bit_count(mask))::BIGINT FROM m3
+            UNION ALL SELECT 4, sum(bit_count(mask))::BIGINT FROM m4
+        """,
+        "knowledge_fusion_vote": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            claims AS (
+              SELECT DISTINCT doc_id, entity,
+                     CASE WHEN doc_id % 7 = 0 THEN 'LIB'
+                          ELSE ent_type END AS claim
+              FROM tk JOIN gaz ON tok = alias
+            ),
+            cl AS (SELECT entity, claim, count(*)::BIGINT AS n
+                   FROM claims GROUP BY 1, 2),
+            t AS (SELECT *,
+                         sum(n) OVER (PARTITION BY entity) AS n_total,
+                         count(*) OVER (PARTITION BY entity) AS n_types
+                  FROM cl),
+            r AS (SELECT *, row_number() OVER (PARTITION BY entity
+                               ORDER BY n DESC, claim ASC) AS rn FROM t)
+            SELECT entity, claim AS resolved_type, n AS n_votes,
+                   n_total::BIGINT AS n_total, n_types::BIGINT AS n_types
+            FROM r WHERE rn = 1
+        """,
+        "consistent_hash_ring": f"""
+            WITH ring AS (
+              SELECT 's' || s AS shard,
+                     {_dk_hex8("'shard' || s || ':' || v")} AS pos
+              FROM generate_series(0, 7) AS t1(s),
+                   generate_series(0, 15) AS t2(v)
+            ),
+            docs AS (SELECT doc_id,
+                            {_dk_hex8("CAST(doc_id AS VARCHAR)")} AS p
+                     FROM documents),
+            cand AS (SELECT doc_id, shard, pos
+                     FROM docs JOIN ring ON ring.pos >= docs.p),
+            pick AS (SELECT doc_id, shard FROM (
+                       SELECT doc_id, shard,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos, shard) AS rn
+                       FROM cand) WHERE rn = 1),
+            wrapmin AS (SELECT shard FROM ring ORDER BY pos, shard LIMIT 1),
+            nohit AS (SELECT doc_id FROM docs
+                      WHERE NOT EXISTS (SELECT 1 FROM cand
+                                        WHERE cand.doc_id = docs.doc_id)),
+            asg AS (SELECT shard FROM pick
+                    UNION ALL
+                    SELECT (SELECT shard FROM wrapmin) FROM nohit),
+            g AS (SELECT shard, count(*)::BIGINT AS n_docs
+                  FROM asg GROUP BY 1),
+            tt AS (SELECT sum(n_docs) AS n_total FROM g)
+            SELECT shard, n_docs,
+                   ((n_docs * 8000000) // n_total)::BIGINT AS share_e6
+            FROM g, tt
+        """,
+        "cross_lang_near_dups": f"""
+            WITH {_MINHASH_PAIRS_CTES}
+            SELECT p.id_a, p.id_b, a.lang AS lang_a, b.lang AS lang_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN documents a ON a.doc_id = p.id_a
+            JOIN documents b ON b.doc_id = p.id_b
+            WHERE a.lang <> b.lang
         """,
     }
