@@ -6999,6 +6999,164 @@ def q_cross_lang_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart from a single
+    seed node — the KG relevance primitive behind 'entities related
+    to X' at serving time, distinct from global pagerank
+    (entity_pagerank) because mass teleports back to the seed only.
+    Exact integer arithmetic at SCALE=1e12 with a pinned division
+    order (per-node share first, then damping), so three rounds are
+    bit-identical across engines and partitionings. Node-sized state,
+    no driver action in the loop, per-round pins keep plans flat; the
+    seed rides a broadcast one-row crossJoin."""
+    knn = _knn_token_edges(spark, sf_dir)
+    edges = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seed = nodes.agg(F.min("node").alias("_seed"))
+    SCALE = 10**12
+    base = nodes.crossJoin(F.broadcast(seed))
+    r = base.select(
+        "node",
+        F.when(F.col("node") == F.col("_seed"), F.lit(SCALE).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank"),
+    ).localCheckpoint(eager=True)
+    teleport = F.when(
+        F.col("node") == F.col("_seed"), F.lit(15 * SCALE // 100).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    for _ in range(3):
+        contrib = (
+            r.join(F.broadcast(deg.withColumnRenamed("src", "node")), "node")
+            .select(
+                F.col("node").alias("src"),
+                F.expr("(85 * (rank div deg)) div 100").alias("c"),
+            )
+        )
+        inflow = (
+            edges.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("infl"))
+        )
+        r = (
+            base.join(inflow, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("infl"), F.lit(0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.filter(F.col("rank") > 0).select("node", F.col("rank").alias("ppr"))
+
+
+def q_bellman_ford_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (4 Bellman-Ford
+    relaxation rounds) over the FULL co-occurrence graph with integer
+    edge costs greatest(1e6 div weight, 1) — frequent token pairs are
+    cheap to traverse, so distance reads as semantic remoteness from
+    the seed. Each round is one edge-sized join plus a node-keyed
+    min; distances stay exact BIGINTs with an INF sentinel, state is
+    node-sized and pinned per round — the same fixed-round discipline
+    as BFS/pagerank, generalized to weighted edges."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    bg = lm.bigram_counts(d).select(
+        F.split("bigram", " ")[0].alias("t1"),
+        F.split("bigram", " ")[1].alias("t2"),
+        "n",
+    ).filter(F.col("t1") != F.col("t2"))
+    und = bg.groupBy(
+        F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
+    ).agg(F.sum("n").alias("w"))
+    edges = (
+        und.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w")
+        .unionAll(und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(F.expr("1000000 div w"), F.lit(1).cast("long")).alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seed = nodes.agg(F.min("node").alias("_seed"))
+    INF = 10**15
+    dist = (
+        nodes.crossJoin(F.broadcast(seed))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("_seed"), F.lit(0).cast("long"))
+            .otherwise(F.lit(INF).cast("long"))
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(4):
+        relax = (
+            edges.join(
+                dist.withColumnRenamed("node", "src").withColumnRenamed(
+                    "dist", "du"
+                ),
+                "src",
+            )
+            .filter(F.col("du") < INF)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("du") + F.col("cost")).alias("cand"))
+        )
+        dist = (
+            dist.join(relax, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("cand"), F.lit(INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.filter(F.col("dist") < INF)
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn dataset builder: features strictly BEFORE
+    the temporal cutoff (7 days before the last day in the log),
+    label = 'no activity after the cutoff' — the split-by-time
+    hygiene every production training-set job needs but ad-hoc SQL
+    gets wrong by peeking. One conditional-aggregate pass per user;
+    the cutoff is a one-row aggregate broadcast via crossJoin (on an
+    Iceberg table it comes free from partition metadata). Sums are
+    per-event e6 floors so the feature is an exact BIGINT."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_sub(F.to_date(F.date_trunc("day", F.max("ts"))), 7).alias("_cut")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") <= F.col("_cut"), 1).otherwise(0)
+            ).alias("n_before"),
+            F.sum(
+                F.when(
+                    F.to_date("ts") <= F.col("_cut"),
+                    F.floor(F.col("value") * 1000000).cast("long"),
+                ).otherwise(0)
+            ).alias("sum_val_e6"),
+            (
+                F.max(
+                    F.when(F.to_date("ts") > F.col("_cut"), 1).otherwise(0)
+                )
+                == 0
+            )
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -7223,6 +7381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knowledge_fusion_vote": q_knowledge_fusion_vote,
         "consistent_hash_ring": q_consistent_hash_ring,
         "cross_lang_near_dups": q_cross_lang_near_dups,
+        "ppr_seed": q_ppr_seed,
+        "bellman_ford_sssp": q_bellman_ford_sssp,
+        "churn_labels": q_churn_labels,
     }
 
 
@@ -7395,6 +7556,43 @@ def _knn_cte() -> str:
                        FROM sym) WHERE rn <= 2),
             knn AS (SELECT DISTINCT least(src, dst) AS x,
                                     greatest(src, dst) AS y FROM topk)"""
+
+
+def _ppr_rounds_sql(n: int) -> str:
+    """Chained PPR round CTEs c{k}/i{k}/r{k} mirroring q_ppr_seed's
+    pinned division order ((85 * (prk // deg)) // 100)."""
+    parts = []
+    for k in range(1, n + 1):
+        p = k - 1
+        parts.append(f"""c{k} AS (SELECT r{p}.node AS src,
+                          (85 * (prk // deg)) // 100 AS c
+                   FROM r{p} JOIN deg ON deg.src = r{p}.node),
+            i{k} AS (SELECT ks.dst AS node, sum(c)::BIGINT AS infl
+                   FROM ks JOIN c{k} ON c{k}.src = ks.src GROUP BY 1),
+            r{k} AS (SELECT n.node,
+                          ((CASE WHEN n.node = (SELECT seed FROM s)
+                                 THEN 150000000000 ELSE 0 END)
+                           + coalesce(i{k}.infl, 0))::BIGINT AS prk
+                   FROM nodes n LEFT JOIN i{k} ON i{k}.node = n.node)""")
+    return ",\n            ".join(parts)
+
+
+def _bf_rounds_sql(n: int) -> str:
+    """Chained Bellman-Ford relaxation CTEs x{k}/d{k} mirroring
+    q_bellman_ford_sssp (INF sentinel 1e15)."""
+    parts = []
+    for k in range(1, n + 1):
+        p = k - 1
+        parts.append(f"""x{k} AS (SELECT e.dst AS node,
+                          min(d{p}.dist + e.cost)::BIGINT AS cand
+                   FROM e JOIN d{p} ON d{p}.node = e.src
+                   WHERE d{p}.dist < 1000000000000000 GROUP BY 1),
+            d{k} AS (SELECT d{p}.node,
+                          least(d{p}.dist,
+                                coalesce(x{k}.cand, 1000000000000000))::BIGINT
+                            AS dist
+                   FROM d{p} LEFT JOIN x{k} ON x{k}.node = d{p}.node)""")
+    return ",\n            ".join(parts)
 
 
 _DK_DECODE_T6 = f"""
@@ -11868,5 +12066,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents a ON a.doc_id = p.id_a
             JOIN documents b ON b.doc_id = p.id_b
             WHERE a.lang <> b.lang
+        """,
+        "ppr_seed": f"""
+            WITH {_knn_cte()},
+            ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY 1),
+            nodes AS (SELECT DISTINCT src AS node FROM ks),
+            s AS (SELECT min(node) AS seed FROM nodes),
+            r0 AS (SELECT node,
+                          (CASE WHEN node = (SELECT seed FROM s)
+                                THEN 1000000000000 ELSE 0 END)::BIGINT AS prk
+                   FROM nodes),
+            {_ppr_rounds_sql(3)}
+            SELECT node, prk AS ppr FROM r3 WHERE prk > 0
+        """,
+        "bellman_ford_sssp": f"""
+            WITH {_knn_cte()},
+            e AS (SELECT x AS src, y AS dst,
+                         greatest(1000000 // w, 1)::BIGINT AS cost FROM und
+                  UNION ALL
+                  SELECT y, x, greatest(1000000 // w, 1)::BIGINT FROM und),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            s AS (SELECT min(node) AS seed FROM nodes),
+            d0 AS (SELECT node,
+                          (CASE WHEN node = (SELECT seed FROM s) THEN 0
+                                ELSE 1000000000000000 END)::BIGINT AS dist
+                   FROM nodes),
+            {_bf_rounds_sql(4)}
+            SELECT node, dist FROM d4 WHERE dist < 1000000000000000
+        """,
+        "churn_labels": """
+            WITH cut AS (SELECT date_trunc('day', max(ts))::DATE - 7 AS c
+                         FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN ts::DATE <= (SELECT c FROM cut)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_before,
+                   sum(CASE WHEN ts::DATE <= (SELECT c FROM cut)
+                            THEN floor(value * 1000000)::BIGINT
+                            ELSE 0 END)::BIGINT AS sum_val_e6,
+                   (CASE WHEN max(CASE WHEN ts::DATE > (SELECT c FROM cut)
+                                       THEN 1 ELSE 0 END) = 0
+                         THEN 1 ELSE 0 END)::BIGINT AS churned
+            FROM events GROUP BY 1
         """,
     }
