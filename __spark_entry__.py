@@ -5879,7 +5879,15 @@ def q_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "doc_id", F.explode(X.tokens("content")).alias("alias")
     )
     gaz = _gazetteer_df(spark)
-    fe = toks.join(F.broadcast(gaz), "alias")
+    # distinct (repo, doc, entity) mentions are ~10x smaller than the
+    # token stream and feed BOTH the CONTAINS and COOCCURS branches —
+    # pin them so the content scan + explode runs once (rule 10)
+    fe = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("repo", "doc_id", "entity")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     contains = (
         fe.select(
             F.col("repo").alias("subj"),
