@@ -7165,6 +7165,217 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gazetteer_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision gazetteer bootstrap: score every
+    NON-gazetteer token by doc-level co-occurrence lift against the
+    known entities and surface the top-20 candidates — how a KG
+    pipeline grows its alias dictionary without labels. Lift stays
+    integer (n_te * N * 1e6 div (n_t * n_e), the PMI argument
+    without the log); ranking (not thresholding) keeps the query
+    non-vacuous on this near-complete co-occurrence corpus, where
+    lift spans only ~[0.80, 1.09]. One token scan builds both
+    incidence frames (pinned — two consumers); the known-alias set
+    is broadcast for the anti-join, marginals broadcast back onto
+    the (token x entity)-bounded pair counts, and the final rank
+    window runs on that tiny frame."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "doc_id", F.explode(X.tokens("content")).alias("alias")
+    ).distinct().localCheckpoint(eager=True)
+    gaz = _gazetteer_df(spark)
+    de = toks.join(F.broadcast(gaz), "alias").select(
+        "doc_id", "entity"
+    ).distinct()
+    ct = toks.join(
+        F.broadcast(gaz.select("alias").distinct()), "alias", "left_anti"
+    ).select("doc_id", F.col("alias").alias("token"))
+    nd = files.agg(F.count(F.lit(1)).alias("_n"))
+    nt = ct.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    ne = de.groupBy("entity").agg(F.count(F.lit(1)).alias("n_e"))
+    pairs = ct.join(de, "doc_id").groupBy("token", "entity").agg(
+        F.count(F.lit(1)).alias("n_te")
+    )
+    scored = (
+        pairs.join(F.broadcast(nt), "token")
+        .join(F.broadcast(ne), "entity")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "entity",
+            "n_te",
+            F.expr("(n_te * _n * 1000000) div (n_t * n_e)").alias("lift_e6"),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift_e6"), F.asc("token"), F.asc("entity"))
+    return (
+        scored.withColumn("cand_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("cand_rank") <= 20)
+    )
+
+
+def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors within coarse clusters — the
+    high-precision pair generator behind bitext mining and
+    conservative entity resolution: a pair survives only if each side
+    is the other's single nearest neighbor. The quadratic step is
+    BLOCKED by the same 8-seed assignment as pq_codes/IVF, so pair
+    work is sum(cluster_size^2), not n^2 — the honest way to run
+    mutual-NN at 100 TB (FAISS-style within-cell). Distances are
+    exact integers on e6-floored components; NN ties break on
+    vec_id, and the assignment frame is pinned (rule 10) because the
+    self-join consumes it twice."""
+    e = _t(spark, sf_dir, "embeddings")
+    wj = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(wj) - 1).cast("long").alias("j"),
+            F.col("embedding").alias("emb"),
+        )
+    )
+    cents = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("j", "emb"))).alias("cents")
+    )
+
+    def floored(arr):
+        return F.transform(arr, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
+
+    def body(vq):
+        return F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vq, floored(c["emb"]), lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    c["j"].cast("long").alias("j"),
+                ),
+            )
+        )["j"]
+
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            X.let_bound(floored("embedding"), body).alias("cluster"),
+            floored("embedding").alias("fv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pd = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.fv"), F.col("b.fv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+        )
+    )
+    nn = (
+        pd.groupBy("va")
+        .agg(F.min(F.struct("d2", "vb")).alias("m"))
+        .select("va", F.col("m.vb").alias("vb"), F.col("m.d2").alias("d2"))
+    )
+    n2 = nn.select(
+        F.col("va").alias("vb"), F.col("vb").alias("va"), F.col("d2").alias("d2b")
+    )
+    return (
+        nn.join(n2, ["va", "vb"])
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            F.col("va").alias("id_a"), F.col("vb").alias("id_b"), F.col("d2").alias("sq_dist")
+        )
+    )
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (2 rounds, max-normalized) over the
+    DIRECTED token-adjacency graph (bigram order gives direction;
+    weights = bigram counts) — the link-analysis complement to
+    PageRank that separates 'points at good things' from 'is pointed
+    at'. Exact integers at SCALE=1e6: every round is one edge-sized
+    join per direction plus a node-keyed sum, normalization divides
+    by the max via a broadcast one-row crossJoin — no float, no
+    driver action, node-sized state pinned per round. BIGINT
+    headroom: raw <= SCALE * total_edge_weight, and the normalize
+    multiplies by SCALE again, so SCALE^2 * W must stay under 2^63 —
+    1e6 holds to W ~ 9e6 corpus bigrams per partition-free sum; at
+    larger W, normalize with raw div ((mx + SCALE - 1) div SCALE)
+    instead."""
+    from ner_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    edges = (
+        lm.bigram_counts(d)
+        .select(
+            F.split("bigram", " ")[0].alias("src"),
+            F.split("bigram", " ")[1].alias("dst"),
+            "n",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    SCALE = 10**6
+    h = nodes.select("node", F.lit(SCALE).cast("long").alias("hub")).localCheckpoint(
+        eager=True
+    )
+    auth = None
+    for _ in range(2):
+        raw_a = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("hub") * F.col("n")).alias("raw"))
+        )
+        mx_a = raw_a.agg(F.max("raw").alias("_mx"))
+        auth = (
+            nodes.join(raw_a, "node", "left")
+            .crossJoin(F.broadcast(mx_a))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(raw, 0) * {SCALE}) div _mx"
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("auth") * F.col("n")).alias("raw"))
+        )
+        mx_h = raw_h.agg(F.max("raw").alias("_mx"))
+        h = (
+            nodes.join(raw_h, "node", "left")
+            .crossJoin(F.broadcast(mx_h))
+            .select(
+                "node",
+                F.expr(f"(coalesce(raw, 0) * {SCALE}) div _mx").alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.join(auth, "node").select("node", "hub", F.col("auth").alias("authority"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -7392,6 +7603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_seed": q_ppr_seed,
         "bellman_ford_sssp": q_bellman_ford_sssp,
         "churn_labels": q_churn_labels,
+        "gazetteer_expansion": q_gazetteer_expansion,
+        "mutual_nn_pairs": q_mutual_nn_pairs,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -12117,5 +12331,118 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) = 0
                          THEN 1 ELSE 0 END)::BIGINT AS churned
             FROM events GROUP BY 1
+        """,
+        "gazetteer_expansion": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT DISTINCT doc_id, tok FROM
+                     (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            de AS (SELECT DISTINCT doc_id, entity
+                   FROM tk JOIN gaz ON tok = alias),
+            ct AS (SELECT doc_id, tok AS token FROM tk
+                   WHERE NOT EXISTS (SELECT 1 FROM gaz
+                                     WHERE gaz.alias = tk.tok)),
+            nd AS (SELECT count(*) AS n FROM documents),
+            nt AS (SELECT token, count(*)::BIGINT AS n_t FROM ct GROUP BY 1),
+            ne AS (SELECT entity, count(*)::BIGINT AS n_e FROM de GROUP BY 1),
+            p AS (SELECT token, entity, count(*)::BIGINT AS n_te
+                  FROM ct JOIN de ON ct.doc_id = de.doc_id GROUP BY 1, 2),
+            sc AS (
+              SELECT p.token, p.entity, n_te,
+                     ((n_te * (SELECT n FROM nd) * 1000000)
+                      // (n_t * n_e))::BIGINT AS lift_e6
+              FROM p JOIN nt ON p.token = nt.token
+                     JOIN ne ON p.entity = ne.entity
+            )
+            SELECT token, entity, n_te, lift_e6, rn::BIGINT AS cand_rank
+            FROM (SELECT *, row_number() OVER (ORDER BY lift_e6 DESC,
+                                token ASC, entity ASC) AS rn FROM sc)
+            WHERE rn <= 20
+        """,
+        "mutual_nn_pairs": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding AS cemb
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            cd AS (
+              SELECT j, generate_subscripts(cemb, 1) - 1 AS dim,
+                     floor(unnest(cemb::DOUBLE[]) * 1000000)::BIGINT AS c_e6
+              FROM cent
+            ),
+            vd AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS f
+              FROM embeddings
+            ),
+            d2c AS (
+              SELECT vec_id, j,
+                     sum((f - c_e6) * (f - c_e6))::BIGINT AS dist
+              FROM vd JOIN cd ON vd.dim = cd.dim
+              GROUP BY 1, 2
+            ),
+            asg AS (
+              SELECT vec_id, j AS cluster
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, j) AS rn
+                    FROM d2c)
+              WHERE rn = 1
+            ),
+            pd AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     sum((fa.f - fb.f) * (fa.f - fb.f))::BIGINT AS d2
+              FROM asg a
+              JOIN asg b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+              JOIN vd fa ON fa.vec_id = a.vec_id
+              JOIN vd fb ON fb.vec_id = b.vec_id AND fb.dim = fa.dim
+              GROUP BY 1, 2
+            ),
+            nn AS (
+              SELECT va, vb, d2
+              FROM (SELECT *, row_number() OVER (PARTITION BY va
+                                                 ORDER BY d2, vb) AS rn
+                    FROM pd)
+              WHERE rn = 1
+            )
+            SELECT n1.va AS id_a, n1.vb AS id_b, n1.d2 AS sq_dist
+            FROM nn n1 JOIN nn n2 ON n1.va = n2.vb AND n1.vb = n2.va
+            WHERE n1.va < n1.vb
+        """,
+        "hits_scores": f"""
+            WITH {_knn_cte()},
+            e AS (SELECT t1 AS src, t2 AS dst, n FROM c WHERE t1 <> t2),
+            nodes AS (SELECT DISTINCT node FROM
+                        (SELECT src AS node FROM e
+                         UNION ALL SELECT dst FROM e)),
+            h0 AS (SELECT node, 1000000::BIGINT AS hub FROM nodes),
+            ra1 AS (SELECT e.dst AS node, sum(h0.hub * e.n)::BIGINT AS raw
+                    FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+            ma1 AS (SELECT max(raw) AS mx FROM ra1),
+            a1 AS (SELECT n.node,
+                          ((coalesce(ra1.raw, 0) * 1000000)
+                           // (SELECT mx FROM ma1))::BIGINT AS auth
+                   FROM nodes n LEFT JOIN ra1 ON ra1.node = n.node),
+            rh1 AS (SELECT e.src AS node, sum(a1.auth * e.n)::BIGINT AS raw
+                    FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+            mh1 AS (SELECT max(raw) AS mx FROM rh1),
+            h1 AS (SELECT n.node,
+                          ((coalesce(rh1.raw, 0) * 1000000)
+                           // (SELECT mx FROM mh1))::BIGINT AS hub
+                   FROM nodes n LEFT JOIN rh1 ON rh1.node = n.node),
+            ra2 AS (SELECT e.dst AS node, sum(h1.hub * e.n)::BIGINT AS raw
+                    FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+            ma2 AS (SELECT max(raw) AS mx FROM ra2),
+            a2 AS (SELECT n.node,
+                          ((coalesce(ra2.raw, 0) * 1000000)
+                           // (SELECT mx FROM ma2))::BIGINT AS auth
+                   FROM nodes n LEFT JOIN ra2 ON ra2.node = n.node),
+            rh2 AS (SELECT e.src AS node, sum(a2.auth * e.n)::BIGINT AS raw
+                    FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+            mh2 AS (SELECT max(raw) AS mx FROM rh2),
+            h2 AS (SELECT n.node,
+                          ((coalesce(rh2.raw, 0) * 1000000)
+                           // (SELECT mx FROM mh2))::BIGINT AS hub
+                   FROM nodes n LEFT JOIN rh2 ON rh2.node = n.node)
+            SELECT h2.node, h2.hub, a2.auth AS authority
+            FROM h2 JOIN a2 ON a2.node = h2.node
         """,
     }
