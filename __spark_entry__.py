@@ -7376,6 +7376,268 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(auth, "node").select("node", "hub", F.col("auth").alias("authority"))
 
 
+# Shared scalar expressions for the float-bearing batch-F queries: the
+# SAME SQL text is fed to Spark (F.expr) and DuckDB, so the double
+# op-order is identical by construction and e6 quantization matches
+# bit-for-bit (the established ln/round parity surface — see the DSIR
+# and gopher oracles).
+_BM25_EXPR = (
+    "cast(round(ln(((cast(n_docs as double) - cast(df as double) + 0.5)"
+    " / (cast(df as double) + 0.5)) + 1.0)"
+    " * ((cast(tf as double) * 2.2)"
+    " / (cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double)"
+    " / (cast(sum_dl as double) / cast(n_docs as double))))))"
+    " * 1000000) as bigint)"
+)
+
+_ASSORT_EXPR = (
+    "cast(round((cast(m * sxy - sx * sy as double)"
+    " / (sqrt(cast(m * sxx - sx * sx as double))"
+    " * sqrt(cast(m * syy - sy * sy as double))))"
+    " * 1000000) as bigint)"
+)
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson et al., TREC-3; k1=1.2, b=0.75) retrieval scores
+    of every gazetteer term against the corpus, top-3 docs per term —
+    the ranking function behind retrieval-based contamination checks
+    and RAG index QA. One token explode feeds doc lengths, term
+    frequencies and document frequencies; N/avgdl ride along as a
+    broadcast one-row crossJoin (no driver action). The scalar score
+    is one shared SQL expression evaluated identically by Spark and
+    the DuckDB oracle, e6-quantized per (term, doc) row BEFORE the
+    top-k window, so ranking ties are integer-exact. At 100 TB: the
+    heavy frame is the (doc, term, tf) incidence — gazetteer-bounded,
+    not corpus-sized — and the window partitions by term."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("alias"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    gaz = _gazetteer_df(spark).select("alias").distinct()
+    tf = (
+        toks.join(F.broadcast(gaz), "alias")
+        .groupBy("alias", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("alias").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "alias")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("alias").alias("term"),
+            "doc_id",
+            "tf",
+            F.expr(_BM25_EXPR).alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the kNN
+    token graph: for every NON-adjacent pair sharing >=1 neighbor,
+    AA = sum_z 1/ln(deg(z)) — the degree-weighted refinement of
+    common-neighbors (link_prediction_cn). Order-independence: each
+    z's term is e6-quantized FIRST, then summed as BIGINT, so the
+    parallel sum order cannot perturb the value (ln(deg(z)) > 0
+    because a shared neighbor has degree >= 2 by construction). The
+    candidate join is neighbor-keyed — fan-out bounded by the kNN
+    degree cap, not corpus size."""
+    knn = _knn_token_edges(spark, sf_dir)
+    ks = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = ks.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = ks.alias("a"), ks.alias("b")
+    cand = a.join(
+        b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src"))
+    ).select(
+        F.col("a.src").alias("u"), F.col("b.src").alias("v"),
+        F.col("a.dst").alias("nbr"),
+    )
+    scored = (
+        cand.join(deg.withColumnRenamed("src", "nbr"), "nbr")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.expr(
+                    "cast(round(1000000.0 / ln(cast(deg as double))) as bigint)"
+                )
+            ).alias("aa_e6"),
+        )
+    )
+    return (
+        scored.join(
+            knn, (scored.u == knn.x) & (scored.v == knn.y), "left_anti"
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                "common_neighbors", "aa_e6")
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all directed edge-ends of the kNN token
+    graph — one number that says whether hubs attach to hubs
+    (assortative, r>0) or to leaves (disassortative, r<0). All five
+    moments accumulate as exact BIGINTs (map-side combinable — one
+    pass, one shuffle to a single row); the only float math is the
+    final shared-text Pearson expression, e6-quantized identically in
+    both engines. BIGINT headroom: sum(deg^2 * m) — safe to ~1e9
+    edge-ends at kNN-capped degree."""
+    knn = _knn_token_edges(spark, sf_dir)
+    ks = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = ks.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ends = (
+        ks.join(deg.withColumnRenamed("src", "_s").withColumnRenamed("deg", "dx"),
+                ks.src == F.col("_s"))
+        .join(deg.withColumnRenamed("src", "_d").withColumnRenamed("deg", "dy"),
+              ks.dst == F.col("_d"))
+        .select("dx", "dy")
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return sums.select(
+        F.col("m").alias("n_edge_ends"),
+        F.expr(_ASSORT_EXPR).alias("assortativity_e6"),
+    )
+
+
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Lehman color refinement (2 rounds) over the kNN
+    token graph — the graph-isomorphism kernel (Shervashidze et al.
+    2011) that buckets nodes into structural-equivalence classes:
+    label_{k+1}(v) = md5(label_k(v) | sorted multiset of neighbor
+    labels). Pure string/hash algebra — no floats, bit-identical
+    across engines (corpus is ASCII, so sort_array's byte order ==
+    the oracle's binary collation). Each round is one edge-sized join
+    plus a node-keyed sorted-concat; state stays node-sized. WL
+    labels are how production KG pipelines dedupe isomorphic subgraph
+    patterns without pairwise comparison."""
+    knn = _knn_token_edges(spark, sf_dir)
+    edges = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+            "dst",
+        ).select("src", "nl")
+        sig = nbr.groupBy("src").agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("nl"))).alias("sig")
+        )
+        labels = (
+            labels.join(sig, labels.node == sig.src)
+            .select(
+                "node",
+                F.substring(
+                    F.md5(F.concat_ws("|", "label", "sig")), 1, 16
+                ).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").alias("wl_class")).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.min("node").alias("min_member"),
+    )
+
+
+def _lp_labels(spark: SparkSession, sf_dir: str, rounds: int = 3) -> DataFrame:
+    """Label-propagation node labels (the q_label_propagation loop,
+    shared with modularity scoring)."""
+    knn = _knn_token_edges(spark, sf_dir)
+    edges = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select("src", "label")
+        cnt = nbr.groupBy("src", "label").agg(F.count(F.lit(1)).alias("n"))
+        wr = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels
+
+
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    kNN token graph, as EXACT integers: per community c,
+    Q_c * 4m^2 = 4m*L_c - d_c^2 (L_c = intra-community edges, d_c =
+    degree sum, m = total undirected edges) — summing q_num_4m2 over
+    rows and dividing by 4m^2 recovers float Q, but the oracle-checked
+    surface never leaves BIGINT. This is the community-quality gate a
+    KG canonicalization stage runs before accepting a clustering. m
+    rides along as a broadcast one-row crossJoin; every frame after
+    the LP rounds is community-sized."""
+    knn = _knn_token_edges(spark, sf_dir)
+    labels = _lp_labels(spark, sf_dir).localCheckpoint(eager=True)
+    m_df = knn.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        knn.join(labels.select(F.col("node").alias("x"),
+                               F.col("label").alias("lx")), "x")
+        .join(labels.select(F.col("node").alias("y"),
+                            F.col("label").alias("ly")), "y")
+        .filter(F.col("lx") == F.col("ly"))
+        .groupBy(F.col("lx").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    ks = knn.select(F.col("x").alias("src")).unionAll(
+        knn.select(F.col("y").alias("src"))
+    )
+    deg = ks.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    comm = (
+        labels.join(deg.withColumnRenamed("src", "node"), "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0).cast("long")).alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+            (
+                F.lit(4).cast("long") * F.col("m")
+                * F.coalesce(F.col("intra_edges"), F.lit(0).cast("long"))
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).alias("q_num_4m2"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -7606,6 +7868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_expansion": q_gazetteer_expansion,
         "mutual_nn_pairs": q_mutual_nn_pairs,
         "hits_scores": q_hits_scores,
+        "bm25_scores": q_bm25_scores,
+        "adamic_adar_links": q_adamic_adar_links,
+        "degree_assortativity": q_degree_assortativity,
+        "wl_refinement": q_wl_refinement,
+        "modularity_score": q_modularity_score,
     }
 
 
@@ -7778,6 +8045,22 @@ def _knn_cte() -> str:
                        FROM sym) WHERE rn <= 2),
             knn AS (SELECT DISTINCT least(src, dst) AS x,
                                     greatest(src, dst) AS y FROM topk)"""
+
+
+def _lp_rounds_sql(rounds: int = 3) -> str:
+    """Chained label-propagation round CTEs l0..l{rounds} over `edges`
+    (shared by the label_propagation and modularity_score oracles)."""
+    parts = ["l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f"""n{k} AS (SELECT e.src, l.label, count(*)::BIGINT AS n
+                   FROM edges e JOIN l{p} l ON e.dst = l.node
+                   GROUP BY e.src, l.label),
+            l{k} AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (PARTITION BY src
+                         ORDER BY n DESC, label ASC) AS rn FROM n{k})
+                   WHERE rn = 1)""")
+    return ",\n            ".join(parts)
 
 
 def _ppr_rounds_sql(n: int) -> str:
@@ -9546,28 +9829,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_knn_cte()},
             edges AS (SELECT x AS src, y AS dst FROM knn
                       UNION ALL SELECT y, x FROM knn),
-            l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-            n1 AS (SELECT e.src, l.label, count(*)::BIGINT AS n
-                   FROM edges e JOIN l0 l ON e.dst = l.node
-                   GROUP BY e.src, l.label),
-            l1 AS (SELECT src AS node, label FROM (
-                     SELECT src, label, row_number() OVER (PARTITION BY src
-                         ORDER BY n DESC, label ASC) AS rn FROM n1)
-                   WHERE rn = 1),
-            n2 AS (SELECT e.src, l.label, count(*)::BIGINT AS n
-                   FROM edges e JOIN l1 l ON e.dst = l.node
-                   GROUP BY e.src, l.label),
-            l2 AS (SELECT src AS node, label FROM (
-                     SELECT src, label, row_number() OVER (PARTITION BY src
-                         ORDER BY n DESC, label ASC) AS rn FROM n2)
-                   WHERE rn = 1),
-            n3 AS (SELECT e.src, l.label, count(*)::BIGINT AS n
-                   FROM edges e JOIN l2 l ON e.dst = l.node
-                   GROUP BY e.src, l.label),
-            l3 AS (SELECT src AS node, label FROM (
-                     SELECT src, label, row_number() OVER (PARTITION BY src
-                         ORDER BY n DESC, label ASC) AS rn FROM n3)
-                   WHERE rn = 1)
+            {_lp_rounds_sql(3)}
             SELECT label, count(*)::BIGINT AS community_size,
                    min(node) AS min_member
             FROM l3 GROUP BY label
@@ -12444,5 +12706,113 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN rh2 ON rh2.node = n.node)
             SELECT h2.node, h2.hub, a2.auth AS authority
             FROM h2 JOIN a2 ON a2.node = h2.node
+        """,
+        "bm25_scores": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS alias FROM t),
+            dlen AS (SELECT doc_id, count(*)::BIGINT AS dl
+                     FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::BIGINT AS n_docs,
+                             sum(dl)::BIGINT AS sum_dl FROM dlen),
+            g AS (SELECT DISTINCT alias FROM gaz),
+            tfq AS (SELECT tok.alias, tok.doc_id, count(*)::BIGINT AS tf
+                    FROM tok JOIN g ON tok.alias = g.alias
+                    GROUP BY 1, 2),
+            dfq AS (SELECT alias, count(*)::BIGINT AS df FROM tfq
+                    GROUP BY alias),
+            flat AS (SELECT tfq.alias AS term, tfq.doc_id, tfq.tf, dfq.df,
+                            dlen.dl, stats.n_docs, stats.sum_dl
+                     FROM tfq
+                     JOIN dfq ON tfq.alias = dfq.alias
+                     JOIN dlen ON tfq.doc_id = dlen.doc_id
+                     CROSS JOIN stats),
+            sc AS (SELECT term, doc_id, tf, {_BM25_EXPR} AS score_e6
+                   FROM flat)
+            SELECT term, doc_id, tf, score_e6, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY term
+                        ORDER BY score_e6 DESC, doc_id ASC)::BIGINT AS rnk
+              FROM sc)
+            WHERE rnk <= 3
+        """,
+        "adamic_adar_links": f"""
+            WITH {_knn_cte()},
+            ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY src),
+            cand AS (SELECT a.src AS u, b.src AS v, a.dst AS nbr
+                     FROM ks a JOIN ks b
+                       ON a.dst = b.dst AND a.src < b.src),
+            wz AS (SELECT cand.u, cand.v,
+                          CAST(round(1000000.0
+                               / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT) AS t
+                   FROM cand JOIN deg ON deg.src = cand.nbr),
+            sc AS (SELECT u, v, count(*)::BIGINT AS common_neighbors,
+                          sum(t)::BIGINT AS aa_e6
+                   FROM wz GROUP BY 1, 2)
+            SELECT u AS src, v AS dst, common_neighbors, aa_e6
+            FROM sc WHERE NOT EXISTS (SELECT 1 FROM knn
+                                      WHERE knn.x = sc.u AND knn.y = sc.v)
+        """,
+        "degree_assortativity": f"""
+            WITH {_knn_cte()},
+            ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY src),
+            ends AS (SELECT d1.deg AS dx, d2.deg AS dy
+                     FROM ks
+                     JOIN deg d1 ON ks.src = d1.src
+                     JOIN deg d2 ON ks.dst = d2.src),
+            s AS (SELECT count(*)::BIGINT AS m,
+                         sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+                         sum(dx * dy)::BIGINT AS sxy,
+                         sum(dx * dx)::BIGINT AS sxx,
+                         sum(dy * dy)::BIGINT AS syy
+                  FROM ends)
+            SELECT m AS n_edge_ends, {_ASSORT_EXPR} AS assortativity_e6
+            FROM s
+        """,
+        "wl_refinement": f"""
+            WITH {_knn_cte()},
+            edges AS (SELECT x AS src, y AS dst FROM knn
+                      UNION ALL SELECT y, x FROM knn),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+            a1 AS (SELECT e.src, string_agg(l.label, ',' ORDER BY l.label) AS sig
+                   FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY e.src),
+            l1 AS (SELECT l.node,
+                          substr(md5(l.label || '|' || a1.sig), 1, 16) AS label
+                   FROM l0 l JOIN a1 ON a1.src = l.node),
+            a2 AS (SELECT e.src, string_agg(l.label, ',' ORDER BY l.label) AS sig
+                   FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY e.src),
+            l2 AS (SELECT l.node,
+                          substr(md5(l.label || '|' || a2.sig), 1, 16) AS label
+                   FROM l1 l JOIN a2 ON a2.src = l.node)
+            SELECT label AS wl_class, count(*)::BIGINT AS class_size,
+                   min(node) AS min_member
+            FROM l2 GROUP BY label
+        """,
+        "modularity_score": f"""
+            WITH {_knn_cte()},
+            edges AS (SELECT x AS src, y AS dst FROM knn
+                      UNION ALL SELECT y, x FROM knn),
+            {_lp_rounds_sql(3)},
+            mm AS (SELECT count(*)::BIGINT AS m FROM knn),
+            lx AS (SELECT a.label AS la, b.label AS lb
+                   FROM knn
+                   JOIN l3 a ON a.node = knn.x
+                   JOIN l3 b ON b.node = knn.y),
+            intra AS (SELECT la AS label, count(*)::BIGINT AS intra_edges
+                      FROM lx WHERE la = lb GROUP BY 1),
+            ks AS (SELECT x AS src FROM knn UNION ALL SELECT y FROM knn),
+            deg AS (SELECT src, count(*)::BIGINT AS deg FROM ks GROUP BY src),
+            comm AS (SELECT l3.label, count(*)::BIGINT AS n_nodes,
+                            sum(deg.deg)::BIGINT AS degree_sum
+                     FROM l3 JOIN deg ON deg.src = l3.node GROUP BY 1)
+            SELECT comm.label, comm.n_nodes,
+                   coalesce(intra.intra_edges, 0)::BIGINT AS intra_edges,
+                   comm.degree_sum,
+                   (4 * (SELECT m FROM mm) * coalesce(intra.intra_edges, 0)
+                    - comm.degree_sum * comm.degree_sum)::BIGINT AS q_num_4m2
+            FROM comm LEFT JOIN intra ON intra.label = comm.label
         """,
     }
