@@ -7638,6 +7638,254 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality within 4 hops (Boldi & Vigna 2014 — the
+    HyperBall centrality) over the kNN token graph: H(v) =
+    sum_{u != v, d(u,v) <= 4} 1/d(u,v). Reuses the exact-BIGINT-bitmap
+    neighborhood machinery of q_neighborhood_function, but keeps the
+    PER-NODE ball sizes per round: the count of nodes at exactly
+    distance k is bit_count(B_k) - bit_count(B_{k-1}) (balls grow
+    monotonically on an undirected graph), and each distance class
+    contributes an integer weight round(1e6/k) — so the whole
+    centrality is exact BIGINT algebra, no float division anywhere.
+    At 100 TB the bitmap becomes a HyperLogLog register per node
+    (HyperBall proper) and the SAME per-round-difference recurrence
+    estimates H(v); state stays node-sized either way, with no driver
+    action in the loop."""
+    knn = _knn_token_edges(spark, sf_dir)
+    edges = knn.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        knn.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    wn = Window.orderBy("node")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(wn) - 1)
+        .filter(F.col("idx") < 63)
+    )
+    m = nodes.select(
+        "node", F.expr("shiftleft(cast(1 as bigint), idx)").alias("mask")
+    ).localCheckpoint(eager=True)
+    acc = m.select("node", F.bit_count("mask").cast("long").alias("c0"))
+    for h in range(1, 5):
+        contrib = m.unionAll(
+            edges.join(
+                m.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "mask")
+        )
+        m = (
+            contrib.groupBy("node")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.join(
+            m.select("node", F.bit_count("mask").cast("long").alias(f"c{h}")),
+            "node",
+        )
+    harm = (
+        (F.col("c1") - F.col("c0")) * F.lit(1000000)
+        + (F.col("c2") - F.col("c1")) * F.lit(500000)
+        + (F.col("c3") - F.col("c2")) * F.lit(333333)
+        + (F.col("c4") - F.col("c3")) * F.lit(250000)
+    )
+    return acc.select(
+        "node",
+        (F.col("c4") - F.lit(1)).cast("long").alias("n_reached_h4"),
+        harm.cast("long").alias("harmonic_e6"),
+    )
+
+
+def q_k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss peeling (Cohen 2008), 2 fixed rounds, over the
+    weight-thresholded token-adjacency graph (the q_clustering_coeff
+    graph — the kNN top-2 graph is triangle-free at test scale, which
+    would make the check vacuous): an edge survives a round iff it
+    closes >= 1 triangle (support >= k-2) within the CURRENT
+    surviving edge set. Output is the edge set after two peels with
+    the support measured in the second round — the truss
+    decomposition step community/spam detectors run on web-scale
+    graphs. Per round: one symmetric explode of the surviving edges,
+    one wedge join keyed on the shared endpoint (fan-out bounded by
+    the thresholded degree), one edge-keyed count; surviving edges
+    are pinned between rounds so the plan stays flat (fixed rounds,
+    edge-sized state, no driver action in the loop)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    e = (
+        bg.filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select(F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for rnd in range(2):
+        sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+            e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        )
+        an = sym.select(F.col("src").alias("ax"), F.col("dst").alias("w1"))
+        bn = sym.select(F.col("src").alias("by"), F.col("dst").alias("w2"))
+        sup = (
+            e.join(an, F.col("x") == F.col("ax"))
+            .join(bn, (F.col("y") == F.col("by")) & (F.col("w1") == F.col("w2")))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        e = (
+            sup.filter(F.col("support") >= 1)
+            .localCheckpoint(eager=True)
+        )
+        if rnd == 0:
+            e = e.select("x", "y")
+    return e
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (Page 1954) on the daily event-count
+    series, exact integers throughout: dev_t = n*c_t - total (the
+    mean-centered deviation multiplied through by n so no float mean
+    exists), cusum_t = running sum of dev ordered by day, and the
+    changepoint flag marks the day(s) where |cusum| peaks — the
+    classic estimate of where the level shifted. The daily rollup is
+    date-cardinality, the scalar totals ride a broadcast crossJoin,
+    and the cumulative window runs over the days-sized frame (pinned
+    once for the peak pass), so the only corpus-sized work is the
+    one events scan."""
+    ev = _t(spark, sf_dir, "events")
+    dc = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = dc.agg(F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total"))
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = (
+        dc.crossJoin(F.broadcast(tot))
+        .withColumn("dev", F.col("n_days") * F.col("c") - F.col("total"))
+        .withColumn("cusum", F.sum("dev").over(wcum))
+        .select("day", F.col("c").alias("daily_count"), "cusum")
+        .localCheckpoint(eager=True)
+    )
+    pk = cs.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return cs.crossJoin(F.broadcast(pk)).select(
+        "day",
+        "daily_count",
+        "cusum",
+        (F.abs(F.col("cusum")) == F.col("peak")).cast("long").alias("is_peak"),
+    )
+
+
+_EWMA_W = [250000, 187500, 140625, 105469, 79102, 59326, 44495, 33371]
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-window EWMA (alpha = 0.25, 8 observed-day taps) of
+    daily order revenue — the smoother streaming monitors actually
+    compute (an 8-tap FIR truncation of the IIR recurrence, weights
+    frozen as integer constants round(1e6 * 0.25 * 0.75^k), so the
+    whole smoother is exact BIGINT lag algebra: no float pow, no
+    run-order sensitivity). Emitted from the 8th observed day onward
+    so every tap is populated. One orders scan to a date-cardinality
+    rollup; the lag window runs over that days-sized frame."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x_e2")
+    )
+    w = Window.orderBy("day")
+    ew = F.col("x_e2") * F.lit(_EWMA_W[0])
+    for k in range(1, 8):
+        ew = ew + F.lag("x_e2", k).over(w) * F.lit(_EWMA_W[k])
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("ewma_e6e2", ew)
+        .filter(F.col("rn") >= 8)
+        .select("day", "x_e2", F.col("ewma_e6e2").cast("long").alias("ewma_e6e2"))
+    )
+
+
+_TFIDF_E6_EXPR = (
+    "cast(round(1000000.0 * cast(tf as double)"
+    " * ln(cast(n_docs as double) / cast(df as double))) as bigint)"
+)
+
+
+def q_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback query expansion (Rocchio
+    1971 / TREC PRF): for each gazetteer query term, take its top-3
+    BM25 documents as the feedback set, sum those documents'
+    tf-idf weights per candidate term (each (term, doc) weight
+    e6-quantized BEFORE the sum, so the BIGINT total is
+    order-independent), drop the query term itself, and keep the
+    top-5 expansion terms. The (doc, term, tf) incidence frame is
+    ~10x smaller than the token stream and feeds the doc-length,
+    BM25 and feedback branches, so it is pinned once (rule 10);
+    the feedback join is keyed on the <= 3*|queries| feedback docs,
+    so expansion cost is query-bounded, not corpus-bounded."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("alias"))
+    tfa = (
+        toks.groupBy("doc_id", "alias")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tfa.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    gaz = _gazetteer_df(spark).select("alias").distinct()
+    tfq = tfa.join(F.broadcast(gaz), "alias")
+    dfq = tfq.groupBy("alias").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tfq.join(dfq, "alias")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("alias").alias("query_term"),
+            "doc_id",
+            F.expr(_BM25_EXPR).alias("score_e6"),
+        )
+    )
+    wq = Window.partitionBy("query_term").orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
+    fb_docs = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select("query_term", "doc_id")
+    )
+    dfa = tfa.groupBy("alias").agg(F.count(F.lit(1)).alias("df"))
+    fb = (
+        fb_docs.join(tfa, "doc_id")
+        .join(dfa, "alias")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("alias") != F.col("query_term"))
+        .select(
+            "query_term",
+            F.col("alias").alias("exp_term"),
+            F.expr(_TFIDF_E6_EXPR).alias("t_e6"),
+        )
+    )
+    ro = fb.groupBy("query_term", "exp_term").agg(
+        F.sum("t_e6").alias("rocchio_e6")
+    )
+    wr = Window.partitionBy("query_term").orderBy(
+        F.desc("rocchio_e6"), F.asc("exp_term")
+    )
+    return (
+        ro.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -7873,6 +8121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "wl_refinement": q_wl_refinement,
         "modularity_score": q_modularity_score,
+        "harmonic_centrality": q_harmonic_centrality,
+        "k_truss_edges": q_k_truss_edges,
+        "cusum_changepoints": q_cusum_changepoints,
+        "ewma_revenue": q_ewma_revenue,
+        "rocchio_expansion": q_rocchio_expansion,
     }
 
 
@@ -8045,6 +8298,31 @@ def _knn_cte() -> str:
                        FROM sym) WHERE rn <= 2),
             knn AS (SELECT DISTINCT least(src, dst) AS x,
                                     greatest(src, dst) AS y FROM topk)"""
+
+
+def _mask_rounds_sql(rounds: int = 4) -> str:
+    """Chained exact-bitmap reachability CTEs ks/nodes/m0..m{rounds}
+    over `knn` (the q_neighborhood_function recurrence, shared by the
+    harmonic_centrality oracle)."""
+    parts = [
+        """ks AS (SELECT x AS src, y AS dst FROM knn
+                   UNION ALL SELECT y, x FROM knn),
+            nodes AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+                      FROM (SELECT DISTINCT src AS node FROM ks)),
+            m0 AS (SELECT node, (1::BIGINT << idx) AS mask FROM nodes
+                   WHERE idx < 63)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""m{k} AS (SELECT node, bit_or(mask) AS mask FROM (
+                     SELECT node, mask FROM m{p}
+                     UNION ALL
+                     SELECT ks.src AS node, m{p}.mask FROM ks
+                     JOIN m{p} ON m{p}.node = ks.dst
+                   ) GROUP BY node)"""
+        )
+    return ",\n            ".join(parts)
 
 
 def _lp_rounds_sql(rounds: int = 3) -> str:
@@ -12814,5 +13092,137 @@ def oracle_sql() -> dict[str, str]:
                    (4 * (SELECT m FROM mm) * coalesce(intra.intra_edges, 0)
                     - comm.degree_sum * comm.degree_sum)::BIGINT AS q_num_4m2
             FROM comm LEFT JOIN intra ON intra.label = comm.label
+        """,
+        "harmonic_centrality": f"""
+            WITH {_knn_cte()},
+            {_mask_rounds_sql(4)}
+            SELECT m0.node,
+                   (bit_count(m4.mask) - 1)::BIGINT AS n_reached_h4,
+                   ((bit_count(m1.mask) - bit_count(m0.mask)) * 1000000
+                    + (bit_count(m2.mask) - bit_count(m1.mask)) * 500000
+                    + (bit_count(m3.mask) - bit_count(m2.mask)) * 333333
+                    + (bit_count(m4.mask) - bit_count(m3.mask)) * 250000
+                   )::BIGINT AS harmonic_e6
+            FROM m0
+            JOIN m1 ON m1.node = m0.node
+            JOIN m2 ON m2.node = m0.node
+            JOIN m3 ON m3.node = m0.node
+            JOIN m4 ON m4.node = m0.node
+        """,
+        "k_truss_edges": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            e0 AS (SELECT DISTINCT least(t1, t2) AS x, greatest(t1, t2) AS y
+                   FROM c WHERE t1 <> t2 AND n >= 40),
+            ks0 AS (SELECT x AS src, y AS dst FROM e0
+                    UNION ALL SELECT y, x FROM e0),
+            s1 AS (SELECT e.x, e.y, count(*)::BIGINT AS support
+                   FROM e0 e
+                   JOIN ks0 a ON a.src = e.x
+                   JOIN ks0 b ON b.src = e.y AND b.dst = a.dst
+                   GROUP BY e.x, e.y),
+            e1 AS (SELECT x, y FROM s1 WHERE support >= 1),
+            ks1 AS (SELECT x AS src, y AS dst FROM e1
+                    UNION ALL SELECT y, x FROM e1),
+            s2 AS (SELECT e.x, e.y, count(*)::BIGINT AS support
+                   FROM e1 e
+                   JOIN ks1 a ON a.src = e.x
+                   JOIN ks1 b ON b.src = e.y AND b.dst = a.dst
+                   GROUP BY e.x, e.y)
+            SELECT x, y, support FROM s2 WHERE support >= 1
+        """,
+        "cusum_changepoints": """
+            WITH dc AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n_days,
+                           sum(c)::BIGINT AS total FROM dc),
+            cs AS (SELECT day, c AS daily_count,
+                          sum((SELECT n_days FROM tot) * c
+                              - (SELECT total FROM tot)) OVER (
+                              ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS cusum
+                   FROM dc),
+            pk AS (SELECT max(abs(cusum))::BIGINT AS peak FROM cs)
+            SELECT day, daily_count, cusum,
+                   (CASE WHEN abs(cusum) = (SELECT peak FROM pk)
+                         THEN 1 ELSE 0 END)::BIGINT AS is_peak
+            FROM cs
+        """,
+        "ewma_revenue": f"""
+            WITH d AS (
+              SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS x_e2
+              FROM orders GROUP BY 1
+            ),
+            w AS (SELECT day, x_e2,
+                         row_number() OVER (ORDER BY day) AS rn,
+                         (x_e2 * {_EWMA_W[0]}
+                          + lag(x_e2, 1) OVER (ORDER BY day) * {_EWMA_W[1]}
+                          + lag(x_e2, 2) OVER (ORDER BY day) * {_EWMA_W[2]}
+                          + lag(x_e2, 3) OVER (ORDER BY day) * {_EWMA_W[3]}
+                          + lag(x_e2, 4) OVER (ORDER BY day) * {_EWMA_W[4]}
+                          + lag(x_e2, 5) OVER (ORDER BY day) * {_EWMA_W[5]}
+                          + lag(x_e2, 6) OVER (ORDER BY day) * {_EWMA_W[6]}
+                          + lag(x_e2, 7) OVER (ORDER BY day) * {_EWMA_W[7]}
+                         )::BIGINT AS ewma_e6e2
+                  FROM d)
+            SELECT day, x_e2, ewma_e6e2 FROM w WHERE rn >= 8
+        """,
+        "rocchio_expansion": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS alias FROM t),
+            tfa AS (SELECT doc_id, alias, count(*)::BIGINT AS tf
+                    FROM tok GROUP BY 1, 2),
+            dlen AS (SELECT doc_id, sum(tf)::BIGINT AS dl
+                     FROM tfa GROUP BY 1),
+            stats AS (SELECT count(*)::BIGINT AS n_docs,
+                             sum(dl)::BIGINT AS sum_dl FROM dlen),
+            g AS (SELECT DISTINCT alias FROM gaz),
+            tfq AS (SELECT tfa.doc_id, tfa.alias, tfa.tf
+                    FROM tfa JOIN g ON tfa.alias = g.alias),
+            dfq AS (SELECT alias, count(*)::BIGINT AS df FROM tfq
+                    GROUP BY alias),
+            flat AS (SELECT tfq.alias AS query_term, tfq.doc_id, tfq.tf,
+                            dfq.df, dlen.dl, stats.n_docs, stats.sum_dl
+                     FROM tfq
+                     JOIN dfq ON tfq.alias = dfq.alias
+                     JOIN dlen ON tfq.doc_id = dlen.doc_id
+                     CROSS JOIN stats),
+            sc AS (SELECT query_term, doc_id, {_BM25_EXPR} AS score_e6
+                   FROM flat),
+            r AS (SELECT query_term, doc_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_term
+                              ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+                    FROM sc) WHERE rnk <= 3),
+            dfa AS (SELECT alias, count(*)::BIGINT AS df FROM tfa
+                    GROUP BY alias),
+            fb AS (SELECT r.query_term, tfa.alias AS exp_term,
+                          {_TFIDF_E6_EXPR} AS t_e6
+                   FROM r
+                   JOIN tfa ON tfa.doc_id = r.doc_id
+                   JOIN dfa ON dfa.alias = tfa.alias
+                   CROSS JOIN stats
+                   WHERE tfa.alias <> r.query_term),
+            ro AS (SELECT query_term, exp_term,
+                          sum(t_e6)::BIGINT AS rocchio_e6
+                   FROM fb GROUP BY 1, 2)
+            SELECT query_term, exp_term, rocchio_e6, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_term
+                        ORDER BY rocchio_e6 DESC, exp_term ASC)::BIGINT AS rnk
+              FROM ro) WHERE rnk <= 5
         """,
     }
