@@ -7886,6 +7886,560 @@ def q_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration (3 rounds) for the top eigenvector
+    of the embedding Gram matrix — the spectral kernel behind PCA
+    whitening and spectral clustering, run the way it survives 100 TB:
+    the corpus is touched ONCE to reduce X^T X into a dim^2-sized
+    frame (map-side outer products, same shape as q_gram_matrix), and
+    every iteration after that is a 64x64-sized join — never a row
+    scan, never a driver-side matrix. Determinism: embeddings floor
+    to e3 integers, v renormalizes each round to max-abs 1e4 via
+    sign-split truncating division (Spark `div` truncates, DuckDB `//`
+    floors; splitting on sign makes both operate on non-negative
+    operands where they agree). BIGINT headroom: |u| <= 64 * |g|_max
+    * 1e4 and the normalize multiplies by 1e4 — safe to |g| ~ 1e10,
+    i.e. ~1e7 unit-norm rows at e3; drop to e2 quantization beyond."""
+    e = _t(spark, sf_dir, "embeddings")
+    fv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+    )
+    pairs = X.let_bound(
+        fv,
+        lambda v: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (
+                            F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        ),
+    )
+    gram = (
+        e.select(F.explode(pairs).alias("r"))
+        .groupBy(F.col("r.i").alias("i"), F.col("r.j").alias("j"))
+        .agg(F.sum("r.p").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = gram.select(F.col("i").alias("d")).distinct().withColumn(
+        "v", F.lit(10000).cast("long")
+    )
+    for _ in range(3):
+        u = (
+            gram.join(
+                v.select(F.col("d").alias("jd"), "v"), gram.j == F.col("jd")
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+        )
+        mx = u.agg(F.max(F.abs("u")).alias("m0")).select(
+            F.greatest("m0", F.lit(1).cast("long")).alias("mx")
+        )
+        v = (
+            u.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("d"),
+                F.expr(
+                    "CASE WHEN u >= 0 THEN (u * 10000) div mx"
+                    " ELSE -(((-u) * 10000) div mx) END"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("d").alias("dim"), F.col("v").alias("v_e4"))
+
+
+def q_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    with the value exactly 7 calendar days earlier and report MAPE per
+    day-of-week — the baseline every production forecaster must beat
+    (and the backtest that finds weekly seasonality breaks). Exact
+    integers: per-day APE is (|x - xhat| * 1e6) div x (positive
+    operands, so truncating div agrees across engines), quantized
+    BEFORE the per-dow mean. DOW uses the days-since-2024-01-01 mod 7
+    arithmetic (see q_dow_hour_heatmap) to sidestep locale dow
+    functions. One orders scan to a date-cardinality rollup; the
+    lag attach is a days-sized self-join on day - 7."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "x_e2"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev = daily.select(F.col("day").alias("pday"), F.col("x_e2").alias("xhat_e2"))
+    fc = daily.join(
+        prev, F.col("pday") == F.col("day") - F.expr("INTERVAL 7 DAYS")
+    )
+    dow = F.pmod(
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01")), F.lit(7)
+    )
+    return (
+        fc.select(
+            dow.cast("long").alias("dow_mon0"),
+            F.expr("(abs(x_e2 - xhat_e2) * 1000000) div x_e2").alias("ape_e6"),
+        )
+        .groupBy("dow_mon0")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("sum(ape_e6) div count(1)").alias("mape_e6"),
+        )
+    )
+
+
+def q_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter-bounded strongly-connected components over the
+    DIRECTED token-adjacency graph (weight >= 40): two exact-bitmap
+    reachability sweeps — forward along edges, backward along reversed
+    edges, 4 rounds each — then nodes are grouped by fwd_mask AND
+    bwd_mask. Two nodes share a group iff they have the SAME 4-hop
+    forward-and-backward reach profile; for components of diameter
+    <= 4 that is exactly the SCC (u,v mutually reachable => identical
+    intersection sets), and the output is deterministic refinement
+    regardless. This is the FW-BW coloring step of distributed SCC
+    (Hong et al. 2013) with the reach sets carried as the same
+    node-sized BIGINT bitmaps as q_neighborhood_function — at web
+    scale the bitmap becomes a label-propagation color, the shape
+    (fixed rounds, edge join + node-keyed OR, no driver action)
+    stays identical."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    de = (
+        bg.filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select(F.col("t1").alias("src"), F.col("t2").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    wn = Window.orderBy("node")
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .unionAll(de.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("idx", F.row_number().over(wn) - 1)
+        .filter(F.col("idx") < 63)
+    )
+    m0 = nodes.select(
+        "node", F.expr("shiftleft(cast(1 as bigint), idx)").alias("mask")
+    ).localCheckpoint(eager=True)
+
+    def sweep(edges: DataFrame) -> DataFrame:
+        m = m0
+        for _ in range(4):
+            contrib = m.unionAll(
+                edges.join(
+                    m.withColumnRenamed("node", "dst"), "dst"
+                ).select(F.col("src").alias("node"), "mask")
+            )
+            m = (
+                contrib.groupBy("node")
+                .agg(F.expr("bit_or(mask)").alias("mask"))
+                .localCheckpoint(eager=True)
+            )
+        return m
+
+    fwd = sweep(de)
+    bwd = sweep(de.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sm = fwd.select("node", F.col("mask").alias("fm")).join(
+        bwd.select(F.col("node").alias("bn"), F.col("mask").alias("bm")),
+        F.col("node") == F.col("bn"),
+    ).select("node", F.expr("fm & bm").alias("m"))
+    grp = sm.groupBy("m").agg(
+        F.min("node").alias("scc_id"), F.count(F.lit(1)).alias("scc_size")
+    )
+    return sm.join(grp, "m").select("node", "scc_id", "scc_size")
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy audit (Li et al. 2007, categorical
+    variant): per quasi-identifier stratum (day-of-week), the total-
+    variation distance between the stratum's sensitive-attribute
+    (event_type) distribution and the global one — the release gate
+    that catches a stratum whose behavior profile leaks. Each cell's
+    |p - q| is e6-quantized FIRST ((c*1e6) div n_s and (c_g*1e6) div
+    n_total are exact positive-integer divisions in both engines),
+    then summed and halved — quantize-then-sum, so parallel order
+    cannot perturb the BIGINT result. One events scan to a 7 x
+    |types| cell frame (pinned, rule 10); everything after is
+    cells-sized."""
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")), F.lit(7)
+    )
+    cell = (
+        ev.select(dow.cast("long").alias("dow_mon0"), "event_type")
+        .groupBy("dow_mon0", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    strat = cell.groupBy("dow_mon0").agg(F.sum("c").alias("n_s"))
+    glob = cell.groupBy("event_type").agg(F.sum("c").alias("c_g"))
+    tot = cell.agg(F.sum("c").alias("n_tot"))
+    j = (
+        cell.join(strat, "dow_mon0")
+        .join(glob, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "a_e6",
+            F.expr("abs((c * 1000000) div n_s - (c_g * 1000000) div n_tot)"),
+        )
+    )
+    return j.groupBy("dow_mon0").agg(
+        F.max("n_s").alias("n_rows"),
+        F.expr("sum(a_e6) div 2").alias("t_e6"),
+    )
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-CONTAINMENT self-join: directed pairs (a, b) with
+    |sh(a) INTERSECT sh(b)| / |sh(a)| >= 0.8 over 3-gram shingles —
+    the asymmetric complement of q_set_similarity_join that catches a
+    document embedded inside a larger one (quote/subset detection),
+    which Jaccard misses because the union is dominated by the big
+    side. Lossless prefix filter on the PROBE side only (any pair at
+    containment >= t must hit one of a's first |a| - ceil(t|a|) + 1
+    shingles under the global df-asc order; the candidate's other
+    side probes the full inverted index — inherent to containment:
+    a subset can hide anywhere) plus the one-sided size bound
+    |b| >= t|a| (5*|b| >= 4*|a|). Verification re-attaches sets to
+    deduped candidates only — the AllPairs shape of
+    q_set_similarity_join; the oracle is brute-force ground truth,
+    so filter recall loss fails the hash, not a unit test."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", X.tokens("text").alias("tk")).select(
+        "doc_id",
+        F.array_distinct(_token_ngrams(F.col("tk"), 3)).alias("sh"),
+    )
+    df_ = sh.select(F.explode("sh").alias("g")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ordered = (
+        sh.select("doc_id", F.explode("sh").alias("g"))
+        .join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, g))), s -> s.g)"
+            ).alias("toks")
+        )
+    )
+    prefix_len = F.expr("size(toks) - ceil(0.8 * size(toks)) + 1").cast("int")
+    probe = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.size("toks").alias("na"),
+        F.explode(F.slice("toks", 1, prefix_len)).alias("p"),
+    )
+    index = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.size("toks").alias("nb"),
+        F.explode("toks").alias("g"),
+    )
+    cand = (
+        probe.join(
+            index,
+            (F.col("p") == F.col("g"))
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") * 5 >= F.col("na") * 4),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_a = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    sets_b = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("na", F.size("ta"))
+        .filter(F.col("inter") * 5 >= F.col("na") * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(inter * 1000000 div na as bigint)").alias(
+                "containment_e6"
+            ),
+        )
+    )
+
+
+_KATZ_W = [250000, 62500, 15625]  # round(1e6 * 0.25^h), h = 1..3
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality truncated at 3 hops (Katz 1953; alpha = 0.25)
+    over the DIRECTED thresholded token graph: katz(v) = sum_h
+    alpha^h * walks_h(v), where walks_h(v) counts length-h directed
+    walks ENDING at v — the attenuated-influence measure that, unlike
+    PageRank, rewards raw reachable volume instead of normalized
+    shares. Walk counts satisfy s_h(v) = sum over in-edges (u, v) of
+    s_{h-1}(u) with s_0 = 1 — each round is one edge join + one
+    node-keyed sum, node-sized state, no driver action; the
+    attenuation weights are frozen integer constants round(1e6 *
+    0.25^h), so katz_e6 is exact BIGINT (quantized weights times
+    exact integer walk counts — no float pow, no order sensitivity).
+    BIGINT headroom: walks_3 <= (max in-degree)^3; at degree ~1e4
+    that is 1e12 * 250000 — still safe; attenuate with div-per-round
+    beyond."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    de = (
+        bg.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .unionAll(de.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = nodes.withColumn("s", F.lit(1).cast("long"))
+    acc = nodes.withColumn("katz_e6", F.lit(0).cast("long"))
+    for h in range(3):
+        s = (
+            de.join(s.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        acc = (
+            acc.join(s.withColumnRenamed("s", "sh"), "node", "left")
+            .withColumn(
+                "katz_e6",
+                F.col("katz_e6")
+                + F.coalesce(F.col("sh"), F.lit(0).cast("long"))
+                * F.lit(_KATZ_W[h]),
+            )
+            .drop("sh")
+        )
+    return acc.select("node", "katz_e6")
+
+
+def q_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy maximal matching, 2 mutual-min handshake
+    rounds, over the weight-thresholded undirected token graph — the
+    coarsening primitive of multilevel graph partitioners (METIS-
+    style) and a classic symmetry-breaking kernel: each unmatched
+    node points at its smallest unmatched neighbor; an edge joins the
+    matching iff both endpoints chose each other. Deterministic (min
+    by name — no randomness), fixed rounds, node-sized state; each
+    round is one edge join + one node-keyed min + one mutual-pair
+    self-join, with matched nodes removed from the edge set via two
+    anti-joins before the next round."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    und = (
+        bg.filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select(F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    e = und
+    for rnd in range(1, 3):
+        sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+            e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        )
+        pick = sym.groupBy("src").agg(F.min("dst").alias("choice"))
+        a = pick.select(F.col("src").alias("u"), F.col("choice").alias("cu"))
+        b = pick.select(F.col("src").alias("v"), F.col("choice").alias("cv"))
+        pairs = (
+            a.join(b, (F.col("cu") == F.col("v")) & (F.col("cv") == F.col("u")))
+            .filter(F.col("u") < F.col("v"))
+            .select(
+                F.col("u").alias("x"),
+                F.col("v").alias("y"),
+                F.lit(rnd).cast("long").alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        matched = pairs if matched is None else matched.unionAll(pairs)
+        mn = pairs.select(F.col("x").alias("node")).unionAll(
+            pairs.select(F.col("y").alias("node"))
+        )
+        e = (
+            e.join(mn.withColumnRenamed("node", "x"), "x", "left_anti")
+            .join(mn.withColumnRenamed("node", "y"), "y", "left_anti")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+    return matched
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity (Newman et al. 2002): the fraction
+    of directed edges whose reverse edge also exists, over the
+    thresholded token-adjacency graph — the one-number asymmetry
+    audit run before choosing directed vs undirected treatment of a
+    relation. One self-join on the edge-keyed frame (reverse lookup
+    is edge-sized, broadcast-able); counts stay BIGINT and the ratio
+    is an exact positive e6 division."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    de = (
+        bg.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = de.intersect(rev)
+    tot = de.agg(F.count(F.lit(1)).alias("n_edges"))
+    rc = recip.agg(F.count(F.lit(1)).alias("n_recip"))
+    return tot.crossJoin(F.broadcast(rc)).select(
+        "n_edges",
+        "n_recip",
+        F.expr("(n_recip * 1000000) div n_edges").alias("reciprocity_e6"),
+    )
+
+
+def q_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/test split with a purge gap
+    (the de Prado purged-split discipline): days ranked by date, the
+    last 20% of OBSERVED days form the test set, the 2 days
+    immediately before the cutoff are PURGED (dropped entirely —
+    events there could leak label-window information across the
+    boundary), everything earlier trains. Emits per-split day and
+    row counts — the sanity table checked before any backtest.
+    One events scan to a date-cardinality frame; rank/thresholds are
+    integer arithmetic on day counts (8*rank vs 10*n_days), no float
+    quantile."""
+    ev = _t(spark, sf_dir, "events")
+    dc = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("day")
+    tot = dc.agg(F.count(F.lit(1)).alias("n_days"))
+    lab = (
+        dc.withColumn("prk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "split",
+            F.expr(
+                "CASE WHEN prk * 10 > n_days * 8 THEN 'test'"
+                " WHEN prk * 10 > n_days * 8 - 20 THEN 'purged'"
+                " ELSE 'train' END"
+            ),
+        )
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("n_rows"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit (Ethayarajh 2019 flavor): how much of
+    the Gram energy lives OFF the diagonal — anisotropic (collapsed-
+    cone) embedding spaces score high and retrieve badly, so this is
+    the QA gate before shipping an embedding column to ANN serving.
+    One corpus pass reduces X^T X to the dim^2 frame (e3 floors, the
+    q_power_iteration Gram), then two conditional BIGINT sums and an
+    exact positive e6 division; the ratio normalizes by the 63
+    off-diagonal cells per diagonal cell so a perfectly isotropic
+    space scores ~0."""
+    e = _t(spark, sf_dir, "embeddings")
+    fv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+    )
+    pairs = X.let_bound(
+        fv,
+        lambda v: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (
+                            F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        ),
+    )
+    gram = (
+        e.select(F.explode(pairs).alias("r"))
+        .groupBy(F.col("r.i").alias("i"), F.col("r.j").alias("j"))
+        .agg(F.sum("r.p").alias("g"))
+    )
+    agg = gram.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("g"))).alias("diag_sum"),
+        F.sum(
+            F.when(F.col("i") != F.col("j"), F.abs(F.col("g"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("offdiag_abs_sum"),
+    )
+    return agg.select(
+        "diag_sum",
+        "offdiag_abs_sum",
+        F.expr(
+            "(offdiag_abs_sum * 1000000) div (diag_sum * 63)"
+        ).alias("anisotropy_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -8126,6 +8680,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "ewma_revenue": q_ewma_revenue,
         "rocchio_expansion": q_rocchio_expansion,
+        "power_iteration": q_power_iteration,
+        "seasonal_naive_mape": q_seasonal_naive_mape,
+        "scc_bounded": q_scc_bounded,
+        "t_closeness": q_t_closeness,
+        "containment_join": q_containment_join,
+        "katz_centrality": q_katz_centrality,
+        "greedy_matching": q_greedy_matching,
+        "graph_reciprocity": q_graph_reciprocity,
+        "purged_time_split": q_purged_time_split,
+        "embedding_isotropy": q_embedding_isotropy,
     }
 
 
@@ -8320,6 +8884,46 @@ def _mask_rounds_sql(rounds: int = 4) -> str:
                      UNION ALL
                      SELECT ks.src AS node, m{p}.mask FROM ks
                      JOIN m{p} ON m{p}.node = ks.dst
+                   ) GROUP BY node)"""
+        )
+    return ",\n            ".join(parts)
+
+
+def _power_rounds_sql(rounds: int = 3) -> str:
+    """Chained power-iteration round CTEs v0/u1/m1/v1.. over `g`
+    (dim-pair Gram frame; sign-split div so DuckDB // on positive
+    operands matches Spark div)."""
+    parts = ["v0 AS (SELECT DISTINCT i AS d, 10000::BIGINT AS v FROM g)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""u{k} AS (SELECT g.i AS d, sum(g.g * v{p}.v)::BIGINT AS u
+                   FROM g JOIN v{p} ON v{p}.d = g.j GROUP BY 1),
+            m{k} AS (SELECT greatest(max(abs(u)), 1)::BIGINT AS mx FROM u{k}),
+            v{k} AS (SELECT d,
+                          (CASE WHEN u >= 0
+                                THEN (u * 10000) // (SELECT mx FROM m{k})
+                                ELSE -(((-u) * 10000) // (SELECT mx FROM m{k}))
+                           END)::BIGINT AS v
+                   FROM u{k})"""
+        )
+    return ",\n            ".join(parts)
+
+
+def _dir_mask_rounds_sql(prefix: str, src: str, dst: str, rounds: int = 4) -> str:
+    """Directed exact-bitmap reachability CTEs {prefix}0..{prefix}N
+    over `de` (directed edge CTE with src/dst columns) and `bm0`
+    (initial node masks) — the forward/backward sweeps of the
+    scc_bounded oracle."""
+    parts = [f"{prefix}0 AS (SELECT node, mask FROM bm0)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""{prefix}{k} AS (SELECT node, bit_or(mask) AS mask FROM (
+                     SELECT node, mask FROM {prefix}{p}
+                     UNION ALL
+                     SELECT de.{src} AS node, {prefix}{p}.mask FROM de
+                     JOIN {prefix}{p} ON {prefix}{p}.node = de.{dst}
                    ) GROUP BY node)"""
         )
     return ",\n            ".join(parts)
@@ -13224,5 +13828,232 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_term
                         ORDER BY rocchio_e6 DESC, exp_term ASC)::BIGINT AS rnk
               FROM ro) WHERE rnk <= 5
+        """,
+        "power_iteration": f"""
+            WITH vd AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000)::BIGINT AS f
+              FROM embeddings
+            ),
+            g AS (SELECT a.dim AS i, b.dim AS j, sum(a.f * b.f)::BIGINT AS g
+                  FROM vd a JOIN vd b ON a.vec_id = b.vec_id
+                  GROUP BY 1, 2),
+            {_power_rounds_sql(3)}
+            SELECT d::BIGINT AS dim, v AS v_e4 FROM v3
+        """,
+        "seasonal_naive_mape": """
+            WITH d AS (
+              SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS x_e2
+              FROM orders GROUP BY 1
+            ),
+            fc AS (SELECT a.day, a.x_e2, b.x_e2 AS xhat_e2
+                   FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY),
+            ape AS (SELECT (date_diff('day', DATE '2024-01-01',
+                                      CAST(day AS DATE)) % 7 + 7) % 7
+                             AS dow_mon0,
+                           (abs(x_e2 - xhat_e2) * 1000000) // x_e2 AS ape_e6
+                    FROM fc)
+            SELECT dow_mon0::BIGINT AS dow_mon0, count(*)::BIGINT AS n_days,
+                   (sum(ape_e6) // count(*))::BIGINT AS mape_e6
+            FROM ape GROUP BY 1
+        """,
+        "scc_bounded": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            de AS (SELECT t1 AS src, t2 AS dst FROM c
+                   WHERE t1 <> t2 AND n >= 40),
+            nodes AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+                      FROM (SELECT src AS node FROM de
+                            UNION SELECT dst FROM de)),
+            bm0 AS (SELECT node, (1::BIGINT << idx) AS mask FROM nodes
+                    WHERE idx < 63),
+            {_dir_mask_rounds_sql("fw", "src", "dst", 4)},
+            {_dir_mask_rounds_sql("bk", "dst", "src", 4)},
+            sm AS (SELECT fw4.node, (fw4.mask & bk4.mask) AS m
+                   FROM fw4 JOIN bk4 ON bk4.node = fw4.node),
+            grp AS (SELECT m, min(node) AS scc_id,
+                           count(*)::BIGINT AS scc_size
+                    FROM sm GROUP BY m)
+            SELECT sm.node, grp.scc_id, grp.scc_size
+            FROM sm JOIN grp ON grp.m = sm.m
+        """,
+        "t_closeness": """
+            WITH cell AS (
+              SELECT (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                      + 7) % 7 AS dow_mon0,
+                     event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            strat AS (SELECT dow_mon0, sum(c)::BIGINT AS n_s FROM cell
+                      GROUP BY 1),
+            gl AS (SELECT event_type, sum(c)::BIGINT AS c_g FROM cell
+                   GROUP BY 1),
+            tot AS (SELECT sum(c)::BIGINT AS n_tot FROM cell),
+            j AS (SELECT cell.dow_mon0, strat.n_s,
+                         abs((cell.c * 1000000) // strat.n_s
+                             - (gl.c_g * 1000000)
+                               // (SELECT n_tot FROM tot)) AS a_e6
+                  FROM cell
+                  JOIN strat ON strat.dow_mon0 = cell.dow_mon0
+                  JOIN gl ON gl.event_type = cell.event_type)
+            SELECT dow_mon0::BIGINT AS dow_mon0,
+                   max(n_s)::BIGINT AS n_rows,
+                   (sum(a_e6) // 2)::BIGINT AS t_e6
+            FROM j GROUP BY 1
+        """,
+        "containment_join": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ts) >= 3 THEN
+                       list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                       ELSE [] END) AS sh
+              FROM t
+            ),
+            sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sf),
+            sz AS (SELECT doc_id, len(sh)::BIGINT AS na FROM sf),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*)::BIGINT AS inter
+                   FROM ex a JOIN ex b
+                     ON a.g = b.g AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+            SELECT pr.doc_a, pr.doc_b,
+                   (pr.inter * 1000000 // sz.na)::BIGINT AS containment_e6
+            FROM pr JOIN sz ON sz.doc_id = pr.doc_a
+            WHERE pr.inter * 5 >= sz.na * 4
+        """,
+        "katz_centrality": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            de AS (SELECT t1 AS src, t2 AS dst FROM c
+                   WHERE t1 <> t2 AND n >= 40),
+            nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+            s0 AS (SELECT node, 1::BIGINT AS s FROM nodes),
+            s1 AS (SELECT de.dst AS node, sum(s0.s)::BIGINT AS s
+                   FROM de JOIN s0 ON s0.node = de.src GROUP BY 1),
+            s2 AS (SELECT de.dst AS node, sum(s1.s)::BIGINT AS s
+                   FROM de JOIN s1 ON s1.node = de.src GROUP BY 1),
+            s3 AS (SELECT de.dst AS node, sum(s2.s)::BIGINT AS s
+                   FROM de JOIN s2 ON s2.node = de.src GROUP BY 1)
+            SELECT n.node,
+                   (coalesce(s1.s, 0) * {_KATZ_W[0]}
+                    + coalesce(s2.s, 0) * {_KATZ_W[1]}
+                    + coalesce(s3.s, 0) * {_KATZ_W[2]})::BIGINT AS katz_e6
+            FROM nodes n
+            LEFT JOIN s1 ON s1.node = n.node
+            LEFT JOIN s2 ON s2.node = n.node
+            LEFT JOIN s3 ON s3.node = n.node
+        """,
+        "greedy_matching": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            e0 AS (SELECT DISTINCT least(t1, t2) AS x, greatest(t1, t2) AS y
+                   FROM c WHERE t1 <> t2 AND n >= 40),
+            sym0 AS (SELECT x AS src, y AS dst FROM e0
+                     UNION ALL SELECT y, x FROM e0),
+            pick0 AS (SELECT src, min(dst) AS choice FROM sym0 GROUP BY src),
+            m1 AS (SELECT a.src AS x, a.choice AS y, 1::BIGINT AS round
+                   FROM pick0 a JOIN pick0 b
+                     ON a.choice = b.src AND b.choice = a.src
+                   WHERE a.src < a.choice),
+            mn1 AS (SELECT x AS node FROM m1 UNION SELECT y FROM m1),
+            e1 AS (SELECT x, y FROM e0
+                   WHERE x NOT IN (SELECT node FROM mn1)
+                     AND y NOT IN (SELECT node FROM mn1)),
+            sym1 AS (SELECT x AS src, y AS dst FROM e1
+                     UNION ALL SELECT y, x FROM e1),
+            pick1 AS (SELECT src, min(dst) AS choice FROM sym1 GROUP BY src),
+            m2 AS (SELECT a.src AS x, a.choice AS y, 2::BIGINT AS round
+                   FROM pick1 a JOIN pick1 b
+                     ON a.choice = b.src AND b.choice = a.src
+                   WHERE a.src < a.choice)
+            SELECT x, y, round FROM m1
+            UNION ALL SELECT x, y, round FROM m2
+        """,
+        "graph_reciprocity": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            de AS (SELECT t1 AS src, t2 AS dst FROM c
+                   WHERE t1 <> t2 AND n >= 40),
+            r AS (SELECT src, dst FROM de
+                  INTERSECT
+                  SELECT dst, src FROM de)
+            SELECT (SELECT count(*) FROM de)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM r)::BIGINT AS n_recip,
+                   ((SELECT count(*) FROM r) * 1000000
+                    // (SELECT count(*) FROM de))::BIGINT AS reciprocity_e6
+        """,
+        "purged_time_split": """
+            WITH dc AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ),
+            lab AS (SELECT day, c,
+                           row_number() OVER (ORDER BY day)::BIGINT AS prk,
+                           (SELECT count(*) FROM dc)::BIGINT AS n_days
+                    FROM dc)
+            SELECT CASE WHEN prk * 10 > n_days * 8 THEN 'test'
+                        WHEN prk * 10 > n_days * 8 - 20 THEN 'purged'
+                        ELSE 'train' END AS split,
+                   count(*)::BIGINT AS n_days,
+                   sum(c)::BIGINT AS n_rows,
+                   min(day) AS first_day,
+                   max(day) AS last_day
+            FROM lab GROUP BY 1
+        """,
+        "embedding_isotropy": """
+            WITH vd AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000)::BIGINT AS f
+              FROM embeddings
+            ),
+            g AS (SELECT a.dim AS i, b.dim AS j, sum(a.f * b.f)::BIGINT AS g
+                  FROM vd a JOIN vd b ON a.vec_id = b.vec_id
+                  GROUP BY 1, 2),
+            s AS (SELECT sum(CASE WHEN i = j THEN g END)::BIGINT AS diag_sum,
+                         sum(CASE WHEN i <> j THEN abs(g)
+                                  ELSE 0 END)::BIGINT AS offdiag_abs_sum
+                  FROM g)
+            SELECT diag_sum, offdiag_abs_sum,
+                   ((offdiag_abs_sum * 1000000)
+                    // (diag_sum * 63))::BIGINT AS anisotropy_e6
+            FROM s
         """,
     }
