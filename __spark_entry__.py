@@ -8440,6 +8440,226 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragon 2004) at degree cutoffs
+    k in {2, 4, 8} over the thresholded undirected token graph:
+    phi(k) = 2 * E_k / (N_k * (N_k - 1)), the density of the subgraph
+    induced by nodes of degree > k — the hubs-talk-to-hubs audit that
+    complements assortativity with an absolute density. Exact
+    integers end to end: degree from one symmetric explode, the
+    induced-edge count from two node-keyed semijoin-style joins, the
+    ratio an exact positive e6 division; the cutoffs ride an explode
+    so all three coefficients come from one edge frame (pinned,
+    rule 10)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    e = (
+        bg.filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select(F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("k")
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    rich = deg.crossJoin(F.broadcast(ks)).filter(F.col("deg") > F.col("k"))
+    ek = (
+        e.join(rich.select(F.col("node").alias("x"), "k"), "x")
+        .join(
+            rich.select(F.col("node").alias("y"), F.col("k").alias("k2")),
+            "y",
+        )
+        .filter(F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0).cast("long")).alias("n_edges"),
+            F.expr(
+                "CASE WHEN n_nodes >= 2 THEN"
+                " (coalesce(n_edges, 0) * 2000000) div (n_nodes * (n_nodes - 1))"
+                " ELSE NULL END"
+            ).alias("phi_e6"),
+        )
+    )
+
+
+def q_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit of the embedding space: for each anchor,
+    a deterministic positive (the NEXT vec_id within the same label)
+    and a deterministic negative (vec_id + 7 mod n, kept only when
+    its label differs), then count anchors whose positive sits
+    FARTHER than their negative — d2(a,p) >= d2(a,n) is a margin-0
+    triplet violation, the metric-learning QA run before trusting
+    labels for retrieval. Distances are exact BIGINT sums of squared
+    e3-floored component differences (native zip_with + aggregate —
+    no UDF), so the violation flag is bit-identical across engines.
+    One embeddings scan feeds the anchor/positive/negative attaches;
+    all joins are id-keyed."""
+    e = _t(spark, sf_dir, "embeddings")
+    fv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+        ).alias("f"),
+    ).localCheckpoint(eager=True)
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    anc = fv.select(
+        "vec_id",
+        "label",
+        "f",
+        F.lead("vec_id").over(wp).alias("pos_id"),
+    ).filter(F.col("pos_id").isNotNull())
+    n_df = fv.agg(F.count(F.lit(1)).alias("n"))
+    anc = anc.crossJoin(F.broadcast(n_df)).withColumn(
+        "neg_id", F.pmod(F.col("vec_id") + 7, F.col("n"))
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pos = fv.select(
+        F.col("vec_id").alias("pos_id"), F.col("f").alias("fp")
+    )
+    neg = fv.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("f").alias("fn"),
+    )
+    tri = (
+        anc.join(pos, "pos_id")
+        .join(neg, "neg_id")
+        .filter(F.col("neg_label") != F.col("label"))
+        .select(
+            "label",
+            d2(F.col("f"), F.col("fp")).alias("d2_pos"),
+            d2(F.col("f"), F.col("fn")).alias("d2_neg"),
+        )
+    )
+    return tri.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_triplets"),
+        F.sum((F.col("d2_pos") >= F.col("d2_neg")).cast("long")).alias(
+            "n_violations"
+        ),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        "n_triplets",
+        "n_violations",
+        F.expr("(n_violations * 1000000) div n_triplets").alias("viol_e6"),
+    )
+
+
+def q_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges (Granovetter weak ties / Easley-Kleinberg): edges
+    of the thresholded undirected token graph that close NO triangle —
+    their endpoints share zero neighbors, so removing one lengthens
+    the endpoints' path to > 2. These weak ties are where information
+    crosses communities; a KG canonicalizer treats them as the
+    low-confidence merges to re-verify. The complement of
+    q_k_truss_edges from the same wedge join: one symmetric explode,
+    one shared-endpoint join, one left-anti attach of supported edges
+    back onto the edge frame (pinned, rule 10)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    e = (
+        bg.filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .select(F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    an = sym.select(F.col("src").alias("ax"), F.col("dst").alias("w1"))
+    bn = sym.select(F.col("src").alias("by"), F.col("dst").alias("w2"))
+    supported = (
+        e.join(an, F.col("x") == F.col("ax"))
+        .join(bn, (F.col("y") == F.col("by")) & (F.col("w1") == F.col("w2")))
+        .select("x", "y")
+        .distinct()
+    )
+    return e.join(supported, ["x", "y"], "left_anti").select("x", "y")
+
+
+_DECAY_W = [
+    1000000, 900000, 810000, 729000, 656100, 590490, 531441,
+    478297, 430467, 387420, 348678, 313811, 282430, 254187,
+]
+
+
+def q_decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts per type (decay 0.9 per
+    day, 14-day horizon) — the freshness-weighted popularity signal
+    trending/ranking systems maintain, computed the batch way: weight
+    = round(1e6 * 0.9^age_days) frozen as integer constants (ages
+    past the horizon contribute 0), so the decayed total is an exact
+    BIGINT sum — no float pow, no run-order sensitivity. The
+    reference day is the corpus max day (broadcast one-row
+    crossJoin); one events scan, ages resolved by element_at into the
+    14-constant array, map-side combinable group-by."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date(F.col("ts"))).alias("max_day"))
+    warr = F.array(*[F.lit(w).cast("long") for w in _DECAY_W])
+    aged = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.datediff(F.col("max_day"), F.to_date(F.col("ts"))).alias("age"),
+        )
+        .withColumn(
+            "w",
+            F.when(
+                (F.col("age") >= 0) & (F.col("age") <= 13),
+                F.element_at(warr, F.col("age") + 1),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return aged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w").alias("decayed_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -8690,6 +8910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_graph_reciprocity,
         "purged_time_split": q_purged_time_split,
         "embedding_isotropy": q_embedding_isotropy,
+        "rich_club": q_rich_club,
+        "triplet_margin_audit": q_triplet_margin_audit,
+        "local_bridges": q_local_bridges,
+        "decayed_event_counts": q_decayed_event_counts,
     }
 
 
@@ -14055,5 +14279,110 @@ def oracle_sql() -> dict[str, str]:
                    ((offdiag_abs_sum * 1000000)
                     // (diag_sum * 63))::BIGINT AS anisotropy_e6
             FROM s
+        """,
+        "rich_club": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            e0 AS (SELECT DISTINCT least(t1, t2) AS x, greatest(t1, t2) AS y
+                   FROM c WHERE t1 <> t2 AND n >= 40),
+            sym AS (SELECT x AS src, y AS dst FROM e0
+                    UNION ALL SELECT y, x FROM e0),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym
+                    GROUP BY 1),
+            kk AS (SELECT unnest([2, 4, 8]) AS k),
+            rich AS (SELECT deg.node, kk.k FROM deg CROSS JOIN kk
+                     WHERE deg.deg > kk.k),
+            nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM rich GROUP BY 1),
+            ek AS (SELECT a.k, count(*)::BIGINT AS n_edges
+                   FROM e0
+                   JOIN rich a ON a.node = e0.x
+                   JOIN rich b ON b.node = e0.y AND b.k = a.k
+                   GROUP BY 1)
+            SELECT nk.k::BIGINT AS k, nk.n_nodes,
+                   coalesce(ek.n_edges, 0)::BIGINT AS n_edges,
+                   (CASE WHEN nk.n_nodes >= 2 THEN
+                      (coalesce(ek.n_edges, 0) * 2000000)
+                        // (nk.n_nodes * (nk.n_nodes - 1))
+                    END)::BIGINT AS phi_e6
+            FROM nk LEFT JOIN ek ON ek.k = nk.k
+        """,
+        "triplet_margin_audit": """
+            WITH fv AS (
+              SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            nn AS (SELECT count(*)::BIGINT AS n FROM fv),
+            anc AS (SELECT vec_id, label, f,
+                           lead(vec_id) OVER (PARTITION BY label
+                                              ORDER BY vec_id) AS pos_id
+                    FROM fv),
+            a2 AS (SELECT vec_id, label, f, pos_id,
+                          (vec_id + 7) % (SELECT n FROM nn) AS neg_id
+                   FROM anc WHERE pos_id IS NOT NULL),
+            tri AS (SELECT a2.label,
+                           list_sum(list_transform(range(1, 65),
+                             i -> (a2.f[i] - p.f[i])
+                                  * (a2.f[i] - p.f[i])))::BIGINT AS d2_pos,
+                           list_sum(list_transform(range(1, 65),
+                             i -> (a2.f[i] - ng.f[i])
+                                  * (a2.f[i] - ng.f[i])))::BIGINT AS d2_neg
+                    FROM a2
+                    JOIN fv p ON p.vec_id = a2.pos_id
+                    JOIN fv ng ON ng.vec_id = a2.neg_id
+                               AND ng.label <> a2.label)
+            SELECT label::BIGINT AS label, count(*)::BIGINT AS n_triplets,
+                   sum(CASE WHEN d2_pos >= d2_neg THEN 1 ELSE 0
+                       END)::BIGINT AS n_violations,
+                   (sum(CASE WHEN d2_pos >= d2_neg THEN 1 ELSE 0 END)
+                    * 1000000 // count(*))::BIGINT AS viol_e6
+            FROM tri GROUP BY 1
+        """,
+        "local_bridges": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            c AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                         split_part(bigram, ' ', 2) AS t2,
+                         count(*)::BIGINT AS n
+                  FROM bg GROUP BY 1, 2),
+            e0 AS (SELECT DISTINCT least(t1, t2) AS x, greatest(t1, t2) AS y
+                   FROM c WHERE t1 <> t2 AND n >= 40),
+            ks0 AS (SELECT x AS src, y AS dst FROM e0
+                    UNION ALL SELECT y, x FROM e0),
+            sup AS (SELECT DISTINCT e.x, e.y
+                    FROM e0 e
+                    JOIN ks0 a ON a.src = e.x
+                    JOIN ks0 b ON b.src = e.y AND b.dst = a.dst)
+            SELECT e0.x, e0.y FROM e0
+            LEFT JOIN sup ON sup.x = e0.x AND sup.y = e0.y
+            WHERE sup.x IS NULL
+        """,
+        "decayed_event_counts": f"""
+            WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+            aged AS (SELECT event_type,
+                            date_diff('day', CAST(ts AS DATE),
+                                      (SELECT max_day FROM mx)) AS age
+                     FROM events),
+            w AS (SELECT event_type,
+                         CASE WHEN age BETWEEN 0 AND 13
+                              THEN ({list(_DECAY_W)})[age + 1]
+                              ELSE 0 END AS w
+                  FROM aged)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(w)::BIGINT AS decayed_e6
+            FROM w GROUP BY 1
         """,
     }
