@@ -8660,6 +8660,174 @@ def q_decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_EXPR = (
+    "cast(round(1000000.0 * "
+    "(((cast(ca as double) + 1) / (cast(na as double) + 10))"
+    " - ((cast(cb as double) + 1) / (cast(nb as double) + 10)))"
+    " * ln(((cast(ca as double) + 1) / (cast(na as double) + 10))"
+    " / ((cast(cb as double) + 1) / (cast(nb as double) + 10)))) as bigint)"
+)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (the model-monitoring drift metric)
+    between the first 15 observed days of events and the rest, over
+    10 equal-width value buckets: PSI_i = (p_i - q_i) * ln(p_i/q_i)
+    with add-one smoothing so empty buckets stay finite. Counts are
+    exact BIGINTs from ONE events scan (conditional sums per half —
+    no second pass, no pivot); the scalar PSI term is one shared SQL
+    expression evaluated identically by Spark and DuckDB and
+    e6-rounded per bucket, so the hash-checked surface is integer.
+    The bucket spine rides an explode so empty buckets emit rows in
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        F.least(
+            F.floor(F.col("value") / F.lit(56.0)).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        F.when(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day")) < 15, 1
+        ).otherwise(0).alias("in_a"),
+    )
+    cnt = base.groupBy("bucket").agg(
+        F.sum(F.col("in_a").cast("long")).alias("ca"),
+        F.sum((F.lit(1) - F.col("in_a")).cast("long")).alias("cb"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    return (
+        spine.join(cnt, "bucket", "left")
+        .withColumn("ca", F.coalesce(F.col("ca"), F.lit(0).cast("long")))
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "ca",
+            "cb",
+            F.expr(_PSI_EXPR).alias("psi_term_e6"),
+        )
+    )
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily order revenue: the
+    median of all pairwise day-to-day slopes — the outlier-immune
+    alternative to least squares that anomaly-heavy revenue series
+    need. Each pairwise slope is e6-quantized FIRST via sign-split
+    truncating division (num may be negative; den = day gap > 0), so
+    the median selection runs over exact BIGINTs and the k-th order
+    statistic is engine-independent even under ties (the VALUE at
+    rank (n+1)//2 is well-defined regardless of tie order). The
+    pair frame is days^2-sized, built from one pinned
+    date-cardinality rollup; at a 10-year horizon that is ~7e6
+    pairs — still days-, not corpus-, sized (classic Theil-Sen at
+    larger horizons samples pairs; the estimator tolerates it)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "x_e2"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(F.col("day").alias("day2"), F.col("x_e2").alias("x2"))
+    pairs = daily.join(b, F.col("day2") > F.col("day")).select(
+        (F.col("x2") - F.col("x_e2")).alias("num"),
+        F.datediff(F.col("day2").cast("date"), F.col("day").cast("date"))
+        .cast("long")
+        .alias("den"),
+    )
+    slopes = pairs.select(
+        F.expr(
+            "CASE WHEN num >= 0 THEN (num * 1000000) div den"
+            " ELSE -(((-num) * 1000000) div den) END"
+        ).alias("slope_e6")
+    )
+    w = Window.orderBy("slope_e6")
+    n_df = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        slopes.withColumn("rn", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("n_pairs", F.col("slope_e6").alias("theil_sen_slope_e6"))
+    )
+
+
+def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point identification (eps^2 = 1.45e6 in e3-floored
+    units, minPts = 6) over the embedding column: a point is core iff
+    >= minPts OTHER points sit within eps — the density step that
+    seeds every DBSCAN/HDBSCAN clustering. Distances are exact BIGINT
+    sums of squared e3-floored component differences (native zip_with
+    + aggregate, no UDF), so the core flag is bit-identical across
+    engines. The neighbor count here is the honest exact all-pairs
+    baseline (a broadcast nested-loop over the pinned (id, vector)
+    frame — the small side broadcasts); at corpus scale the same
+    count routes through the tiled-GEMM block plan of
+    similarity.exact_near_pairs or an IVF prefilter, exactly like
+    embedding_near_dups documents."""
+    e = _t(spark, sf_dir, "embeddings")
+    fv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+        ).alias("f"),
+    ).localCheckpoint(eager=True)
+    b = fv.select(F.col("vec_id").alias("vb"), F.col("f").alias("fb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("f"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        fv.join(b, F.col("vec_id") != F.col("vb"))
+        .select("vec_id", F.when(d2 <= F.lit(1450000), 1).otherwise(0).alias("hit"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_neighbors"))
+        .select(
+            "vec_id",
+            "n_neighbors",
+            (F.col("n_neighbors") >= 6).cast("long").alias("is_core"),
+        )
+    )
+
+
+def q_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct 3-gram shingles
+    seen within the first 25/50/75/100 % of documents (by doc_id
+    order) — the sublinearity diagnostic that predicts dedup yield
+    and tokenizer vocab saturation as a corpus grows. Exact and
+    order-independent: each shingle reduces to its FIRST document
+    (min doc_id — an associative aggregate, no sort), prefix
+    thresholds are integer arithmetic on the broadcast corpus size,
+    and the fractions ride an explode so all four curve points come
+    from one scan + one shingle-keyed reduce."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(X.shingles("text", 3))).alias("g")
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    n_df = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    fr = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(100))
+        ).alias("frac")
+    )
+    return (
+        first.crossJoin(F.broadcast(n_df.crossJoin(fr)))
+        .withColumn("thr", F.expr("(n_docs * frac) div 100"))
+        .filter(F.col("first_doc") < F.col("thr"))
+        .groupBy(F.col("frac").cast("long").alias("frac"))
+        .agg(
+            F.max("thr").alias("n_docs_prefix"),
+            F.count(F.lit(1)).alias("n_distinct_shingles"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -8914,6 +9082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triplet_margin_audit": q_triplet_margin_audit,
         "local_bridges": q_local_bridges,
         "decayed_event_counts": q_decayed_event_counts,
+        "psi_drift": q_psi_drift,
+        "theil_sen_slope": q_theil_sen_slope,
+        "dbscan_core_points": q_dbscan_core_points,
+        "heaps_law_points": q_heaps_law_points,
     }
 
 
@@ -14384,5 +14556,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    sum(w)::BIGINT AS decayed_e6
             FROM w GROUP BY 1
+        """,
+        "psi_drift": f"""
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+            base AS (
+              SELECT least(floor(value / 56.0)::INT, 9) AS bucket,
+                     CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                         CAST(ts AS DATE)) < 15
+                          THEN 1 ELSE 0 END AS in_a
+              FROM events
+            ),
+            cnt AS (SELECT bucket, sum(in_a)::BIGINT AS ca,
+                           sum(1 - in_a)::BIGINT AS cb
+                    FROM base GROUP BY 1),
+            spine AS (SELECT unnest(range(10))::INT AS bucket),
+            tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                    FROM cnt),
+            j AS (SELECT spine.bucket,
+                         coalesce(cnt.ca, 0)::BIGINT AS ca,
+                         coalesce(cnt.cb, 0)::BIGINT AS cb,
+                         (SELECT na FROM tot) AS na,
+                         (SELECT nb FROM tot) AS nb
+                  FROM spine LEFT JOIN cnt ON cnt.bucket = spine.bucket)
+            SELECT bucket::BIGINT AS bucket, ca, cb,
+                   {_PSI_EXPR} AS psi_term_e6
+            FROM j
+        """,
+        "theil_sen_slope": """
+            WITH d AS (
+              SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS x_e2
+              FROM orders GROUP BY 1
+            ),
+            p AS (SELECT (b.x_e2 - a.x_e2)::BIGINT AS num,
+                         date_diff('day', CAST(a.day AS DATE),
+                                   CAST(b.day AS DATE))::BIGINT AS den
+                  FROM d a JOIN d b ON b.day > a.day),
+            s AS (SELECT (CASE WHEN num >= 0 THEN (num * 1000000) // den
+                          ELSE -(((-num) * 1000000) // den)
+                          END)::BIGINT AS slope_e6 FROM p),
+            nn AS (SELECT count(*)::BIGINT AS n_pairs FROM s),
+            r AS (SELECT slope_e6,
+                         row_number() OVER (ORDER BY slope_e6)::BIGINT AS rn
+                  FROM s)
+            SELECT (SELECT n_pairs FROM nn) AS n_pairs,
+                   slope_e6 AS theil_sen_slope_e6
+            FROM r WHERE rn = ((SELECT n_pairs FROM nn) + 1) // 2
+        """,
+        "dbscan_core_points": """
+            WITH fv AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            p AS (SELECT a.vec_id,
+                         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                                    i -> (a.f[i] - b.f[i])
+                                         * (a.f[i] - b.f[i]))) <= 1450000
+                                  THEN 1 ELSE 0 END)::BIGINT AS n_neighbors
+                  FROM fv a JOIN fv b ON a.vec_id <> b.vec_id
+                  GROUP BY 1)
+            SELECT vec_id, n_neighbors,
+                   (CASE WHEN n_neighbors >= 6 THEN 1 ELSE 0
+                    END)::BIGINT AS is_core
+            FROM p
+        """,
+        "heaps_law_points": f"""
+            WITH it AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+                       AS g
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                    FROM documents)
+            ),
+            fo AS (SELECT g, min(doc_id)::BIGINT AS first_doc FROM it
+                   GROUP BY g),
+            nn AS (SELECT (max(doc_id) + 1)::BIGINT AS n_docs FROM documents),
+            fr AS (SELECT unnest([25, 50, 75, 100]) AS frac)
+            SELECT fr.frac::BIGINT AS frac,
+                   max((SELECT n_docs FROM nn) * fr.frac // 100)::BIGINT
+                     AS n_docs_prefix,
+                   count(*)::BIGINT AS n_distinct_shingles
+            FROM fo, fr
+            WHERE fo.first_doc < (SELECT n_docs FROM nn) * fr.frac // 100
+            GROUP BY 1
         """,
     }
