@@ -8828,6 +8828,249 @@ def q_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dcg_w(rnk_col: str) -> str:
+    """Frozen e6 DCG position weights round(1e6/log2(r+1)) for r=1..10
+    as a CASE expression — integer literals shared verbatim by Spark
+    and the DuckDB oracle, so the gain arithmetic never touches
+    floats."""
+    ws = [1000000, 630930, 500000, 430677, 386853,
+          356207, 333333, 315465, 301030, 289065]
+    whens = " ".join(
+        f"WHEN {r} THEN {w}" for r, w in enumerate(ws, start=1)
+    )
+    return f"(CASE {rnk_col} {whens} ELSE 0 END)"
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `value` as a purchase-vs-click classifier
+    score, via the Mann-Whitney U statistic with midrank tie
+    handling — the estimator every eval harness uses, computed
+    distributed without ever materializing per-row ranks. Scores are
+    e2-quantized to BIGINT, grouped (one scan, one groupBy), and the
+    tie-group midrank identity 2*midrank = 2*cum_before + c + 1
+    turns the rank sum into a window cumsum over the DISTINCT-score
+    frame — bounded by the score range (<= 49k rows here), not the
+    corpus, so the unpartitioned window is safe at 100 TB. two_u =
+    2*R_pos - n_pos*(n_pos+1) stays integer even under ties; AUC =
+    two_u / (2*n_pos*n_neg), e6-floored."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sc = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = sc.groupBy("s").agg(
+        F.sum(F.col("pos").cast("long")).alias("cp"),
+        F.sum((F.lit(1) - F.col("pos")).cast("long")).alias("cn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g2 = g.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0).cast("long")
+        ),
+    )
+    agg = g2.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.sum(
+            F.col("cp") * (2 * F.col("cum_before") + F.col("cp") + F.col("cn") + 1)
+        ).alias("two_r"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr("two_r - n_pos * (n_pos + 1)").alias("two_u"),
+        F.expr(
+            "((two_r - n_pos * (n_pos + 1)) * 1000000)"
+            " div (2 * n_pos * n_neg)"
+        ).alias("auc_e6"),
+    )
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions — the standard drift test a feature
+    store runs between serving windows. D = max |F1 - F2| over the
+    pooled empirical support; the cross-multiplied form
+    |cum1*n2 - cum2*n1| keeps every comparison in exact BIGINTs (no
+    division until the final e6 quantization). Like roc_auc, the
+    cumulative window runs over the DISTINCT e2-quantized score
+    frame (range-bounded, not corpus-bounded); counts themselves are
+    one conditional-sum groupBy over a single events scan."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sc = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    g = sc.groupBy("s").agg(
+        F.sum(F.col("a").cast("long")).alias("c1"),
+        F.sum((F.lit(1) - F.col("a")).cast("long")).alias("c2"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    g2 = (
+        g.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            .alias("num"),
+        )
+    )
+    return (
+        g2.groupBy("n1", "n2")
+        .agg(F.max("num").alias("ks_num_max"))
+        .select(
+            "n1",
+            "n2",
+            "ks_num_max",
+            F.expr("(ks_num_max * 1000000) div (n1 * n2)").alias("ks_e6"),
+        )
+    )
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and ISO
+    day-of-week — the contingency audit behind "is traffic mix
+    shifting by weekday". Observed counts are exact BIGINTs from one
+    events scan; expected counts are e3-floored integers
+    (rt*ct*1000 div N) so the per-cell statistic
+    (o*1000 - e_e3)^2 div e_e3 is engine-independent integer
+    arithmetic (the 35-cell output frame is type x dow sized —
+    marginals broadcast back onto it). BIGINT headroom: o*1000 and
+    rt*ct*1000 cap the usable N at ~9e12 events; past that the same
+    plan runs with e0 expected counts."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("long").alias("iso_dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("iso_dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n_total"))
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "iso_dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e_e3",
+            F.greatest(F.expr("(rt * ct * 1000) div n_total"), F.lit(1).cast("long")),
+        )
+        .select(
+            "event_type",
+            "iso_dow",
+            "o",
+            "e_e3",
+            F.expr(
+                "((o * 1000 - e_e3) * (o * 1000 - e_e3)) div e_e3"
+            ).alias("term_e3"),
+        )
+    )
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-a, with the concordant /
+    discordant / tie decomposition reported separately) between
+    daily order count and daily revenue — the monotone-association
+    check that is robust where Pearson is not. Revenue is e2 cents
+    (exact), the day-pair frame is days^2-sized off one pinned daily
+    rollup (same shape argument as theil_sen_slope: calendar-, not
+    corpus-, bounded), and every comparison is an integer sign test
+    — tau_a_e6 = (nc - nd) * 1e6 div n_pairs with no floats
+    anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(
+        F.col("day").alias("day2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = daily.join(b, F.col("day2") > F.col("day")).select(
+        (F.col("x2") - F.col("x")).alias("dx"),
+        (F.col("y2") - F.col("y")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END").cast("long")).alias("nc"),
+        F.sum(F.expr("CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END").cast("long")).alias("nd"),
+        F.sum(
+            F.expr("CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END").cast("long")
+        ).alias("ties_x"),
+        F.sum(
+            F.expr("CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END").cast("long")
+        ).alias("ties_y"),
+        F.sum(
+            F.expr("CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END").cast("long")
+        ).alias("ties_both"),
+    )
+    return agg.select(
+        "n_pairs",
+        "nc",
+        "nd",
+        "ties_x",
+        "ties_y",
+        "ties_both",
+        F.expr("((nc - nd) * 1000000) div n_pairs").alias("tau_a_e6"),
+    )
+
+
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a shortest-doc-first retrieval heuristic against
+    term-frequency relevance, one row per gazetteer term — the
+    ranking-quality metric every retrieval eval reports, with frozen
+    integer position weights round(1e6/log2(r+1)) shared verbatim by
+    both engines so gains never touch floats. One token explode
+    feeds doc lengths and per-term tf; the ranked frame is
+    candidate- (term x matching-doc), not corpus-, sized, both
+    row_number windows partition by term, and DCG/IDCG are
+    conditional sums over the same frame (no second scan).
+    ndcg_e6 = dcg * 1e6 div idcg; idcg >= 1 since tf >= 1."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("alias"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    gaz = _gazetteer_df(spark).select("alias").distinct()
+    tf = (
+        toks.join(F.broadcast(gaz), "alias")
+        .groupBy("alias", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cand = tf.join(dl, "doc_id")
+    wsys = Window.partitionBy("alias").orderBy(F.asc("dl"), F.asc("doc_id"))
+    wideal = Window.partitionBy("alias").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = cand.withColumn("rs", F.row_number().over(wsys)).withColumn(
+        "ri", F.row_number().over(wideal)
+    )
+    agg = ranked.groupBy(F.col("alias").alias("term")).agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(
+            F.expr(f"CASE WHEN rs <= 10 THEN tf * {_dcg_w('rs')} ELSE 0 END")
+        ).alias("dcg"),
+        F.sum(
+            F.expr(f"CASE WHEN ri <= 10 THEN tf * {_dcg_w('ri')} ELSE 0 END")
+        ).alias("idcg"),
+    )
+    return agg.select(
+        "term",
+        "n_cand",
+        "dcg",
+        "idcg",
+        F.expr("(dcg * 1000000) div idcg").alias("ndcg_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -9086,6 +9329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_slope": q_theil_sen_slope,
         "dbscan_core_points": q_dbscan_core_points,
         "heaps_law_points": q_heaps_law_points,
+        "roc_auc": q_roc_auc,
+        "ks_two_sample": q_ks_two_sample,
+        "chi_square_independence": q_chi_square_independence,
+        "kendall_tau": q_kendall_tau,
+        "ndcg_at_k": q_ndcg_at_k,
     }
 
 
@@ -14644,5 +14892,131 @@ def oracle_sql() -> dict[str, str]:
             FROM fo, fr
             WHERE fo.first_doc < (SELECT n_docs FROM nn) * fr.frac // 100
             GROUP BY 1
+        """,
+        "roc_auc": """
+            WITH sc AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            g AS (SELECT s, sum(pos)::BIGINT AS cp,
+                         sum(1 - pos)::BIGINT AS cn
+                  FROM sc GROUP BY s),
+            g2 AS (SELECT cp, cn,
+                          coalesce(sum(cp + cn) OVER (ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)::BIGINT AS cum_before
+                   FROM g),
+            a AS (SELECT sum(cp)::BIGINT AS n_pos, sum(cn)::BIGINT AS n_neg,
+                         sum(cp * (2 * cum_before + cp + cn + 1))::BIGINT
+                           AS two_r
+                  FROM g2)
+            SELECT n_pos, n_neg,
+                   (two_r - n_pos * (n_pos + 1))::BIGINT AS two_u,
+                   (((two_r - n_pos * (n_pos + 1)) * 1000000)
+                    // (2 * n_pos * n_neg))::BIGINT AS auc_e6
+            FROM a
+        """,
+        "ks_two_sample": """
+            WITH sc AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS s,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            g AS (SELECT s, sum(a)::BIGINT AS c1, sum(1 - a)::BIGINT AS c2
+                  FROM sc GROUP BY s),
+            tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+                    FROM g),
+            g2 AS (SELECT (SELECT n1 FROM tot) AS n1,
+                          (SELECT n2 FROM tot) AS n2,
+                          abs(sum(c1) OVER (ORDER BY s ROWS BETWEEN
+                                UNBOUNDED PRECEDING AND CURRENT ROW)
+                              * (SELECT n2 FROM tot)
+                              - sum(c2) OVER (ORDER BY s ROWS BETWEEN
+                                UNBOUNDED PRECEDING AND CURRENT ROW)
+                              * (SELECT n1 FROM tot))::BIGINT AS num
+                   FROM g)
+            SELECT n1, n2, max(num)::BIGINT AS ks_num_max,
+                   ((max(num) * 1000000) // (n1 * n2))::BIGINT AS ks_e6
+            FROM g2 GROUP BY n1, n2
+        """,
+        "chi_square_independence": """
+            WITH cells AS (
+              SELECT event_type, isodow(CAST(ts AS DATE))::BIGINT AS iso_dow,
+                     count(*)::BIGINT AS o
+              FROM events GROUP BY 1, 2
+            ),
+            rt AS (SELECT event_type, sum(o)::BIGINT AS rt FROM cells
+                   GROUP BY 1),
+            ct AS (SELECT iso_dow, sum(o)::BIGINT AS ct FROM cells
+                   GROUP BY 1),
+            tot AS (SELECT sum(o)::BIGINT AS n_total FROM cells),
+            j AS (SELECT cells.event_type, cells.iso_dow, cells.o,
+                         greatest((rt.rt * ct.ct * 1000)
+                                  // (SELECT n_total FROM tot),
+                                  1)::BIGINT AS e_e3
+                  FROM cells
+                  JOIN rt ON rt.event_type = cells.event_type
+                  JOIN ct ON ct.iso_dow = cells.iso_dow)
+            SELECT event_type, iso_dow, o, e_e3,
+                   (((o * 1000 - e_e3) * (o * 1000 - e_e3))
+                    // e_e3)::BIGINT AS term_e3
+            FROM j
+        """,
+        "kendall_tau": """
+            WITH d AS (
+              SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                     count(*)::BIGINT AS x,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS y
+              FROM orders GROUP BY 1
+            ),
+            p AS (SELECT (b.x - a.x)::BIGINT AS dx, (b.y - a.y)::BIGINT AS dy
+                  FROM d a JOIN d b ON b.day > a.day),
+            a AS (SELECT count(*)::BIGINT AS n_pairs,
+                         sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0
+                             END)::BIGINT AS nc,
+                         sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0
+                             END)::BIGINT AS nd,
+                         sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0
+                             END)::BIGINT AS ties_x,
+                         sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0
+                             END)::BIGINT AS ties_y,
+                         sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0
+                             END)::BIGINT AS ties_both
+                  FROM p)
+            SELECT n_pairs, nc, nd, ties_x, ties_y, ties_both,
+                   (((nc - nd) * 1000000) // n_pairs)::BIGINT AS tau_a_e6
+            FROM a
+        """,
+        "ndcg_at_k": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS alias FROM t),
+            dlen AS (SELECT doc_id, count(*)::BIGINT AS dl
+                     FROM tok GROUP BY doc_id),
+            g AS (SELECT DISTINCT alias FROM gaz),
+            tfq AS (SELECT tok.alias, tok.doc_id, count(*)::BIGINT AS tf
+                    FROM tok JOIN g ON tok.alias = g.alias
+                    GROUP BY 1, 2),
+            cand AS (SELECT tfq.alias, tfq.doc_id, tfq.tf, dlen.dl
+                     FROM tfq JOIN dlen ON tfq.doc_id = dlen.doc_id),
+            r AS (SELECT alias, tf,
+                         row_number() OVER (PARTITION BY alias
+                           ORDER BY dl ASC, doc_id ASC) AS rs,
+                         row_number() OVER (PARTITION BY alias
+                           ORDER BY tf DESC, doc_id ASC) AS ri
+                  FROM cand),
+            agg AS (SELECT alias AS term, count(*)::BIGINT AS n_cand,
+                           sum(CASE WHEN rs <= 10
+                               THEN tf * {_dcg_w('rs')} ELSE 0
+                               END)::BIGINT AS dcg,
+                           sum(CASE WHEN ri <= 10
+                               THEN tf * {_dcg_w('ri')} ELSE 0
+                               END)::BIGINT AS idcg
+                    FROM r GROUP BY 1)
+            SELECT term, n_cand, dcg, idcg,
+                   ((dcg * 1000000) // idcg)::BIGINT AS ndcg_e6
+            FROM agg
         """,
     }
