@@ -9071,6 +9071,286 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clique listing over the epsilon-ball embedding graph (same
+    eps^2 = 1.45e6 e3-floored threshold as dbscan_core_points) — the
+    densest-unit extraction near-dup miners run to find tight
+    duplicate clusters that pairwise edges understate. Edges use
+    exact BIGINT squared distances; the listing runs in id order
+    (a<b<c<d), the standard low-orientation trick that bounds
+    per-node fan-out by the epsilon-ball degree, as triangles extend
+    to quads through three existence joins on the PINNED edge frame
+    (one edge build, six consumers — rule 10). At 100 TB the edge
+    set itself comes from the tiled-GEMM / IVF candidate plan the
+    dbscan docstring describes; the clique joins only ever touch
+    edge-sized state."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    fv = e_.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+        ).alias("f"),
+    ).localCheckpoint(eager=True)
+    b = fv.select(F.col("vec_id").alias("vb"), F.col("f").alias("fb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("f"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    e = (
+        fv.join(b, F.col("vec_id") < F.col("vb"))
+        .filter(d2 <= F.lit(1450000))
+        .select(F.col("vec_id").alias("x"), F.col("vb").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    ab = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    bc = e.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    ac = e.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    cd = e.select(F.col("x").alias("c"), F.col("y").alias("d"))
+    bd = e.select(F.col("x").alias("b"), F.col("y").alias("d"))
+    ad = e.select(F.col("x").alias("a"), F.col("y").alias("d"))
+    return (
+        tri.join(cd, "c")
+        .join(bd, ["b", "d"])
+        .join(ad, ["a", "d"])
+        .select("a", "b", "c", "d")
+    )
+
+
+def q_kg_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style node-shape validation of the linked-entity graph:
+    every gazetteer entity that appears in the corpus is checked
+    against two frozen shape constraints — minDocs >= 2 (sh:minCount
+    analog on the mention property) and minPartners >= 1 (at least
+    one co-occurring entity, the 'no orphan nodes' shape) — emitting
+    one row per (entity, check) with observed/required/ok, the
+    conformance report a KG load gate consumes. One token scan feeds
+    both measures; the per-entity frame is gazetteer-sized, and the
+    two checks ride an explode over it (no second pass)."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    de = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("doc_id", "entity", "ent_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nd = de.groupBy("entity", "ent_type").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    b = de.select(F.col("doc_id").alias("d2"), F.col("entity").alias("e2"))
+    partners = (
+        de.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("entity") != F.col("e2")))
+        .groupBy("entity")
+        .agg(F.countDistinct("e2").alias("n_partners"))
+    )
+    ent = nd.join(partners, "entity", "left").withColumn(
+        "n_partners", F.coalesce(F.col("n_partners"), F.lit(0).cast("long"))
+    )
+    checks = ent.select(
+        "entity",
+        "ent_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("minDocs").alias("check"),
+                    F.col("n_docs").cast("long").alias("observed"),
+                    F.lit(2).cast("long").alias("required"),
+                ),
+                F.struct(
+                    F.lit("minPartners").alias("check"),
+                    F.col("n_partners").cast("long").alias("observed"),
+                    F.lit(1).cast("long").alias("required"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return checks.select(
+        "entity",
+        "ent_type",
+        F.col("c.check").alias("check"),
+        F.col("c.observed").alias("observed"),
+        F.col("c.required").alias("required"),
+        (F.col("c.observed") >= F.col("c.required")).cast("long").alias("ok"),
+    )
+
+
+def q_distmult_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult triple-plausibility scoring (Yang et al. 2015 —
+    score(s,p,o) = sum_i e_s[i] * r_p[i] * e_o[i], the bilinear-diag
+    counterpart to TransE's additive score) over the COOCCURS
+    triples. Vectors come from the same deterministic md5-mod lookup
+    as transe_scores, but e3-floored so the triple product stays in
+    BIGINT headroom (|c| <= ~3e3 -> per-dim product <= ~3e10, x64
+    dims <= ~2e12). Same scale shape as TransE: corpus-sized work is
+    the triple derivation only; vectors are gazetteer-sized and
+    broadcast, scoring touches pair-sized state."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    de = (
+        toks.join(F.broadcast(gaz), "alias").select("doc_id", "entity").distinct()
+    )
+    a, b = de.alias("a"), de.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(F.col("a.entity").alias("subj"), F.col("b.entity").alias("obj"))
+        .distinct()
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    nv = e.agg(F.count(F.lit(1)).alias("_nv"))
+    names = gaz.select("entity").distinct().unionByName(
+        spark.createDataFrame([("COOCCURS",)], "entity string")
+    ).distinct()
+    ev = names.crossJoin(F.broadcast(nv)).select(
+        "entity",
+        (
+            F.conv(F.substring(F.md5("entity"), 1, 8), 16, 10).cast("long")
+            % F.col("_nv")
+        ).alias("vid"),
+    )
+    ed = (
+        e.join(F.broadcast(ev), e.vec_id == ev.vid)
+        .select(
+            "entity",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+            ).alias("fv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s = ed.select(F.col("entity").alias("se"), F.col("fv").alias("sv"))
+    o = ed.select(F.col("entity").alias("oe"), F.col("fv").alias("ov"))
+    r = ed.filter(F.col("entity") == "COOCCURS").select(F.col("fv").alias("rv"))
+    so = F.zip_with(F.col("sv"), F.col("ov"), lambda x, y: x * y)
+    spo = F.zip_with(so, F.col("rv"), lambda x, y: x * y)
+    score = F.aggregate(spo, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        co.join(F.broadcast(s), F.col("subj") == F.col("se"))
+        .join(F.broadcast(o), F.col("obj") == F.col("oe"))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "subj",
+            F.lit("COOCCURS").alias("pred"),
+            "obj",
+            score.alias("distmult_e9"),
+        )
+    )
+
+
+def q_type_inheritance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology type-inheritance materialization: a frozen subclass
+    hierarchy (DB/LIB/TOOL < SOFTWARE, LANG/FMT/OP < CONCEPT,
+    SOFTWARE/CONCEPT < THING) is closed transitively (reflexive +
+    2 bounded self-joins — closure depth equals the hierarchy's
+    depth, 2, not the data's) and every entity mention is rolled up
+    to ALL its ancestor types — the subsumption inference step a
+    typed KG runs at load so queries over 'SOFTWARE' see mysql rows.
+    The hierarchy is schema-, not data-, sized: the closure is a
+    broadcast of a dozen rows onto the one mention scan."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    de = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("doc_id", "entity", "ent_type")
+        .distinct()
+    )
+    sub = spark.createDataFrame(
+        _TYPE_SUBCLASS, "child string, parent string"
+    )
+    types = sub.select(F.col("child").alias("t")).unionByName(
+        sub.select(F.col("parent").alias("t"))
+    ).distinct()
+    refl = types.select(F.col("t").alias("child"), F.col("t").alias("parent"))
+    s2 = sub.alias("s1").join(
+        sub.alias("s2"), F.col("s1.parent") == F.col("s2.child")
+    ).select(F.col("s1.child").alias("child"), F.col("s2.parent").alias("parent"))
+    closure = refl.unionByName(sub).unionByName(s2).distinct()
+    return (
+        de.join(
+            F.broadcast(closure), de.ent_type == closure.child
+        )
+        .groupBy(F.col("parent").alias("rollup_type"))
+        .agg(
+            F.countDistinct("entity").alias("n_entities"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def q_bgp_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern chain join over the typed
+    triple store: ?a -[p1]-> ?b . ?b -[p2]-> ?c (a != c), grouped by
+    (p1, p2) with path and distinct-endpoint counts — the 2-hop BGP
+    shape every SPO-indexed triple engine optimizes for, expressed
+    as a self-join of the triple table on the shared variable. The
+    triple store is symmetrized first (co-occurrence is undirected),
+    so the join key is the middle entity; the store is
+    entity-pair-sized, the join is entity-keyed, and the output is
+    predicate-pair-sized."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select("doc_id", F.explode(X.tokens("content")).alias("alias"))
+    gaz = _gazetteer_df(spark)
+    fe = (
+        toks.join(F.broadcast(gaz), "alias")
+        .select("doc_id", "entity", "ent_type")
+        .distinct()
+    )
+    a, b = fe.alias("a"), fe.alias("b")
+    tt = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") != F.col("b.entity")),
+        )
+        .filter(F.col("a.ent_type") != F.col("b.ent_type"))
+        .select(
+            F.col("a.entity").alias("subj"),
+            F.concat(
+                F.lit("REL_"), F.col("a.ent_type"), F.lit("_"), F.col("b.ent_type")
+            ).alias("pred"),
+            F.col("b.entity").alias("obj"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    t2 = tt.select(
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("pred2"),
+        F.col("obj").alias("obj2"),
+    )
+    return (
+        tt.join(t2, (F.col("obj") == F.col("mid")) & (F.col("subj") != F.col("obj2")))
+        .groupBy(F.col("pred").alias("pred1"), "pred2")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("subj").alias("n_start_entities"),
+            F.countDistinct("obj2").alias("n_end_entities"),
+        )
+    )
+
+
+_TYPE_SUBCLASS: list[tuple[str, str]] = [
+    ("DB", "SOFTWARE"),
+    ("LIB", "SOFTWARE"),
+    ("TOOL", "SOFTWARE"),
+    ("LANG", "CONCEPT"),
+    ("FMT", "CONCEPT"),
+    ("OP", "CONCEPT"),
+    ("SOFTWARE", "THING"),
+    ("CONCEPT", "THING"),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -9334,6 +9614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square_independence": q_chi_square_independence,
         "kendall_tau": q_kendall_tau,
         "ndcg_at_k": q_ndcg_at_k,
+        "four_cliques": q_four_cliques,
+        "kg_shape_audit": q_kg_shape_audit,
+        "distmult_scores": q_distmult_scores,
+        "type_inheritance_rollup": q_type_inheritance_rollup,
+        "bgp_two_hop": q_bgp_two_hop,
     }
 
 
@@ -15018,5 +15303,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, n_cand, dcg, idcg,
                    ((dcg * 1000000) // idcg)::BIGINT AS ndcg_e6
             FROM agg
+        """,
+        "four_cliques": """
+            WITH fv AS (
+              SELECT vec_id, list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            e AS (
+              SELECT a.vec_id AS x, b.vec_id AS y
+              FROM fv a JOIN fv b ON a.vec_id < b.vec_id
+              WHERE list_sum(list_transform(range(1, 65),
+                      i -> (a.f[i] - b.f[i]) * (a.f[i] - b.f[i]))) <= 1450000
+            ),
+            tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+                    FROM e ab JOIN e bc ON ab.y = bc.x
+                    JOIN e ac ON ac.x = ab.x AND ac.y = bc.y)
+            SELECT tri.a, tri.b, tri.c, cd.y AS d
+            FROM tri
+            JOIN e cd ON cd.x = tri.c
+            JOIN e bd ON bd.x = tri.b AND bd.y = cd.y
+            JOIN e ad ON ad.x = tri.a AND ad.y = cd.y
+        """,
+        "kg_shape_audit": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            de AS (SELECT DISTINCT doc_id, entity, ent_type
+                   FROM tk JOIN gaz ON tok = alias),
+            nd AS (SELECT entity, ent_type,
+                          count(DISTINCT doc_id)::BIGINT AS n_docs
+                   FROM de GROUP BY 1, 2),
+            pt AS (SELECT a.entity, count(DISTINCT b.entity)::BIGINT
+                            AS n_partners
+                   FROM de a JOIN de b
+                     ON a.doc_id = b.doc_id AND a.entity <> b.entity
+                   GROUP BY 1),
+            ent AS (SELECT nd.entity, nd.ent_type, nd.n_docs,
+                           coalesce(pt.n_partners, 0)::BIGINT AS n_partners
+                    FROM nd LEFT JOIN pt ON pt.entity = nd.entity),
+            ch AS (
+              SELECT entity, ent_type, 'minDocs' AS "check",
+                     n_docs AS observed, 2::BIGINT AS required
+              FROM ent
+              UNION ALL
+              SELECT entity, ent_type, 'minPartners', n_partners, 1::BIGINT
+              FROM ent
+            )
+            SELECT entity, ent_type, "check", observed, required,
+                   (CASE WHEN observed >= required THEN 1 ELSE 0
+                    END)::BIGINT AS ok
+            FROM ch
+        """,
+        "distmult_scores": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            de AS (SELECT DISTINCT doc_id, entity
+                   FROM tk JOIN gaz ON tok = alias),
+            co AS (
+              SELECT DISTINCT a.entity AS subj, b.entity AS obj
+              FROM de a JOIN de b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+            ),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            names AS (SELECT DISTINCT entity FROM gaz
+                      UNION SELECT 'COOCCURS'),
+            ev AS (
+              SELECT entity,
+                     {_dk_hex8('entity')} % (SELECT n FROM nv) AS vid
+              FROM names
+            ),
+            ed AS (
+              SELECT entity, generate_subscripts(embedding, 1) AS dim,
+                     floor(unnest(embedding::DOUBLE[]) * 1000)::BIGINT AS f
+              FROM ev JOIN embeddings ON vec_id = vid
+            )
+            SELECT co.subj, 'COOCCURS' AS pred, co.obj,
+                   sum(s.f * o.f * r.f)::BIGINT AS distmult_e9
+            FROM co
+            JOIN ed s ON s.entity = co.subj
+            JOIN ed o ON o.entity = co.obj AND o.dim = s.dim
+            JOIN ed r ON r.entity = 'COOCCURS' AND r.dim = s.dim
+            GROUP BY 1, 2, 3
+        """,
+        "type_inheritance_rollup": f"""
+            WITH {_GAZ_CTE},
+            sub(child, parent) AS (VALUES
+              ('DB', 'SOFTWARE'), ('LIB', 'SOFTWARE'), ('TOOL', 'SOFTWARE'),
+              ('LANG', 'CONCEPT'), ('FMT', 'CONCEPT'), ('OP', 'CONCEPT'),
+              ('SOFTWARE', 'THING'), ('CONCEPT', 'THING')),
+            types AS (SELECT child AS t FROM sub
+                      UNION SELECT parent FROM sub),
+            closure AS (
+              SELECT t AS child, t AS parent FROM types
+              UNION SELECT child, parent FROM sub
+              UNION SELECT s1.child, s2.parent
+                    FROM sub s1 JOIN sub s2 ON s1.parent = s2.child
+            ),
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            de AS (SELECT DISTINCT doc_id, entity, ent_type
+                   FROM tk JOIN gaz ON tok = alias)
+            SELECT closure.parent AS rollup_type,
+                   count(DISTINCT de.entity)::BIGINT AS n_entities,
+                   count(DISTINCT de.doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_mentions
+            FROM de JOIN closure ON de.ent_type = closure.child
+            GROUP BY 1
+        """,
+        "bgp_two_hop": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            fe AS (SELECT DISTINCT doc_id, entity, ent_type
+                   FROM tk JOIN gaz ON tok = alias),
+            tt AS (
+              SELECT DISTINCT a.entity AS subj,
+                     'REL_' || a.ent_type || '_' || b.ent_type AS pred,
+                     b.entity AS obj
+              FROM fe a JOIN fe b
+                ON a.doc_id = b.doc_id AND a.entity <> b.entity
+               AND a.ent_type <> b.ent_type
+            )
+            SELECT t1.pred AS pred1, t2.pred AS pred2,
+                   count(*)::BIGINT AS n_paths,
+                   count(DISTINCT t1.subj)::BIGINT AS n_start_entities,
+                   count(DISTINCT t2.obj)::BIGINT AS n_end_entities
+            FROM tt t1 JOIN tt t2
+              ON t1.obj = t2.subj AND t1.subj <> t2.obj
+            GROUP BY 1, 2
         """,
     }
