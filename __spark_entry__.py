@@ -9339,6 +9339,278 @@ def q_bgp_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy '96)
+    vs the exact F2 of the token distribution — the self-join-size /
+    skew estimator a query optimizer keeps per column. Five sketch
+    rows use frozen md5-derived +-1 signs (parity of the hex8 hash,
+    engine-shared); each row's estimate is z_i^2 where
+    z_i = sum_t c_t * s_i(t). Everything reduces over the
+    VOCABULARY-sized count frame (one corpus scan feeds it), the
+    five sign rows ride an explode, and the exact F2 broadcasts back
+    onto the 5-row output with a ppm error column — the calibration
+    a production sketch ships with. BIGINT headroom: z <= total
+    token count, so z^2 caps usable corpus size at ~3e9 tokens per
+    (sketch, column) — per-shard sketches merge by addition past
+    that (documented, standard)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(X.tokens("text")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    f2 = cnt.agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    sk = cnt.select(
+        "tok",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("sketch_id"),
+    ).select(
+        "sketch_id",
+        (
+            F.col("c")
+            * (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("sketch_id"), F.col("tok"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1
+            )
+        ).alias("term"),
+    )
+    z = sk.groupBy("sketch_id").agg(F.sum("term").alias("z"))
+    return (
+        z.crossJoin(F.broadcast(f2))
+        .select(
+            F.col("sketch_id").cast("long").alias("sketch_id"),
+            "z",
+            (F.col("z") * F.col("z")).alias("est_f2"),
+            "f2_exact",
+            F.expr(
+                "(abs(z * z - f2_exact) * 1000000) div f2_exact"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def q_tput_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPUT-style distributed top-k with exact lower/upper bounds
+    (Cao & Wang 2004): 8 content-defined shards (doc_id % 8) each
+    nominate their local top-4 tokens; every candidate gets its
+    exact global count, the phase-2 lower bound (sum over shards
+    where it made the local top-4), and the upper bound (lb + the
+    4th-place count tau_s of every shard that did NOT report it) —
+    the certificate a scatter-gather top-k serves before fetching
+    exact tails. All counts are exact BIGINTs; the candidate frame
+    is (k x shards)-bounded, the shard-count frame vocabulary-
+    bounded, and the bound arithmetic joins candidate-sized state
+    only."""
+    d = _docs(spark, sf_dir)
+    sc_ = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(X.tokens("text")).alias("tok"),
+    )
+    shc = sc_.groupBy("shard", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    wr = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = shc.withColumn("rn", F.row_number().over(wr))
+    top = ranked.filter(F.col("rn") <= 4).localCheckpoint(eager=True)
+    tau = top.groupBy("shard").agg(F.min("c").alias("tau"))
+    cand = top.select("tok").distinct()
+    gl = shc.join(F.broadcast(cand), "tok").groupBy("tok").agg(
+        F.sum("c").alias("global_count")
+    )
+    lb = top.groupBy("tok").agg(
+        F.sum("c").alias("lb"), F.count(F.lit(1)).alias("n_shards_top")
+    )
+    tau_tot = tau.agg(F.sum("tau").alias("tau_all"))
+    miss = (
+        top.select("tok", "shard")
+        .join(F.broadcast(tau), "shard")
+        .groupBy("tok")
+        .agg(F.sum("tau").alias("tau_present"))
+    )
+    return (
+        gl.join(lb, "tok")
+        .join(miss, "tok")
+        .crossJoin(F.broadcast(tau_tot))
+        .select(
+            "tok",
+            "global_count",
+            "lb",
+            (F.col("lb") + F.col("tau_all") - F.col("tau_present")).alias("ub"),
+            "n_shards_top",
+        )
+    )
+
+
+def q_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/contract drift audit over the semi-structured props
+    column: per JSON key, presence counts in the first 15 observed
+    days vs the rest, classified new / dropped / shifted / stable —
+    the data-contract check an ingest gate runs between producer
+    deploys. The rate-shift test is the integer cross-multiplication
+    5*|na*Nb - nb*Na| > Na*Nb (rate delta > 20%) so no division ever
+    happens; keys come from one regexp_extract_all pass (key-,
+    not event-, sized frame after the first reduce)."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        F.col("event_type"),
+        F.when(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day")) < 15, 1
+        ).otherwise(0).alias("in_a"),
+        F.array_distinct(
+            F.expr(
+                "regexp_extract_all(props, '\"([A-Za-z0-9_]+)\"\\\\s*:', 1)"
+            )
+        ).alias("keys"),
+    )
+    tot = base.agg(
+        F.sum(F.col("in_a").cast("long")).alias("na_tot"),
+        F.sum((F.lit(1) - F.col("in_a")).cast("long")).alias("nb_tot"),
+    )
+    kc = (
+        base.select("event_type", "in_a", F.explode("keys").alias("key"))
+        .groupBy("event_type", "key")
+        .agg(
+            F.sum(F.col("in_a").cast("long")).alias("na"),
+            F.sum((F.lit(1) - F.col("in_a")).cast("long")).alias("nb"),
+        )
+    )
+    return (
+        kc.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "key",
+            "na",
+            "nb",
+            F.expr(
+                "CASE WHEN na = 0 THEN 'new'"
+                " WHEN nb = 0 THEN 'dropped'"
+                " WHEN 5 * abs(na * nb_tot - nb * na_tot) > na_tot * nb_tot"
+                " THEN 'shifted' ELSE 'stable' END"
+            ).alias("status"),
+        )
+    )
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor — the statistics a parquet/ORC
+    writer collects per column chunk to pick DICT vs RLE vs PLAIN:
+    for three orders columns, exact row count, NDV, run count within
+    4096-row rowgroups (runs never cross rowgroup boundaries —
+    exactly how writers measure, and exactly what keeps the window
+    partitioned and scale-safe), and total byte width; the
+    recommendation is the frozen rule DICT if ndv*100 <= n, else RLE
+    if runs*10 <= n, else PLAIN. The (column, value) explode triples
+    the scan width but stays one pass; every window partitions by
+    (column, rowgroup)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") / 4096).cast("long").alias("rg"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("val"),
+                ),
+            )
+        ).alias("cv"),
+    ).select("o_orderkey", "rg", F.col("cv.col").alias("col"), F.col("cv.val").alias("val"))
+    wl = Window.partitionBy("col", "rg").orderBy("o_orderkey")
+    runs = cols.withColumn(
+        "is_run_start",
+        F.when(
+            F.lag("val").over(wl).isNull() | (F.lag("val").over(wl) != F.col("val")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("ndv"),
+        F.sum(F.col("is_run_start").cast("long")).alias("n_runs"),
+        F.sum(F.length("val").cast("long")).alias("total_bytes"),
+    )
+    return agg.select(
+        "col",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        "total_bytes",
+        F.expr(
+            "CASE WHEN ndv * 100 <= n_rows THEN 'DICT'"
+            " WHEN n_runs * 10 <= n_rows THEN 'RLE'"
+            " ELSE 'PLAIN' END"
+        ).alias("encoding"),
+    )
+
+
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover) distance between the first-15-days
+    and remaining event value distributions — the L1 drift companion
+    to ks_two_sample's max-gap: W1 = (1/(nA*nB)) * sum over unit
+    buckets |cumA*nB - cumB*nA|, which is exact integer arithmetic
+    over a COMPLETE bucket spine (range-join spine keeps empty
+    buckets contributing, since CDFs hold constant across gaps). The
+    spine is value-range- (491), not corpus-, sized; counts are one
+    conditional-sum scan."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        F.floor(F.col("value")).cast("long").alias("bucket"),
+        F.when(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day")) < 15, 1
+        ).otherwise(0).alias("in_a"),
+    )
+    cnt = base.groupBy("bucket").agg(
+        F.sum(F.col("in_a").cast("long")).alias("ca"),
+        F.sum((F.lit(1) - F.col("in_a")).cast("long")).alias("cb"),
+    )
+    spine = spark.range(0, 491).select(F.col("id").alias("bucket"))
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        spine.join(cnt, "bucket", "left")
+        .withColumn("ca", F.coalesce(F.col("ca"), F.lit(0).cast("long")))
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0).cast("long")))
+        .withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+            .alias("num"),
+        )
+    )
+    return (
+        g.groupBy("na", "nb")
+        .agg(F.sum("num").alias("w1_num"))
+        .select(
+            "na",
+            "nb",
+            "w1_num",
+            F.expr("(w1_num * 1000000) div (na * nb)").alias("w1_e6"),
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -9619,6 +9891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distmult_scores": q_distmult_scores,
         "type_inheritance_rollup": q_type_inheritance_rollup,
         "bgp_two_hop": q_bgp_two_hop,
+        "f2_ams_sketch": q_f2_ams_sketch,
+        "tput_topk_bounds": q_tput_topk_bounds,
+        "schema_drift_audit": q_schema_drift_audit,
+        "encoding_advisor": q_encoding_advisor,
+        "emd_drift": q_emd_drift,
     }
 
 
@@ -15429,5 +15706,137 @@ def oracle_sql() -> dict[str, str]:
             FROM tt t1 JOIN tt t2
               ON t1.obj = t2.subj AND t1.subj <> t2.obj
             GROUP BY 1, 2
+        """,
+        "f2_ams_sketch": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+            cnt AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+            f2 AS (SELECT sum(c * c)::BIGINT AS f2_exact FROM cnt),
+            sk AS (
+              SELECT i AS sketch_id,
+                     sum(c * (({_dk_hex8("i::VARCHAR || ':' || tok")} % 2)
+                              * 2 - 1))::BIGINT AS z
+              FROM cnt CROSS JOIN (SELECT unnest(range(5)) AS i)
+              GROUP BY i
+            )
+            SELECT sketch_id::BIGINT AS sketch_id, z,
+                   (z * z)::BIGINT AS est_f2,
+                   (SELECT f2_exact FROM f2) AS f2_exact,
+                   ((abs(z * z - (SELECT f2_exact FROM f2)) * 1000000)
+                    // (SELECT f2_exact FROM f2))::BIGINT AS err_ppm
+            FROM sk
+        """,
+        "tput_topk_bounds": f"""
+            WITH toks AS (SELECT doc_id % 8 AS shard, unnest({_TOKS}) AS tok
+                          FROM documents),
+            shc AS (SELECT shard, tok, count(*)::BIGINT AS c
+                    FROM toks GROUP BY 1, 2),
+            ranked AS (SELECT shard, tok, c,
+                              row_number() OVER (PARTITION BY shard
+                                ORDER BY c DESC, tok ASC) AS rn
+                       FROM shc),
+            top AS (SELECT shard, tok, c FROM ranked WHERE rn <= 4),
+            tau AS (SELECT shard, min(c)::BIGINT AS tau FROM top
+                    GROUP BY shard),
+            cand AS (SELECT DISTINCT tok FROM top),
+            gl AS (SELECT shc.tok, sum(shc.c)::BIGINT AS global_count
+                   FROM shc JOIN cand ON cand.tok = shc.tok GROUP BY 1),
+            lb AS (SELECT tok, sum(c)::BIGINT AS lb,
+                          count(*)::BIGINT AS n_shards_top
+                   FROM top GROUP BY tok),
+            tt AS (SELECT sum(tau)::BIGINT AS tau_all FROM tau),
+            mp AS (SELECT top.tok, sum(tau.tau)::BIGINT AS tau_present
+                   FROM top JOIN tau ON tau.shard = top.shard
+                   GROUP BY 1)
+            SELECT gl.tok, gl.global_count, lb.lb,
+                   (lb.lb + (SELECT tau_all FROM tt)
+                    - mp.tau_present)::BIGINT AS ub,
+                   lb.n_shards_top
+            FROM gl JOIN lb ON lb.tok = gl.tok
+            JOIN mp ON mp.tok = gl.tok
+        """,
+        "schema_drift_audit": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+            base AS (
+              SELECT event_type,
+                     CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                         CAST(ts AS DATE)) < 15
+                          THEN 1 ELSE 0 END AS in_a,
+                     list_distinct(regexp_extract_all(props,
+                       '"([A-Za-z0-9_]+)"\\s*:', 1)) AS keys
+              FROM events
+            ),
+            tot AS (SELECT sum(in_a)::BIGINT AS na_tot,
+                           sum(1 - in_a)::BIGINT AS nb_tot FROM base),
+            kc AS (SELECT event_type, k.key, sum(in_a)::BIGINT AS na,
+                          sum(1 - in_a)::BIGINT AS nb
+                   FROM base, unnest(keys) AS k(key)
+                   GROUP BY 1, 2)
+            SELECT event_type, key, na, nb,
+                   CASE WHEN na = 0 THEN 'new'
+                        WHEN nb = 0 THEN 'dropped'
+                        WHEN 5 * abs(na * (SELECT nb_tot FROM tot)
+                                     - nb * (SELECT na_tot FROM tot))
+                             > (SELECT na_tot FROM tot)
+                               * (SELECT nb_tot FROM tot)
+                        THEN 'shifted' ELSE 'stable' END AS status
+            FROM kc
+        """,
+        "encoding_advisor": """
+            WITH cols AS (
+              SELECT o_orderkey, o_orderkey // 4096 AS rg, cv.col, cv.val
+              FROM orders, unnest([
+                {'col': 'o_orderstatus', 'val': o_orderstatus::VARCHAR},
+                {'col': 'o_orderpriority', 'val': o_orderpriority::VARCHAR},
+                {'col': 'o_custkey', 'val': o_custkey::VARCHAR}
+              ]) AS t(cv)
+            ),
+            runs AS (
+              SELECT col, val,
+                     CASE WHEN lag(val) OVER (PARTITION BY col, rg
+                            ORDER BY o_orderkey) IS DISTINCT FROM val
+                          THEN 1 ELSE 0 END AS is_run_start
+              FROM cols
+            )
+            SELECT col, count(*)::BIGINT AS n_rows,
+                   count(DISTINCT val)::BIGINT AS ndv,
+                   sum(is_run_start)::BIGINT AS n_runs,
+                   sum(length(val))::BIGINT AS total_bytes,
+                   CASE WHEN count(DISTINCT val) * 100 <= count(*)
+                        THEN 'DICT'
+                        WHEN sum(is_run_start) * 10 <= count(*) THEN 'RLE'
+                        ELSE 'PLAIN' END AS encoding
+            FROM runs GROUP BY col
+        """,
+        "emd_drift": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+            base AS (
+              SELECT floor(value)::BIGINT AS bucket,
+                     CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                         CAST(ts AS DATE)) < 15
+                          THEN 1 ELSE 0 END AS in_a
+              FROM events
+            ),
+            cnt AS (SELECT bucket, sum(in_a)::BIGINT AS ca,
+                           sum(1 - in_a)::BIGINT AS cb
+                    FROM base GROUP BY 1),
+            spine AS (SELECT unnest(range(491))::BIGINT AS bucket),
+            tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                    FROM cnt),
+            g AS (SELECT spine.bucket,
+                         coalesce(cnt.ca, 0)::BIGINT AS ca,
+                         coalesce(cnt.cb, 0)::BIGINT AS cb
+                  FROM spine LEFT JOIN cnt ON cnt.bucket = spine.bucket),
+            cum AS (SELECT (SELECT na FROM tot) AS na,
+                           (SELECT nb FROM tot) AS nb,
+                           abs(sum(ca) OVER (ORDER BY bucket ROWS BETWEEN
+                                 UNBOUNDED PRECEDING AND CURRENT ROW)
+                               * (SELECT nb FROM tot)
+                               - sum(cb) OVER (ORDER BY bucket ROWS BETWEEN
+                                 UNBOUNDED PRECEDING AND CURRENT ROW)
+                               * (SELECT na FROM tot))::BIGINT AS num
+                   FROM g)
+            SELECT na, nb, sum(num)::BIGINT AS w1_num,
+                   ((sum(num) * 1000000) // (na * nb))::BIGINT AS w1_e6
+            FROM cum GROUP BY na, nb
         """,
     }
