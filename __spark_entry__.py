@@ -9611,6 +9611,214 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve at 9 frozen value thresholds (50..450)
+    for the purchase-vs-click classifier score — the sweep an eval
+    harness plots next to roc_auc's scalar. The thresholds ride an
+    explode over the DISTINCT-score count frame (range-bounded), so
+    one scan + one groupBy feed all 9 points; tp/fp/fn are exact
+    conditional sums and the ratios are e6-floored with a
+    greatest(,1) guard on the empty-prediction edge."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.select(
+        F.floor(F.col("value")).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    ).groupBy("s").agg(
+        F.sum(F.col("pos").cast("long")).alias("cp"),
+        F.sum((F.lit(1) - F.col("pos")).cast("long")).alias("cn"),
+    )
+    thr = spark.range(1, 10).select((F.col("id") * 50).alias("threshold"))
+    j = g.crossJoin(F.broadcast(thr))
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.expr("CASE WHEN s >= threshold THEN cp ELSE 0 END")).alias("tp"),
+        F.sum(F.expr("CASE WHEN s >= threshold THEN cn ELSE 0 END")).alias("fp"),
+        F.sum(F.expr("CASE WHEN s < threshold THEN cp ELSE 0 END")).alias("fn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(tp * 1000000) div greatest(tp + fp, 1)").alias("precision_e6"),
+        F.expr("(tp * 1000000) div greatest(tp + fn, 1)").alias("recall_e6"),
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for value/500 as a pseudo-probability
+    of purchase (vs click) — the calibration audit that decides
+    whether a score needs Platt/isotonic correction. 10 equal-width
+    bins; per bin the exact count, positive count, e6 mean predicted
+    probability (integer sum of per-event e6 scores div n) and e6
+    observed rate. One scan, one groupBy; output is bin-sized."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        F.round(F.col("value") * 2000, 0).cast("long").alias("p_e6"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pos").cast("long")).alias("n_pos"),
+            F.sum("p_e6").alias("sum_p_e6"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("sum_p_e6 div n").alias("mean_pred_e6"),
+            F.expr("(n_pos * 1000000) div n").alias("obs_rate_e6"),
+        )
+    )
+
+
+def q_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs for the shortest-doc-first
+    retrieval heuristic (the ndcg_at_k system): per gazetteer term,
+    the rank of the first RELEVANT document (tf >= 2) under the
+    (dl asc, doc_id asc) ordering of candidate docs, and its e6
+    reciprocal — 0 for terms with no relevant doc, which a macro
+    average must count, not skip. Candidate-sized frames throughout;
+    the first-relevant reduction is a min over the ranked frame, no
+    second scan."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("alias"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    gaz = _gazetteer_df(spark).select("alias").distinct()
+    tf = (
+        toks.join(F.broadcast(gaz), "alias")
+        .groupBy("alias", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cand = tf.join(dl, "doc_id")
+    wsys = Window.partitionBy("alias").orderBy(F.asc("dl"), F.asc("doc_id"))
+    ranked = cand.withColumn("rs", F.row_number().over(wsys).cast("long"))
+    first_rel = (
+        ranked.filter(F.col("tf") >= 2)
+        .groupBy("alias")
+        .agg(F.min("rs").alias("first_rel_rank"))
+    )
+    terms = ranked.groupBy(F.col("alias")).agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        terms.join(first_rel, "alias", "left")
+        .select(
+            F.col("alias").alias("term"),
+            "n_cand",
+            F.coalesce(F.col("first_rel_rank"), F.lit(0).cast("long")).alias(
+                "first_rel_rank"
+            ),
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0).cast("long")
+            ).alias("rr_e6"),
+        )
+    )
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov
+    chain by 4 fixed integer power-iteration rounds — the steady
+    -state mix a funnel simulator needs. Transition counts come from
+    one lead() pass per user (corpus-sized once); the chain state is
+    a 5-row vector in e12 fixed point, each round one broadcast join
+    against the 25-cell count matrix with truncating div by the
+    exact row totals (deterministic in both engines; mass loss from
+    truncation is < 25e-12 per round). Fixed rounds, state-sized
+    frames, no driver action in the loop."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wl).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rt = tr.groupBy("src").agg(F.sum("c").alias("rowtot"))
+    mat = tr.join(F.broadcast(rt), "src")
+    pi = rt.select(
+        F.col("src").alias("state"),
+        F.lit(200_000_000_000).alias("pi_e12"),
+    )
+    for _ in range(4):
+        pi = (
+            mat.join(
+                F.broadcast(pi.select(F.col("state").alias("src"), "pi_e12")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("state"),
+                F.expr("(pi_e12 * c) div rowtot").alias("m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("m").alias("pi_e12"))
+        )
+    return pi.join(
+        rt.select(F.col("src").alias("state"), "rowtot"), "state"
+    ).select("state", "rowtot", "pi_e12")
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength of daily order revenue: the
+    between-group share of total variance (eta^2) across ISO weekday
+    groups — the diagnostic that justifies (or kills) a weekly
+    seasonal term in a forecast. All moments are exact hundred-dollar-unit
+    BIGINT sums off one daily rollup; eta^2 is the single shared
+    cross-multiplied expression n*sum_sq decomposition, e6-floored —
+    no float variance anywhere. Output also carries the per-weekday
+    means so the direction of the effect is inspectable."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        # hundred-dollar units: the corpus-total s enters s*s, so the
+        # quantum sets the usable corpus ceiling (~9e9 units); cents or
+        # dollars overflow BIGINT at sf0.1 already
+        F.sum(F.round(F.col("o_totalprice") / 100, 0).cast("long")).alias("x")
+    )
+    dw = daily.select(
+        (F.expr("weekday(day)") + 1).cast("long").alias("iso_dow"), "x"
+    )
+    grp = dw.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+    )
+    tot = dw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    # eta^2 = SSB/SST with SSB = sum_g sg^2/ng - s^2/n,
+    # SST = ss - s^2/n; cross-multiplied by n*prod(ng) is unwieldy —
+    # quantize each group term to e6 of cents^2 via exact div first
+    agg = j.groupBy("n", "s", "ss").agg(
+        F.sum(F.expr("(sg * sg) div ng")).alias("ssb_raw"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return agg.select(
+        "n_groups",
+        "n",
+        F.expr("ssb_raw - (s * s) div n").alias("ssb"),
+        F.expr("ss - (s * s) div n").alias("sst"),
+        F.expr(
+            "((ssb_raw - (s * s) div n) * 1000000)"
+            " div greatest(ss - (s * s) div n, 1)"
+        ).alias("eta2_e6"),
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -9896,6 +10104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_audit": q_schema_drift_audit,
         "encoding_advisor": q_encoding_advisor,
         "emd_drift": q_emd_drift,
+        "pr_curve_points": q_pr_curve_points,
+        "calibration_bins": q_calibration_bins,
+        "mrr_retrieval": q_mrr_retrieval,
+        "markov_stationary": q_markov_stationary,
+        "seasonality_strength": q_seasonality_strength,
     }
 
 
@@ -15838,5 +16051,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT na, nb, sum(num)::BIGINT AS w1_num,
                    ((sum(num) * 1000000) // (na * nb))::BIGINT AS w1_e6
             FROM cum GROUP BY na, nb
+        """,
+        "pr_curve_points": """
+            WITH g AS (
+              SELECT floor(value)::BIGINT AS s,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END)::BIGINT AS cp,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                         END)::BIGINT AS cn
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1
+            ),
+            thr AS (SELECT (unnest(range(1, 10)) * 50)::BIGINT AS threshold),
+            agg AS (
+              SELECT threshold,
+                     sum(CASE WHEN s >= threshold THEN cp ELSE 0
+                         END)::BIGINT AS tp,
+                     sum(CASE WHEN s >= threshold THEN cn ELSE 0
+                         END)::BIGINT AS fp,
+                     sum(CASE WHEN s < threshold THEN cp ELSE 0
+                         END)::BIGINT AS fn
+              FROM g CROSS JOIN thr GROUP BY threshold
+            )
+            SELECT threshold, tp, fp, fn,
+                   ((tp * 1000000) // greatest(tp + fp, 1))::BIGINT
+                     AS precision_e6,
+                   ((tp * 1000000) // greatest(tp + fn, 1))::BIGINT
+                     AS recall_e6
+            FROM agg
+        """,
+        "calibration_bins": """
+            WITH b AS (
+              SELECT least(floor(value / 50)::BIGINT, 9) AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END AS pos,
+                     CAST(round(value * 2000) AS BIGINT) AS p_e6
+              FROM events WHERE event_type IN ('click', 'purchase')
+            )
+            SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+                   (sum(p_e6) // count(*))::BIGINT AS mean_pred_e6,
+                   ((sum(pos) * 1000000) // count(*))::BIGINT AS obs_rate_e6
+            FROM b GROUP BY bin
+        """,
+        "mrr_retrieval": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS alias FROM t),
+            dlen AS (SELECT doc_id, count(*)::BIGINT AS dl
+                     FROM tok GROUP BY doc_id),
+            g AS (SELECT DISTINCT alias FROM gaz),
+            tfq AS (SELECT tok.alias, tok.doc_id, count(*)::BIGINT AS tf
+                    FROM tok JOIN g ON tok.alias = g.alias
+                    GROUP BY 1, 2),
+            cand AS (SELECT tfq.alias, tfq.doc_id, tfq.tf, dlen.dl
+                     FROM tfq JOIN dlen ON tfq.doc_id = dlen.doc_id),
+            r AS (SELECT alias, tf,
+                         row_number() OVER (PARTITION BY alias
+                           ORDER BY dl ASC, doc_id ASC)::BIGINT AS rs
+                  FROM cand),
+            fr AS (SELECT alias, min(rs)::BIGINT AS first_rel_rank
+                   FROM r WHERE tf >= 2 GROUP BY alias),
+            terms AS (SELECT alias, count(*)::BIGINT AS n_cand FROM r
+                      GROUP BY alias)
+            SELECT terms.alias AS term, terms.n_cand,
+                   coalesce(fr.first_rel_rank, 0)::BIGINT AS first_rel_rank,
+                   coalesce(1000000 // fr.first_rel_rank, 0)::BIGINT AS rr_e6
+            FROM terms LEFT JOIN fr ON fr.alias = terms.alias
+        """,
+        "markov_stationary": """
+            WITH tr AS (
+              SELECT src, dst, count(*)::BIGINT AS c FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS dst
+                FROM events
+              ) WHERE dst IS NOT NULL GROUP BY 1, 2
+            ),
+            rt AS (SELECT src, sum(c)::BIGINT AS rowtot FROM tr
+                   GROUP BY src),
+            p0 AS (SELECT src AS state, 200000000000::BIGINT AS pi
+                   FROM rt),
+            p1 AS (SELECT tr.dst AS state,
+                          sum((p0.pi * tr.c) // rt.rowtot)::BIGINT AS pi
+                   FROM tr JOIN rt ON rt.src = tr.src
+                   JOIN p0 ON p0.state = tr.src GROUP BY 1),
+            p2 AS (SELECT tr.dst AS state,
+                          sum((p1.pi * tr.c) // rt.rowtot)::BIGINT AS pi
+                   FROM tr JOIN rt ON rt.src = tr.src
+                   JOIN p1 ON p1.state = tr.src GROUP BY 1),
+            p3 AS (SELECT tr.dst AS state,
+                          sum((p2.pi * tr.c) // rt.rowtot)::BIGINT AS pi
+                   FROM tr JOIN rt ON rt.src = tr.src
+                   JOIN p2 ON p2.state = tr.src GROUP BY 1),
+            p4 AS (SELECT tr.dst AS state,
+                          sum((p3.pi * tr.c) // rt.rowtot)::BIGINT AS pi
+                   FROM tr JOIN rt ON rt.src = tr.src
+                   JOIN p3 ON p3.state = tr.src GROUP BY 1)
+            SELECT p4.state, rt.rowtot, p4.pi AS pi_e12
+            FROM p4 JOIN rt ON rt.src = p4.state
+        """,
+        "seasonality_strength": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                       AS day,
+                     sum(CAST(round(o_totalprice / 100) AS BIGINT))::BIGINT
+                       AS x
+              FROM orders GROUP BY 1
+            ),
+            dw AS (SELECT isodow(CAST(day AS DATE))::BIGINT AS iso_dow, x
+                   FROM daily),
+            grp AS (SELECT iso_dow, count(*)::BIGINT AS ng,
+                           sum(x)::BIGINT AS sg
+                    FROM dw GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+                           sum(x * x)::BIGINT AS ss FROM dw),
+            agg AS (SELECT (SELECT n FROM tot) AS n,
+                           (SELECT s FROM tot) AS s,
+                           (SELECT ss FROM tot) AS ss,
+                           sum((sg * sg) // ng)::BIGINT AS ssb_raw,
+                           count(*)::BIGINT AS n_groups
+                    FROM grp)
+            SELECT n_groups, n,
+                   (ssb_raw - (s * s) // n)::BIGINT AS ssb,
+                   (ss - (s * s) // n)::BIGINT AS sst,
+                   (((ssb_raw - (s * s) // n) * 1000000)
+                    // greatest(ss - (s * s) // n, 1))::BIGINT AS eta2_e6
+            FROM agg
         """,
     }
