@@ -9819,6 +9819,234 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WP_PIECES: list[str] = (
+    # multi-char merges first-class; singles guarantee termination
+    ["sort", "scan", "merge", "spark", "hash", "key", "val", "ue",
+     "tab", "le", "row", "agg", "win", "dow", "par", "ti", "tion",
+     "fast", "slow", "batch", "line", "der", "ing", "er", "st"]
+    + list("abcdefghijklmnopqrstuvwxyz")
+    + list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    + list("0123456789_")
+)
+
+_WP_ROUNDS = 12
+
+
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-prefix-match segmentation of
+    the corpus vocabulary against a frozen subword table — the
+    tokenizer-apply step (BERT's MaxMatch) that bpe_encode's
+    merge-replay complements. The loop is UNROLLED to 12 bounded
+    rounds (max pieces per word; single-char pieces guarantee both
+    termination and full coverage), and each round is: broadcast the
+    piece table, keep the longest matching prefix per word
+    (rank by length desc, piece asc — fully deterministic), strip
+    it, append to the segmentation. Everything runs on the DISTINCT
+    vocabulary (vocab-, not corpus-, sized — the corpus is touched
+    once to build it); per-word counts re-attach at the end so the
+    output still reports corpus frequency."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(X.tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    pieces = spark.createDataFrame(
+        [(p,) for p in _WP_PIECES], "piece string"
+    ).withColumn("plen", F.length("piece"))
+    st = vocab.select("tok", F.col("tok").alias("rem"), F.lit("").alias("seg"))
+    for _ in range(_WP_ROUNDS):
+        done = st.filter(F.col("rem") == "")
+        todo = st.filter(F.col("rem") != "")
+        m = todo.join(
+            F.broadcast(pieces),
+            F.expr("substring(rem, 1, plen) = piece"),
+        )
+        wp = Window.partitionBy("tok").orderBy(F.desc("plen"), F.asc("piece"))
+        st = (
+            m.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select(
+                "tok",
+                F.expr("substring(rem, plen + 1)").alias("rem"),
+                F.concat_ws(
+                    " ", F.nullif(F.col("seg"), F.lit("")), F.col("piece")
+                ).alias("seg"),
+            )
+            .unionByName(done)
+            # vocab-sized; pinning keeps the 12-round plan flat
+            .localCheckpoint(eager=True)
+        )
+    return (
+        st.join(vocab, "tok")
+        .select(
+            "tok",
+            "n",
+            F.col("seg").alias("segmentation"),
+            F.size(F.split("seg", " ")).cast("long").alias("n_pieces"),
+            (F.col("rem") == "").cast("long").alias("complete"),
+        )
+    )
+
+
+def q_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney continuation probabilities — the unigram backoff
+    that makes KN the default n-gram smoother: P_cont(w) =
+    |distinct left contexts of w| / |distinct bigram types|,
+    contrasted with the raw frequency share. One bigram pass feeds
+    both the type-distinct continuation counts and the totals; all
+    ratios are e6-floored integers (ppm). The frame after the first
+    reduce is vocabulary-sized."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bt = bg.distinct().localCheckpoint(eager=True)
+    cont = bt.groupBy(F.col("w2").alias("tok")).agg(
+        F.countDistinct("w1").alias("n_contexts")
+    )
+    btot = bt.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    uni = bg.groupBy(F.col("w2").alias("tok")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    utot = bg.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    return (
+        cont.join(uni, "tok")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "tok",
+            "n_contexts",
+            "n_occurrences",
+            F.expr("(n_contexts * 1000000) div n_bigram_types").alias(
+                "p_cont_ppm"
+            ),
+            F.expr("(n_occurrences * 1000000) div n_bigrams").alias(
+                "p_raw_ppm"
+            ),
+        )
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights (w_d ∝ n_d^T with
+    T = 0.5, the multilingual-sampling rule from the mBERT/XLM-R
+    lineage) — the rebalancing a pretraining mix applies so head
+    domains stop drowning tail domains. T = 0.5 on purpose: sqrt is
+    IEEE-754 correctly-rounded (pow is not), so the e6 quantization
+    is bit-identical across engines by construction, not by libm
+    luck. The frame is domain-sized after one count scan; output
+    carries raw and tempered ppm shares so the flattening is
+    visible."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    g = g.withColumn(
+        "w_e6",
+        F.expr(
+            "cast(round(sqrt(cast(n_docs as double)) * 1000000)"
+            " as bigint)"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("w_e6").alias("w_tot")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_tot").alias("raw_share_ppm"),
+            F.expr("(w_e6 * 1000000) div w_tot").alias("tempered_share_ppm"),
+        )
+    )
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase's value is
+    credited to the user's most recent PRIOR non-purchase event type
+    ('direct' when none) — the marketing-analytics join every event
+    warehouse serves. One window pass per user (last(...ignorenulls)
+    over the preceding frame — no self-join, no as-of shuffle beyond
+    the user partitioning), then a channel-sized rollup of exact e2
+    cents."""
+    ev = _t(spark, sf_dir, "events")
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = (
+        ev.withColumn(
+            "channel",
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(wl),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+        )
+    )
+    return attr.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v_e2").alias("attributed_value_e2"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot diff: per-user table state (last event
+    value) as of day 15 vs day 30 from the first observed day,
+    classified added / updated / unchanged — the audit a lakehouse
+    runs between two snapshot ids. Each state is one
+    max_by-style reduce (last (ts, event_id) wins — associative, no
+    window over the full history), the diff is one user-keyed outer
+    join, and output is user-sized with -1 sentinels instead of
+    NULLs so the hash surface stays total."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.datediff(F.to_date(F.col("ts")), F.col("min_day")).alias("age"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+
+    def state(cutoff: int, name: str) -> DataFrame:
+        return (
+            base.filter(F.col("age") < cutoff)
+            .groupBy("user_id")
+            .agg(
+                F.expr(
+                    "max_by(v_e2, struct(ts, event_id))"
+                ).alias(name)
+            )
+        )
+
+    s1 = state(15, "v1_e2")
+    s2 = state(30, "v2_e2")
+    return (
+        s2.join(s1, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("v1_e2"), F.lit(-1).cast("long")).alias("v1_e2"),
+            F.col("v2_e2"),
+            F.expr(
+                "CASE WHEN v1_e2 IS NULL THEN 'added'"
+                " WHEN v1_e2 <> v2_e2 THEN 'updated'"
+                " ELSE 'unchanged' END"
+            ).alias("status"),
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -10109,6 +10337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr_retrieval": q_mrr_retrieval,
         "markov_stationary": q_markov_stationary,
         "seasonality_strength": q_seasonality_strength,
+        "wordpiece_segment": q_wordpiece_segment,
+        "kn_continuation": q_kn_continuation,
+        "temperature_mix": q_temperature_mix,
+        "attribution_last_touch": q_attribution_last_touch,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -10445,6 +10678,40 @@ def _dk_planes_values() -> str:
 
     rows = ", ".join(f"({t}, {p}, {comps})" for t, p, comps in int_planes(64))
     return f"planes(tbl, plane, comps) AS (VALUES {rows})"
+
+
+def _wp_cte() -> str:
+    """Unrolled 12-round greedy longest-prefix-match segmentation
+    (mirrors q_wordpiece_segment's loop round for round)."""
+    vals = ", ".join(f"('{p}')" for p in _WP_PIECES)
+    ctes = [
+        f"pieces(piece) AS (VALUES {vals})",
+        f"tk AS (SELECT unnest({_TOKS}) AS tok FROM documents)",
+        "vocab AS (SELECT tok, count(*)::BIGINT AS n FROM tk GROUP BY tok)",
+        "r0 AS (SELECT tok, tok AS rem, '' AS seg FROM vocab)",
+    ]
+    for k in range(_WP_ROUNDS):
+        ctes.append(
+            f"""m{k} AS (
+              SELECT tok, rem, seg, piece, length(piece) AS plen,
+                     row_number() OVER (PARTITION BY tok
+                       ORDER BY length(piece) DESC, piece ASC) AS rn
+              FROM r{k} JOIN pieces
+                ON substr(rem, 1, length(piece)) = piece
+              WHERE rem <> ''
+            )"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS (
+              SELECT tok, substr(rem, plen + 1) AS rem,
+                     CASE WHEN seg = '' THEN piece
+                          ELSE seg || ' ' || piece END AS seg
+              FROM m{k} WHERE rn = 1
+              UNION ALL
+              SELECT tok, rem, seg FROM r{k} WHERE rem = ''
+            )"""
+        )
+    return ",\n            ".join(ctes)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -16177,5 +16444,100 @@ def oracle_sql() -> dict[str, str]:
                    (((ssb_raw - (s * s) // n) * 1000000)
                     // greatest(ss - (s * s) // n, 1))::BIGINT AS eta2_e6
             FROM agg
+        """,
+        "wordpiece_segment": f"""
+            WITH {_wp_cte()}
+            SELECT r{_WP_ROUNDS}.tok, vocab.n,
+                   r{_WP_ROUNDS}.seg AS segmentation,
+                   len(string_split(r{_WP_ROUNDS}.seg, ' '))::BIGINT
+                     AS n_pieces,
+                   (CASE WHEN r{_WP_ROUNDS}.rem = '' THEN 1 ELSE 0
+                    END)::BIGINT AS complete
+            FROM r{_WP_ROUNDS} JOIN vocab ON vocab.tok = r{_WP_ROUNDS}.tok
+        """,
+        "kn_continuation": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT split_part(b, ' ', 1) AS w1,
+                     split_part(b, ' ', 2) AS w2
+              FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i + 1])) AS b
+                    FROM t)
+            ),
+            bt AS (SELECT DISTINCT w1, w2 FROM bg),
+            cont AS (SELECT w2 AS tok, count(DISTINCT w1)::BIGINT
+                              AS n_contexts
+                     FROM bt GROUP BY 1),
+            btot AS (SELECT count(*)::BIGINT AS n_bigram_types FROM bt),
+            uni AS (SELECT w2 AS tok, count(*)::BIGINT AS n_occurrences
+                    FROM bg GROUP BY 1),
+            utot AS (SELECT count(*)::BIGINT AS n_bigrams FROM bg)
+            SELECT cont.tok, cont.n_contexts, uni.n_occurrences,
+                   ((cont.n_contexts * 1000000)
+                    // (SELECT n_bigram_types FROM btot))::BIGINT
+                     AS p_cont_ppm,
+                   ((uni.n_occurrences * 1000000)
+                    // (SELECT n_bigrams FROM utot))::BIGINT AS p_raw_ppm
+            FROM cont JOIN uni ON uni.tok = cont.tok
+        """,
+        "temperature_mix": """
+            WITH g AS (SELECT source AS domain, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY 1),
+            w AS (SELECT domain, n_docs,
+                         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS w_e6
+                  FROM g),
+            tot AS (SELECT sum(n_docs)::BIGINT AS n_tot,
+                           sum(w_e6)::BIGINT AS w_tot FROM w)
+            SELECT domain, n_docs,
+                   ((n_docs * 1000000) // (SELECT n_tot FROM tot))::BIGINT
+                     AS raw_share_ppm,
+                   ((w_e6 * 1000000) // (SELECT w_tot FROM tot))::BIGINT
+                     AS tempered_share_ppm
+            FROM w
+        """,
+        "attribution_last_touch": """
+            WITH a AS (
+              SELECT event_type, value,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS channel
+              FROM events
+            )
+            SELECT coalesce(channel, 'direct') AS channel,
+                   count(*)::BIGINT AS n_purchases,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                     AS attributed_value_e2
+            FROM a WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "snapshot_diff": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+            base AS (
+              SELECT user_id, ts, event_id,
+                     date_diff('day', (SELECT min_day FROM mn),
+                               CAST(ts AS DATE)) AS age,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events
+            ),
+            s1 AS (SELECT user_id, v_e2 AS v1_e2 FROM (
+                     SELECT user_id, v_e2,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM base WHERE age < 15) WHERE rn = 1),
+            s2 AS (SELECT user_id, v_e2 AS v2_e2 FROM (
+                     SELECT user_id, v_e2,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM base WHERE age < 30) WHERE rn = 1)
+            SELECT s2.user_id,
+                   coalesce(s1.v1_e2, -1)::BIGINT AS v1_e2,
+                   s2.v2_e2,
+                   CASE WHEN s1.v1_e2 IS NULL THEN 'added'
+                        WHEN s1.v1_e2 <> s2.v2_e2 THEN 'updated'
+                        ELSE 'unchanged' END AS status
+            FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
         """,
     }
