@@ -10047,6 +10047,361 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tok_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed token-adjacency graph (bigram weight >= 40) — the
+    scc_bounded graph, shared by the batch-Q structure queries.
+    Pinned: every consumer runs multi-branch plans over it."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    return (
+        bg.filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _tok_ungraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (x < y, summed weight) view of _tok_digraph."""
+    de = _tok_digraph(spark, sf_dir)
+    return (
+        de.groupBy(
+            F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
+        )
+        .agg(F.sum("n").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bitmap_sweep(m0: DataFrame, edges: DataFrame, rounds: int) -> list[DataFrame]:
+    """Exact-bitmap reachability rounds: mask of `dst` propagates to
+    `src` each round; returns [m0, m1, .., m_rounds], each pinned."""
+    out = [m0]
+    m = m0
+    for _ in range(rounds):
+        contrib = m.unionAll(
+            edges.join(m.withColumnRenamed("node", "dst"), "dst").select(
+                F.col("src").alias("node"), "mask"
+            )
+        )
+        m = (
+            contrib.groupBy("node")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(m)
+    return out
+
+
+def q_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph bowtie decomposition (Broder et al. 2000) of the
+    directed token graph: nodes classified core / in / out / tube /
+    other relative to the LARGEST diameter-bounded SCC — the macro
+    -structure audit crawl pipelines run before frontier
+    scheduling. Reuses the scc_bounded machinery (4-round exact
+    -bitmap forward+backward sweeps, node-sized BIGINT masks); the
+    core's bit set is a 1-row broadcast, so classification is a
+    codegen projection over the node frame. Fixed rounds, no driver
+    action; at web scale the masks become propagation colors,
+    the shape is unchanged."""
+    de = _tok_digraph(spark, sf_dir).select(
+        F.col("t1").alias("src"), F.col("t2").alias("dst")
+    )
+    wn = Window.orderBy("node")
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .unionAll(de.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("idx", F.row_number().over(wn) - 1)
+        .filter(F.col("idx") < 63)
+    )
+    m0 = nodes.select(
+        "node", F.expr("shiftleft(cast(1 as bigint), idx)").alias("mask")
+    ).localCheckpoint(eager=True)
+    fwd = _bitmap_sweep(m0, de, 4)[-1]
+    bwd = _bitmap_sweep(
+        m0, de.select(F.col("dst").alias("src"), F.col("src").alias("dst")), 4
+    )[-1]
+    sm = (
+        fwd.select("node", F.col("mask").alias("fm"))
+        .join(
+            bwd.select(F.col("node").alias("bn"), F.col("mask").alias("bm")),
+            F.col("node") == F.col("bn"),
+        )
+        .select("node", "fm", "bm", F.expr("fm & bm").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    grp = sm.groupBy("m").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("node").alias("gid")
+    )
+    wg = Window.orderBy(F.desc("sz"), F.asc("gid"))
+    core_m = (
+        grp.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .select(F.col("m").alias("core_m"))
+    )
+    core_bits = (
+        sm.crossJoin(F.broadcast(core_m))
+        .filter(F.col("m") == F.col("core_m"))
+        .join(m0.withColumnRenamed("node", "cn"), F.col("node") == F.col("cn"))
+        .agg(F.expr("bit_or(mask)").alias("core_bits"))
+    )
+    return (
+        sm.crossJoin(F.broadcast(core_m))
+        .crossJoin(F.broadcast(core_bits))
+        .select(
+            "node",
+            F.expr(
+                "CASE WHEN m = core_m THEN 'core'"
+                " WHEN (fm & core_bits) <> 0 AND (bm & core_bits) <> 0"
+                " THEN 'tube'"
+                " WHEN (fm & core_bits) <> 0 THEN 'in'"
+                " WHEN (bm & core_bits) <> 0 THEN 'out'"
+                " ELSE 'other' END"
+            ).alias("bowtie_class"),
+        )
+    )
+
+
+def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel coarsening step (the METIS/Graclus contraction):
+    a deterministic mutual-min matching (each node proposes its
+    lexicographically smallest neighbor; mutual proposals match) is
+    contracted — matched pairs collapse to the smaller endpoint,
+    edges re-key to supernodes, parallel edges sum their weights,
+    self-loops drop. Output is the coarsened weighted edge list plus
+    how many input edges each carries. Everything is edge-sized:
+    one symmetric explode, one node-keyed min, one mutual self-join,
+    one re-key groupBy."""
+    e = _tok_ungraph(spark, sf_dir)
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    prop = sym.groupBy("src").agg(F.min("dst").alias("pick"))
+    p2 = prop.select(F.col("src").alias("s2"), F.col("pick").alias("pick2"))
+    matched = (
+        prop.join(p2, (F.col("pick") == F.col("s2")) & (F.col("pick2") == F.col("src")))
+        .filter(F.col("src") < F.col("pick"))
+        .select(F.col("src").alias("keep"), F.col("pick").alias("gone"))
+        .localCheckpoint(eager=True)
+    )
+    mapping = matched.select(
+        F.col("gone").alias("node"), F.col("keep").alias("super")
+    )
+    remap = (
+        e.join(
+            F.broadcast(mapping.withColumnRenamed("node", "x").withColumnRenamed("super", "sx")),
+            "x",
+            "left",
+        )
+        .join(
+            F.broadcast(mapping.withColumnRenamed("node", "y").withColumnRenamed("super", "sy")),
+            "y",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("sx"), F.col("x")).alias("ux"),
+            F.coalesce(F.col("sy"), F.col("y")).alias("uy"),
+            "w",
+        )
+    )
+    return (
+        remap.filter(F.col("ux") != F.col("uy"))
+        .groupBy(
+            F.least("ux", "uy").alias("sx"), F.greatest("ux", "uy").alias("sy")
+        )
+        .agg(F.sum("w").alias("w_sum"), F.count(F.lit(1)).alias("n_merged_edges"))
+    )
+
+
+def q_graph_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut + conductance audit of a 4-way hash partitioning of
+    the token graph — the placement-quality report a distributed
+    graph engine prints before deciding to re-partition. Parts are
+    content-derived (md5 mod 4, partitioning-invariant); per part:
+    node count, volume (degree sum), internal and cut edge counts,
+    and e6 conductance cut/min(vol, 2m−vol). Edge-sized joins
+    against a broadcast node→part map; output is 4 rows."""
+    e = _tok_ungraph(spark, sf_dir)
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    part = deg.select(
+        "node",
+        "deg",
+        (
+            F.conv(F.substring(F.md5("node"), 1, 8), 16, 10).cast("long") % 4
+        ).alias("part"),
+    ).localCheckpoint(eager=True)
+    ep = (
+        e.join(
+            F.broadcast(
+                part.select(F.col("node").alias("x"), F.col("part").alias("px"))
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                part.select(F.col("node").alias("y"), F.col("part").alias("py"))
+            ),
+            "y",
+        )
+    )
+    internal = (
+        ep.filter(F.col("px") == F.col("py"))
+        .groupBy(F.col("px").alias("part"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    cut = (
+        ep.filter(F.col("px") != F.col("py"))
+        .select(F.explode(F.array("px", "py")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    vol = part.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("volume")
+    )
+    tot = e.agg((F.count(F.lit(1)) * 2).alias("vol_all"))
+    return (
+        vol.join(internal, "part", "left")
+        .join(cut, "part", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "n_nodes",
+            "volume",
+            F.coalesce("internal_edges", F.lit(0).cast("long")).alias(
+                "internal_edges"
+            ),
+            F.coalesce("cut_edges", F.lit(0).cast("long")).alias("cut_edges"),
+            F.expr(
+                "(coalesce(cut_edges, 0) * 1000000)"
+                " div greatest(least(volume, vol_all - volume), 1)"
+            ).alias("conductance_e6"),
+        )
+    )
+
+
+def q_eccentricity_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity capped at 4 hops over the undirected
+    token graph, via the exact-bitmap sweeps: ecc = the first round
+    whose reach set already equals the 4-round set (growth-stop
+    detection — no per-pair distances ever materialize), plus the
+    4-hop reach size. This is the per-node radius/diameter probe
+    (the iFUB building block); same fixed-round node-sized-mask
+    discipline as neighborhood_function."""
+    e = _tok_ungraph(spark, sf_dir)
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    wn = Window.orderBy("node")
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(wn) - 1)
+        .filter(F.col("idx") < 63)
+    )
+    m0 = nodes.select(
+        "node", F.expr("shiftleft(cast(1 as bigint), idx)").alias("mask")
+    ).localCheckpoint(eager=True)
+    ms = _bitmap_sweep(m0, sym, 4)
+    j = ms[0].select("node", F.col("mask").alias("m0"))
+    for k in range(1, 5):
+        j = j.join(
+            ms[k].select(
+                F.col("node").alias(f"n{k}"), F.col("mask").alias(f"m{k}")
+            ),
+            F.col("node") == F.col(f"n{k}"),
+        ).drop(f"n{k}")
+    return j.select(
+        "node",
+        F.expr(
+            "CASE WHEN m4 = m0 THEN 0 WHEN m4 = m1 THEN 1"
+            " WHEN m4 = m2 THEN 2 WHEN m4 = m3 THEN 3 ELSE 4 END"
+        ).cast("long").alias("ecc_capped"),
+        F.expr("bit_count(m4)").cast("long").alias("n_reached"),
+    )
+
+
+def q_edge_jaccard_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity edge sparsification (Satuluri et al. 2011):
+    every edge scored by the Jaccard similarity of its endpoints'
+    neighborhoods (common wedge count over union), then flagged KEEP
+    if it ranks top-2 by similarity at EITHER endpoint — the
+    degree-proportional sparsifier that preserves community
+    structure while dropping bulk edges. Common-neighbor counts ride
+    the same wedge join as the truss queries; ranks are two windows
+    over the symmetric scored edges; everything stays edge-sized."""
+    e = _tok_ungraph(spark, sf_dir).select("x", "y")
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    an = sym.select(F.col("src").alias("ax"), F.col("dst").alias("w1"))
+    bn = sym.select(F.col("src").alias("by"), F.col("dst").alias("w2"))
+    com = (
+        e.join(an, F.col("x") == F.col("ax"))
+        .join(bn, (F.col("y") == F.col("by")) & (F.col("w1") == F.col("w2")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cmn"))
+    )
+    scored = (
+        e.join(com, ["x", "y"], "left")
+        .withColumn("cmn", F.coalesce("cmn", F.lit(0).cast("long")))
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))),
+            "x",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))),
+            "y",
+        )
+        .select(
+            "x",
+            "y",
+            F.col("cmn").alias("common_neighbors"),
+            F.expr(
+                "(cmn * 1000000) div greatest(dx + dy - 2 - cmn, 1)"
+            ).alias("jaccard_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    se = scored.select(
+        F.col("x").alias("end"), "x", "y", "jaccard_ppm"
+    ).unionAll(scored.select(F.col("y").alias("end"), "x", "y", "jaccard_ppm"))
+    wr = Window.partitionBy("end").orderBy(
+        F.desc("jaccard_ppm"), F.asc("x"), F.asc("y")
+    )
+    keep = (
+        se.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select("x", "y")
+        .distinct()
+        .withColumn("keep", F.lit(1).cast("long"))
+    )
+    return scored.join(keep, ["x", "y"], "left").select(
+        "x",
+        "y",
+        "common_neighbors",
+        "jaccard_ppm",
+        F.coalesce("keep", F.lit(0).cast("long")).alias("keep"),
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -10342,6 +10697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "attribution_last_touch": q_attribution_last_touch,
         "snapshot_diff": q_snapshot_diff,
+        "bowtie_structure": q_bowtie_structure,
+        "graph_coarsen": q_graph_coarsen,
+        "graph_partition_quality": q_graph_partition_quality,
+        "eccentricity_bounded": q_eccentricity_bounded,
+        "edge_jaccard_sparsify": q_edge_jaccard_sparsify,
     }
 
 
@@ -10712,6 +11072,27 @@ def _wp_cte() -> str:
             )"""
         )
     return ",\n            ".join(ctes)
+
+
+def _tok_graph_cte() -> str:
+    """Thresholded token-adjacency graph CTEs (directed `de` with
+    weights + undirected `und`) shared by the batch-Q oracles —
+    mirrors _tok_digraph/_tok_ungraph."""
+    return f"""t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            bgq AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t
+            ),
+            cq AS (SELECT split_part(bigram, ' ', 1) AS t1,
+                          split_part(bigram, ' ', 2) AS t2,
+                          count(*)::BIGINT AS n
+                   FROM bgq GROUP BY 1, 2),
+            de AS (SELECT t1 AS src, t2 AS dst, n FROM cq
+                   WHERE t1 <> t2 AND n >= 40),
+            und AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y,
+                           sum(n)::BIGINT AS w
+                    FROM de GROUP BY 1, 2)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -16539,5 +16920,156 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s1.v1_e2 <> s2.v2_e2 THEN 'updated'
                         ELSE 'unchanged' END AS status
             FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+        """,
+        "bowtie_structure": f"""
+            WITH {_tok_graph_cte()},
+            nodes AS (SELECT node,
+                             row_number() OVER (ORDER BY node) - 1 AS idx
+                      FROM (SELECT src AS node FROM de
+                            UNION SELECT dst FROM de)),
+            bm0 AS (SELECT node, (1::BIGINT << idx) AS mask FROM nodes
+                    WHERE idx < 63),
+            {_dir_mask_rounds_sql("fw", "src", "dst", 4)},
+            {_dir_mask_rounds_sql("bk", "dst", "src", 4)},
+            sm AS (SELECT fw4.node, fw4.mask AS fm, bk4.mask AS bm,
+                          (fw4.mask & bk4.mask) AS m
+                   FROM fw4 JOIN bk4 ON bk4.node = fw4.node),
+            grp AS (SELECT m, count(*)::BIGINT AS sz, min(node) AS gid
+                    FROM sm GROUP BY m),
+            core AS (SELECT m AS core_m FROM (
+                       SELECT m, row_number() OVER (ORDER BY sz DESC,
+                         gid ASC) AS rn FROM grp) WHERE rn = 1),
+            cb AS (SELECT bit_or(bm0.mask) AS core_bits
+                   FROM sm JOIN bm0 ON bm0.node = sm.node
+                   WHERE sm.m = (SELECT core_m FROM core))
+            SELECT node,
+                   CASE WHEN m = (SELECT core_m FROM core) THEN 'core'
+                        WHEN (fm & (SELECT core_bits FROM cb)) <> 0
+                         AND (bm & (SELECT core_bits FROM cb)) <> 0
+                        THEN 'tube'
+                        WHEN (fm & (SELECT core_bits FROM cb)) <> 0
+                        THEN 'in'
+                        WHEN (bm & (SELECT core_bits FROM cb)) <> 0
+                        THEN 'out'
+                        ELSE 'other' END AS bowtie_class
+            FROM sm
+        """,
+        "graph_coarsen": f"""
+            WITH {_tok_graph_cte()},
+            sym AS (SELECT x AS src, y AS dst FROM und
+                    UNION ALL SELECT y, x FROM und),
+            prop AS (SELECT src, min(dst) AS pick FROM sym GROUP BY src),
+            matched AS (
+              SELECT a.src AS keep, a.pick AS gone
+              FROM prop a JOIN prop b
+                ON a.pick = b.src AND b.pick = a.src
+              WHERE a.src < a.pick
+            ),
+            remap AS (
+              SELECT coalesce(mx.keep, und.x) AS ux,
+                     coalesce(my.keep, und.y) AS uy, und.w
+              FROM und
+              LEFT JOIN matched mx ON mx.gone = und.x
+              LEFT JOIN matched my ON my.gone = und.y
+            )
+            SELECT least(ux, uy) AS sx, greatest(ux, uy) AS sy,
+                   sum(w)::BIGINT AS w_sum,
+                   count(*)::BIGINT AS n_merged_edges
+            FROM remap WHERE ux <> uy GROUP BY 1, 2
+        """,
+        "graph_partition_quality": f"""
+            WITH {_tok_graph_cte()},
+            sym AS (SELECT x AS src, y AS dst FROM und
+                    UNION ALL SELECT y, x FROM und),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym
+                    GROUP BY 1),
+            part AS (SELECT node, deg,
+                            {_dk_hex8('node')} % 4 AS part
+                     FROM deg),
+            ep AS (SELECT px.part AS px, py.part AS py FROM und
+                   JOIN part px ON px.node = und.x
+                   JOIN part py ON py.node = und.y),
+            internal AS (SELECT px AS part, count(*)::BIGINT
+                                  AS internal_edges
+                         FROM ep WHERE px = py GROUP BY 1),
+            cut AS (SELECT p AS part, count(*)::BIGINT AS cut_edges
+                    FROM (SELECT unnest([px, py]) AS p FROM ep
+                          WHERE px <> py)
+                    GROUP BY 1),
+            vol AS (SELECT part, count(*)::BIGINT AS n_nodes,
+                           sum(deg)::BIGINT AS volume
+                    FROM part GROUP BY 1),
+            tot AS (SELECT (count(*) * 2)::BIGINT AS vol_all FROM und)
+            SELECT vol.part, vol.n_nodes, vol.volume,
+                   coalesce(internal.internal_edges, 0)::BIGINT
+                     AS internal_edges,
+                   coalesce(cut.cut_edges, 0)::BIGINT AS cut_edges,
+                   ((coalesce(cut.cut_edges, 0) * 1000000)
+                    // greatest(least(vol.volume,
+                         (SELECT vol_all FROM tot) - vol.volume), 1))::BIGINT
+                     AS conductance_e6
+            FROM vol
+            LEFT JOIN internal ON internal.part = vol.part
+            LEFT JOIN cut ON cut.part = vol.part
+        """,
+        "eccentricity_bounded": f"""
+            WITH {_tok_graph_cte()},
+            de2 AS (SELECT x AS src, y AS dst FROM und
+                    UNION ALL SELECT y, x FROM und),
+            nodes AS (SELECT node,
+                             row_number() OVER (ORDER BY node) - 1 AS idx
+                      FROM (SELECT DISTINCT src AS node FROM de2)),
+            bm0 AS (SELECT node, (1::BIGINT << idx) AS mask FROM nodes
+                    WHERE idx < 63),
+            {_dir_mask_rounds_sql("ec", "src", "dst", 4).replace("de.", "de2.").replace("FROM de", "FROM de2")}
+            SELECT ec0.node,
+                   (CASE WHEN ec4.mask = ec0.mask THEN 0
+                         WHEN ec4.mask = ec1.mask THEN 1
+                         WHEN ec4.mask = ec2.mask THEN 2
+                         WHEN ec4.mask = ec3.mask THEN 3
+                         ELSE 4 END)::BIGINT AS ecc_capped,
+                   bit_count(ec4.mask)::BIGINT AS n_reached
+            FROM ec0
+            JOIN ec1 ON ec1.node = ec0.node
+            JOIN ec2 ON ec2.node = ec0.node
+            JOIN ec3 ON ec3.node = ec0.node
+            JOIN ec4 ON ec4.node = ec0.node
+        """,
+        "edge_jaccard_sparsify": f"""
+            WITH {_tok_graph_cte()},
+            e AS (SELECT x, y FROM und),
+            sym AS (SELECT x AS src, y AS dst FROM e
+                    UNION ALL SELECT y, x FROM e),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym
+                    GROUP BY 1),
+            com AS (SELECT e.x, e.y, count(*)::BIGINT AS cmn
+                    FROM e
+                    JOIN sym a ON a.src = e.x
+                    JOIN sym b ON b.src = e.y AND b.dst = a.dst
+                    GROUP BY 1, 2),
+            scored AS (
+              SELECT e.x, e.y, coalesce(com.cmn, 0)::BIGINT
+                       AS common_neighbors,
+                     ((coalesce(com.cmn, 0) * 1000000)
+                      // greatest(dx.deg + dy.deg - 2
+                                  - coalesce(com.cmn, 0), 1))::BIGINT
+                       AS jaccard_ppm
+              FROM e
+              LEFT JOIN com ON com.x = e.x AND com.y = e.y
+              JOIN deg dx ON dx.node = e.x
+              JOIN deg dy ON dy.node = e.y
+            ),
+            se AS (SELECT x AS "end", x, y, jaccard_ppm FROM scored
+                   UNION ALL SELECT y, x, y, jaccard_ppm FROM scored),
+            keep AS (SELECT DISTINCT x, y FROM (
+                       SELECT x, y, row_number() OVER (PARTITION BY "end"
+                         ORDER BY jaccard_ppm DESC, x ASC, y ASC) AS rn
+                       FROM se) WHERE rn <= 2)
+            SELECT scored.x, scored.y, scored.common_neighbors,
+                   scored.jaccard_ppm,
+                   (CASE WHEN keep.x IS NOT NULL THEN 1 ELSE 0
+                    END)::BIGINT AS keep
+            FROM scored
+            LEFT JOIN keep ON keep.x = scored.x AND keep.y = scored.y
         """,
     }
