@@ -10402,6 +10402,236 @@ def q_edge_jaccard_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — every purchase's cents are
+    split EQUALLY across all prior non-purchase touches of the user,
+    integer-exactly: each touch gets v div n and the remainder goes
+    to the earliest touch, so per-purchase credit sums are exactly v
+    (the invariant finance reconciliation checks; float splits can't
+    guarantee it). Purchases with no prior touch credit 'direct'.
+    The purchase×prior-touch pair frame is per-user-history bounded
+    (at 100 TB you cap the lookback window, same plan); the split is
+    a window rank + codegen arithmetic, rolled up channel-sized."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        | ((F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid")))
+    )
+    wp = Window.partitionBy("user_id", "pid").orderBy("tts", "tid")
+    wn = Window.partitionBy("user_id", "pid")
+    split = (
+        j.withColumn("rn", F.row_number().over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "channel",
+            (
+                F.expr("v_e2 div n")
+                + F.when(F.col("rn") == 1, F.expr("v_e2 - n * (v_e2 div n)"))
+                .otherwise(F.lit(0))
+            ).alias("credit_e2"),
+        )
+    )
+    direct = (
+        p.join(
+            j.select("user_id", "pid").distinct(), ["user_id", "pid"], "left_anti"
+        )
+        .select(F.lit("direct").alias("channel"), F.col("v_e2").alias("credit_e2"))
+    )
+    return (
+        split.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_e2").alias("attributed_value_e2"),
+        )
+    )
+
+
+def q_low_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the (event_type, day, hour) activity
+    grid: cells whose count falls below HALF the per-type mean are
+    grouped into maximal consecutive-hour islands (the classic
+    cell_index - row_number trick — one window, no self-join), and
+    the output reports each island's type, start/end hour index and
+    length — the quiet-period detector an on-call dashboard runs.
+    The threshold is scale-RELATIVE (2 * count * n_cells < total),
+    so the query stays non-vacuous as the corpus grows; the grid is
+    calendar-, not event-, sized."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    cells = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            "event_type",
+            (
+                F.datediff(F.to_date(F.col("ts")), F.col("min_day")) * 24
+                + F.hour(F.col("ts"))
+            ).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    span = cells.groupBy("event_type").agg(
+        F.max("h").alias("h_max"), F.sum("c").alias("n_tot")
+    )
+    spine = (
+        span.select("event_type", "h_max", "n_tot")
+        .select(
+            "event_type",
+            "n_tot",
+            F.explode(F.sequence(F.lit(0), F.col("h_max"))).alias("h"),
+            (F.col("h_max") + 1).alias("n_cells"),
+        )
+    )
+    low = (
+        spine.join(cells, ["event_type", "h"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+        .filter(F.expr("2 * c * n_cells < n_tot"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    return (
+        low.withColumn("grp", F.col("h") - F.row_number().over(wr))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("h").alias("start_h"),
+            F.max("h").alias("end_h"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+    )
+
+
+def q_daily_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill with last-observation-carried-forward: the
+    complete day spine over the order date range, left-joined to
+    daily revenue, LOCF-filled via last(...ignorenulls) over the
+    ordered spine, with a filled flag — the imputation step every
+    daily-reporting pipeline runs before charting. The spine is
+    calendar-sized; the fill is ONE ordered window pass (at 100 TB
+    the window partitions by series id; a single global series stays
+    calendar-bounded anyway); revenue is exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date(F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_e2"
+        )
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        "d0",
+    )
+    w = Window.orderBy("day_idx")
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("day_idx"),
+            "rev_e2",
+        )
+        .withColumn(
+            "rev_filled_e2",
+            F.coalesce(
+                F.last("rev_e2", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(
+            "day_idx",
+            "rev_filled_e2",
+            F.col("rev_e2").isNull().cast("long").alias("was_filled"),
+        )
+    )
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A -> B over (user, day) event-type
+    baskets with exact integer support / confidence / lift — the
+    rule-mining report (Agrawal-Srikant semantics) behind 'users who
+    error today also purchase today'. One scan builds the basket
+    incidence; pair supports come from a basket-keyed self-join
+    (item-pair-, not basket-, bounded output); confidence and lift
+    are ppm integers via cross-multiplication (lift_ppm =
+    n_ab * n_baskets * 1e6 / (n_a * n_b) — no division chains).
+    Both rule directions are emitted."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.to_date(F.col("ts")).alias("day"),
+        F.col("event_type").alias("item"),
+    ).distinct().localCheckpoint(eager=True)
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    supp = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    b2 = b.select(
+        "user_id", "day", F.col("item").alias("item_b")
+    )
+    pair = (
+        b.join(b2, ["user_id", "day"])
+        .filter(F.col("item") != F.col("item_b"))
+        .groupBy(F.col("item").alias("antecedent"), F.col("item_b").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = supp.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * 1000000) div n_baskets").alias("support_ppm"),
+            F.expr("(n_ab * 1000000) div n_a").alias("confidence_ppm"),
+            F.expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+def q_error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst histogram: maximal runs of CONSECUTIVE 'error'
+    events within each user's event stream (islands via the
+    rn_all - rn_error difference — one window pair, no self-join),
+    reduced to a run-length histogram with the user reach per
+    length — the incident-detection rollup that distinguishes
+    scattered errors from bursts. Corpus touched once; run state is
+    run-sized; histogram output is length-sized."""
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    we = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "ts", "event_id",
+                  (F.col("event_type") == "error").cast("int").alias("is_err"))
+        .withColumn("grp", F.row_number().over(wa) - F.row_number().over(we))
+        .filter(F.col("is_err") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_length"))
+    )
+    return runs.groupBy("run_length").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -10702,6 +10932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition_quality": q_graph_partition_quality,
         "eccentricity_bounded": q_eccentricity_bounded,
         "edge_jaccard_sparsify": q_edge_jaccard_sparsify,
+        "attribution_linear": q_attribution_linear,
+        "low_activity_islands": q_low_activity_islands,
+        "daily_locf_fill": q_daily_locf_fill,
+        "association_rules": q_association_rules,
+        "error_burst_runs": q_error_burst_runs,
     }
 
 
@@ -17071,5 +17306,147 @@ def oracle_sql() -> dict[str, str]:
                     END)::BIGINT AS keep
             FROM scored
             LEFT JOIN keep ON keep.x = scored.x AND keep.y = scored.y
+        """,
+        "attribution_linear": """
+            WITH p AS (
+              SELECT user_id, ts AS pts, event_id AS pid,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events WHERE event_type = 'purchase'
+            ),
+            t AS (
+              SELECT user_id, ts AS tts, event_id AS tid,
+                     event_type AS channel
+              FROM events WHERE event_type <> 'purchase'
+            ),
+            j AS (
+              SELECT p.user_id, p.pid, p.v_e2, t.tts, t.tid, t.channel
+              FROM p JOIN t ON t.user_id = p.user_id
+              WHERE t.tts < p.pts
+                 OR (t.tts = p.pts AND t.tid < p.pid)
+            ),
+            split AS (
+              SELECT channel,
+                     (v_e2 // n + CASE WHEN rn = 1
+                        THEN v_e2 - n * (v_e2 // n) ELSE 0 END)::BIGINT
+                       AS credit_e2
+              FROM (SELECT channel, v_e2,
+                           row_number() OVER (PARTITION BY user_id, pid
+                             ORDER BY tts, tid) AS rn,
+                           count(*) OVER (PARTITION BY user_id, pid) AS n
+                    FROM j)
+            ),
+            direct AS (
+              SELECT 'direct' AS channel, v_e2 AS credit_e2 FROM p
+              WHERE NOT EXISTS (SELECT 1 FROM j
+                                WHERE j.user_id = p.user_id
+                                  AND j.pid = p.pid)
+            ),
+            allc AS (SELECT * FROM split UNION ALL SELECT * FROM direct)
+            SELECT channel, count(*)::BIGINT AS n_credits,
+                   sum(credit_e2)::BIGINT AS attributed_value_e2
+            FROM allc GROUP BY channel
+        """,
+        "low_activity_islands": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+            cells AS (
+              SELECT event_type,
+                     (date_diff('day', (SELECT min_day FROM mn),
+                                CAST(ts AS DATE)) * 24
+                      + hour(ts))::BIGINT AS h,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (SELECT event_type, max(h) AS h_max,
+                            sum(c)::BIGINT AS n_tot
+                     FROM cells GROUP BY 1),
+            spine AS (SELECT event_type, n_tot, (h_max + 1) AS n_cells,
+                             unnest(range(h_max + 1))::BIGINT AS h
+                      FROM span),
+            low AS (
+              SELECT spine.event_type, spine.h
+              FROM spine LEFT JOIN cells
+                ON cells.event_type = spine.event_type
+               AND cells.h = spine.h
+              WHERE 2 * coalesce(cells.c, 0) * spine.n_cells < spine.n_tot
+            ),
+            g AS (SELECT event_type, h,
+                         h - row_number() OVER (PARTITION BY event_type
+                           ORDER BY h) AS grp
+                  FROM low)
+            SELECT event_type, min(h)::BIGINT AS start_h,
+                   max(h)::BIGINT AS end_h,
+                   count(*)::BIGINT AS island_len
+            FROM g GROUP BY event_type, grp
+        """,
+        "daily_locf_fill": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS rev_e2
+              FROM orders GROUP BY 1
+            ),
+            span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+            spine AS (SELECT unnest(generate_series((SELECT d0 FROM span),
+                                                    (SELECT d1 FROM span),
+                                                    INTERVAL 1 DAY))
+                               ::DATE AS day),
+            j AS (SELECT date_diff('day', (SELECT d0 FROM span),
+                                   spine.day)::BIGINT AS day_idx,
+                         daily.rev_e2
+                  FROM spine LEFT JOIN daily ON daily.day = spine.day)
+            SELECT day_idx,
+                   coalesce(last_value(rev_e2 IGNORE NULLS)
+                              OVER (ORDER BY day_idx ROWS BETWEEN
+                                    UNBOUNDED PRECEDING AND CURRENT ROW),
+                            0)::BIGINT AS rev_filled_e2,
+                   (CASE WHEN rev_e2 IS NULL THEN 1 ELSE 0
+                    END)::BIGINT AS was_filled
+            FROM j
+        """,
+        "association_rules": """
+            WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                              event_type AS item
+                       FROM events),
+            nb AS (SELECT count(*)::BIGINT AS n_baskets
+                   FROM (SELECT DISTINCT user_id, day FROM b)),
+            supp AS (SELECT item, count(*)::BIGINT AS n_item FROM b
+                     GROUP BY item),
+            pair AS (
+              SELECT a.item AS antecedent, c.item AS consequent,
+                     count(*)::BIGINT AS n_ab
+              FROM b a JOIN b c
+                ON a.user_id = c.user_id AND a.day = c.day
+               AND a.item <> c.item
+              GROUP BY 1, 2
+            )
+            SELECT pair.antecedent, pair.consequent, pair.n_ab,
+                   sa.n_item AS n_a, sb.n_item AS n_b,
+                   ((pair.n_ab * 1000000)
+                    // (SELECT n_baskets FROM nb))::BIGINT AS support_ppm,
+                   ((pair.n_ab * 1000000) // sa.n_item)::BIGINT
+                     AS confidence_ppm,
+                   ((pair.n_ab * (SELECT n_baskets FROM nb) * 1000000)
+                    // (sa.n_item * sb.n_item))::BIGINT AS lift_ppm
+            FROM pair
+            JOIN supp sa ON sa.item = pair.antecedent
+            JOIN supp sb ON sb.item = pair.consequent
+        """,
+        "error_burst_runs": """
+            WITH m AS (
+              SELECT user_id,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                     END AS is_err,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id,
+                         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                       ORDER BY ts, event_id) AS grp
+              FROM events
+            ),
+            runs AS (SELECT user_id, grp, count(*)::BIGINT AS run_length
+                     FROM m WHERE is_err = 1 GROUP BY 1, 2)
+            SELECT run_length, count(*)::BIGINT AS n_runs,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM runs GROUP BY run_length
         """,
     }
