@@ -10632,6 +10632,249 @@ def q_error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WOE_EXPR = (
+    "cast(round(ln(((cast(n_pos as double) + 0.5) / (cast(pos_tot as double) + 5.0))"
+    " / ((cast(n_neg as double) + 0.5) / (cast(neg_tot as double) + 5.0)))"
+    " * 1000000) as bigint)"
+)
+
+_IV_EXPR = (
+    "cast(round((((cast(n_pos as double) + 0.5) / (cast(pos_tot as double) + 5.0))"
+    " - ((cast(n_neg as double) + 0.5) / (cast(neg_tot as double) + 5.0)))"
+    " * ln(((cast(n_pos as double) + 0.5) / (cast(pos_tot as double) + 5.0))"
+    " / ((cast(n_neg as double) + 0.5) / (cast(neg_tot as double) + 5.0)))"
+    " * 1000000000) as bigint)"
+)
+
+_MI_TERM_EXPR = (
+    "cast(round((cast(n_xy as double) / cast(n_tot as double))"
+    " * ln((cast(n_xy as double) * cast(n_tot as double))"
+    " / (cast(n_x as double) * cast(n_y as double)))"
+    " * 1000000000) as bigint)"
+)
+
+
+def q_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning of the value
+    score against the purchase-vs-click label — the credit-scoring
+    featurization that turns a raw column into a monotone risk
+    feature and ranks it by IV. 10 fixed-width bins off one scan;
+    smoothed (+0.5/+5) WOE and per-bin IV contribution are each ONE
+    shared float expression e6/e9-rounded per bin (bin-sized frame),
+    so the hash surface is integer."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    cnt = b.groupBy("bin").agg(
+        F.sum(F.col("pos").cast("long")).alias("n_pos"),
+        F.sum((F.lit(1) - F.col("pos")).cast("long")).alias("n_neg"),
+    )
+    tot = cnt.agg(
+        F.sum("n_pos").alias("pos_tot"), F.sum("n_neg").alias("neg_tot")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.expr(_WOE_EXPR).alias("woe_e6"),
+            F.expr(_IV_EXPR).alias("iv_term_e9"),
+        )
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the value decile
+    (fixed-width), reported per contingency cell in e9 nats — the
+    dependence measure feature selection ranks by (the chi-square
+    companion that catches non-linear association). Exact BIGINT
+    counts from one scan; marginals broadcast back onto the 50-cell
+    frame; the log term is one shared expression rounded per cell."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "bucket"
+        ),
+    ).groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("n_xy"))
+    nx = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    ny = cells.groupBy("bucket").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n_tot"))
+    return (
+        cells.join(F.broadcast(nx), "event_type")
+        .join(F.broadcast(ny), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "bucket",
+            "n_xy",
+            F.expr(_MI_TERM_EXPR).alias("mi_term_e9"),
+        )
+    )
+
+
+def q_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-feature extraction — the last three event values
+    (v0 newest, v1, v2) plus first differences, with -1 sentinels
+    when history is short: the feature-matrix build step a churn
+    model trains on. One ranked window pass, then a conditional-sum
+    pivot to one row per user (no self-joins, no collect); exact e2
+    cents."""
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+        F.row_number().over(wr).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    piv = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CASE WHEN rn = 1 THEN v_e2 END")).alias("v0"),
+        F.sum(F.expr("CASE WHEN rn = 2 THEN v_e2 END")).alias("v1"),
+        F.sum(F.expr("CASE WHEN rn = 3 THEN v_e2 END")).alias("v2"),
+    )
+    return piv.select(
+        "user_id",
+        "n_events",
+        F.coalesce("v0", F.lit(-1).cast("long")).alias("v0_e2"),
+        F.coalesce("v1", F.lit(-1).cast("long")).alias("v1_e2"),
+        F.coalesce("v2", F.lit(-1).cast("long")).alias("v2_e2"),
+        F.coalesce(F.col("v0") - F.col("v1"), F.lit(0).cast("long")).alias(
+            "d01_e2"
+        ),
+        F.coalesce(F.col("v1") - F.col("v2"), F.lit(0).cast("long")).alias(
+            "d12_e2"
+        ),
+    )
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — credit weighted by
+    half-life-7-days FROZEN integer weights (1e6 halving per 7-day
+    age bucket, floor 62500), normalized per purchase with the same
+    remainder-to-earliest totalization as attribution_linear, so
+    per-purchase credits still sum exactly to v. Completes the
+    attribution family (last-touch / linear / decay) on identical
+    frames; weights are a CASE of literals, shared verbatim by the
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            | ((F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid")))
+        )
+        .withColumn(
+            "w_e6",
+            F.expr(
+                "CASE datediff(to_date(pts), to_date(tts)) div 7"
+                " WHEN 0 THEN 1000000 WHEN 1 THEN 500000"
+                " WHEN 2 THEN 250000 WHEN 3 THEN 125000"
+                " ELSE 62500 END"
+            ),
+        )
+    )
+    wp = Window.partitionBy("user_id", "pid").orderBy("tts", "tid")
+    wn = Window.partitionBy("user_id", "pid")
+    split = (
+        j.withColumn("rn", F.row_number().over(wp))
+        .withColumn("w_tot", F.sum("w_e6").over(wn))
+        .withColumn("base", F.expr("(v_e2 * w_e6) div w_tot"))
+        .withColumn("base_sum", F.sum("base").over(wn))
+        .select(
+            "channel",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rn") == 1, F.col("v_e2") - F.col("base_sum")
+                ).otherwise(F.lit(0))
+            ).alias("credit_e2"),
+        )
+    )
+    direct = (
+        p.join(
+            j.select("user_id", "pid").distinct(), ["user_id", "pid"], "left_anti"
+        )
+        .select(F.lit("direct").alias("channel"), F.col("v_e2").alias("credit_e2"))
+    )
+    return (
+        split.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_e2").alias("attributed_value_e2"),
+        )
+    )
+
+
+def q_learning_curve_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve subset statistics: nested 10/25/50/100 %
+    corpus subsets by content hash (md5(doc_id) mod 100 < frac —
+    thresholds nest by construction, the property scaling-law runs
+    require), each reporting docs, total tokens and vocabulary size.
+    The fractions ride an explode over the per-doc stats for
+    docs/tokens; the vocab count is a (fraction x token)-keyed
+    distinct — vocabulary-, not corpus-, sized after the reduce."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+        ).alias("hq"),
+        X.tokens("text").alias("ts"),
+    ).localCheckpoint(eager=True)
+    fr = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(25), F.lit(50), F.lit(100))).alias(
+            "frac"
+        )
+    )
+    ds = (
+        base.select("hq", F.size("ts").cast("long").alias("n_tok"))
+        .crossJoin(F.broadcast(fr))
+        .filter(F.col("hq") < F.col("frac"))
+        .groupBy("frac")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    vs = (
+        base.select("hq", F.explode("ts").alias("tok"))
+        .crossJoin(F.broadcast(fr))
+        .filter(F.col("hq") < F.col("frac"))
+        .groupBy("frac")
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return (
+        ds.join(vs, "frac")
+        .select(
+            F.col("frac").cast("long").alias("frac"),
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -10937,6 +11180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_locf_fill": q_daily_locf_fill,
         "association_rules": q_association_rules,
         "error_burst_runs": q_error_burst_runs,
+        "woe_iv_bins": q_woe_iv_bins,
+        "mutual_information": q_mutual_information,
+        "lag_feature_matrix": q_lag_feature_matrix,
+        "attribution_time_decay": q_attribution_time_decay,
+        "learning_curve_subsets": q_learning_curve_subsets,
     }
 
 
@@ -17448,5 +17696,137 @@ def oracle_sql() -> dict[str, str]:
             SELECT run_length, count(*)::BIGINT AS n_runs,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM runs GROUP BY run_length
+        """,
+        "woe_iv_bins": f"""
+            WITH b AS (
+              SELECT least(floor(value / 50)::BIGINT, 9) AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END AS pos
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            cnt AS (SELECT bin, sum(pos)::BIGINT AS n_pos,
+                           sum(1 - pos)::BIGINT AS n_neg
+                    FROM b GROUP BY bin),
+            tot AS (SELECT sum(n_pos)::BIGINT AS pos_tot,
+                           sum(n_neg)::BIGINT AS neg_tot FROM cnt),
+            j AS (SELECT bin, n_pos, n_neg,
+                         (SELECT pos_tot FROM tot) AS pos_tot,
+                         (SELECT neg_tot FROM tot) AS neg_tot
+                  FROM cnt)
+            SELECT bin, n_pos, n_neg,
+                   {_WOE_EXPR} AS woe_e6,
+                   {_IV_EXPR} AS iv_term_e9
+            FROM j
+        """,
+        "mutual_information": f"""
+            WITH cells AS (
+              SELECT event_type, least(floor(value / 50)::BIGINT, 9)
+                       AS bucket,
+                     count(*)::BIGINT AS n_xy
+              FROM events GROUP BY 1, 2
+            ),
+            nx AS (SELECT event_type, sum(n_xy)::BIGINT AS n_x FROM cells
+                   GROUP BY 1),
+            ny AS (SELECT bucket, sum(n_xy)::BIGINT AS n_y FROM cells
+                   GROUP BY 1),
+            tot AS (SELECT sum(n_xy)::BIGINT AS n_tot FROM cells),
+            j AS (SELECT cells.event_type, cells.bucket, cells.n_xy,
+                         nx.n_x, ny.n_y, (SELECT n_tot FROM tot) AS n_tot
+                  FROM cells
+                  JOIN nx ON nx.event_type = cells.event_type
+                  JOIN ny ON ny.bucket = cells.bucket)
+            SELECT event_type, bucket, n_xy,
+                   {_MI_TERM_EXPR} AS mi_term_e9
+            FROM j
+        """,
+        "lag_feature_matrix": """
+            WITH r AS (
+              SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_e2,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ),
+            piv AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     sum(CASE WHEN rn = 1 THEN v_e2 END)::BIGINT AS v0,
+                     sum(CASE WHEN rn = 2 THEN v_e2 END)::BIGINT AS v1,
+                     sum(CASE WHEN rn = 3 THEN v_e2 END)::BIGINT AS v2
+              FROM r WHERE rn <= 3 GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   coalesce(v0, -1)::BIGINT AS v0_e2,
+                   coalesce(v1, -1)::BIGINT AS v1_e2,
+                   coalesce(v2, -1)::BIGINT AS v2_e2,
+                   coalesce(v0 - v1, 0)::BIGINT AS d01_e2,
+                   coalesce(v1 - v2, 0)::BIGINT AS d12_e2
+            FROM piv
+        """,
+        "attribution_time_decay": """
+            WITH p AS (
+              SELECT user_id, ts AS pts, event_id AS pid,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events WHERE event_type = 'purchase'
+            ),
+            t AS (
+              SELECT user_id, ts AS tts, event_id AS tid,
+                     event_type AS channel
+              FROM events WHERE event_type <> 'purchase'
+            ),
+            j AS (
+              SELECT p.user_id, p.pid, p.v_e2, t.tts, t.tid, t.channel,
+                     CASE date_diff('day', CAST(t.tts AS DATE),
+                                    CAST(p.pts AS DATE)) // 7
+                          WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+                          WHEN 2 THEN 250000 WHEN 3 THEN 125000
+                          ELSE 62500 END AS w_e6
+              FROM p JOIN t ON t.user_id = p.user_id
+              WHERE t.tts < p.pts
+                 OR (t.tts = p.pts AND t.tid < p.pid)
+            ),
+            j2 AS (
+              SELECT channel, v_e2, user_id, pid,
+                     row_number() OVER (PARTITION BY user_id, pid
+                       ORDER BY tts, tid) AS rn,
+                     ((v_e2 * w_e6) // sum(w_e6)
+                       OVER (PARTITION BY user_id, pid))::BIGINT AS base
+              FROM j
+            ),
+            split AS (
+              SELECT channel,
+                     (base + CASE WHEN rn = 1 THEN v_e2 - sum(base)
+                        OVER (PARTITION BY user_id, pid)
+                             ELSE 0 END)::BIGINT AS credit_e2
+              FROM j2
+            ),
+            direct AS (
+              SELECT 'direct' AS channel, v_e2 AS credit_e2 FROM p
+              WHERE NOT EXISTS (SELECT 1 FROM j
+                                WHERE j.user_id = p.user_id
+                                  AND j.pid = p.pid)
+            ),
+            allc AS (SELECT * FROM split UNION ALL SELECT * FROM direct)
+            SELECT channel, count(*)::BIGINT AS n_credits,
+                   sum(credit_e2)::BIGINT AS attributed_value_e2
+            FROM allc GROUP BY channel
+        """,
+        "learning_curve_subsets": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_dk_hex8('doc_id::VARCHAR')} % 100 AS hq,
+                     {_TOKS} AS ts
+              FROM documents
+            ),
+            fr AS (SELECT unnest([10, 25, 50, 100]) AS frac),
+            ds AS (SELECT fr.frac, count(*)::BIGINT AS n_docs,
+                          sum(len(ts))::BIGINT AS n_tokens
+                   FROM base CROSS JOIN fr WHERE base.hq < fr.frac
+                   GROUP BY 1),
+            vs AS (SELECT fr.frac, count(DISTINCT tok)::BIGINT AS vocab_size
+                   FROM (SELECT hq, unnest(ts) AS tok FROM base) b
+                   CROSS JOIN fr WHERE b.hq < fr.frac
+                   GROUP BY 1)
+            SELECT ds.frac::BIGINT AS frac, ds.n_docs, ds.n_tokens,
+                   vs.vocab_size
+            FROM ds JOIN vs ON vs.frac = ds.frac
         """,
     }
