@@ -10875,6 +10875,298 @@ def q_learning_curve_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influence_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-percolation influence cascade over the token graph:
+    the top-2-degree nodes seed, and a node activates when >= 2
+    neighbors are active (the deterministic linear-threshold model —
+    no coin flips, unlike independent cascade), for 3 fixed rounds;
+    output is each node's activation round (-1 = never) — the spread
+    simulation a viral/contagion analysis runs. Per round: one edge
+    join + one node-keyed count against the pinned active set;
+    node-sized state, no driver action."""
+    e = _tok_ungraph(spark, sf_dir).select("x", "y")
+    sym = e.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        e.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wd = Window.orderBy(F.desc("deg"), F.asc("node"))
+    act = (
+        deg.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= 2)
+        .select("node", F.lit(0).cast("long").alias("act_round"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, 4):
+        newly = (
+            sym.join(
+                act.select(F.col("node").alias("dst")), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("n_active_nbrs"))
+            .filter(F.col("n_active_nbrs") >= 2)
+            .join(act.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("act_round"))
+        )
+        act = act.unionByName(newly).localCheckpoint(eager=True)
+    nodes = deg.select("node")
+    return nodes.join(act, "node", "left").select(
+        "node",
+        F.coalesce(F.col("act_round"), F.lit(-1).cast("long")).alias(
+            "act_round"
+        ),
+    )
+
+
+def q_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-first traversal (the deterministic k-means++
+    alternative, 2-approx for k-center): start from the smallest
+    vec_id, then 3 times pick the point farthest from the chosen
+    set (exact BIGINT e3 squared distances, ties to the smaller id)
+    — the seeding step a distributed k-means job runs before Lloyd
+    iterations. Per round: one broadcast distance projection against
+    the 1-row new center, one least() fold into the running min-dist
+    column, one argmax window on the point-sized frame; no driver
+    .collect() anywhere."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    fv = e_.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+        ).alias("f"),
+    ).localCheckpoint(eager=True)
+    first = fv.agg(F.min("vec_id").alias("cid"))
+    c0 = fv.join(
+        F.broadcast(first), fv.vec_id == F.col("cid")
+    ).select(F.col("f").alias("cf"), F.col("cid"))
+
+    def d2(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    state = fv.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "f", d2("f", "cf").alias("mind")
+    ).localCheckpoint(eager=True)
+    centers = first.select(
+        F.col("cid").alias("vec_id"),
+        F.lit(0).cast("long").alias("center_rank"),
+        F.lit(0).cast("long").alias("dist_e6"),
+    )
+    for r in range(1, 4):
+        wf = Window.orderBy(F.desc("mind"), F.asc("vec_id"))
+        nxt = (
+            state.withColumn("rn", F.row_number().over(wf))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("vec_id").alias("ncid"),
+                F.col("f").alias("ncf"),
+                F.col("mind").alias("ndist"),
+            )
+        ).localCheckpoint(eager=True)
+        centers = centers.unionByName(
+            nxt.select(
+                F.col("ncid").alias("vec_id"),
+                F.lit(r).cast("long").alias("center_rank"),
+                F.col("ndist").alias("dist_e6"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(nxt)).select(
+            "vec_id",
+            "f",
+            F.least(F.col("mind"), d2("f", "ncf")).alias("mind"),
+        ).localCheckpoint(eager=True)
+    return centers
+
+
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette coefficient per embedding against its ground-truth
+    label (squared-distance variant, documented — the geometry is
+    identical for ranking): a = mean intra-cluster distance, b = the
+    smallest mean distance to another cluster, s = (b-a)/max(a,b).
+    Means are e3-quantized BY EXACT INTEGER DIVISION before the
+    final ratio so the whole surface is BIGINT. The pair frame is
+    the honest exact baseline (same regime note as
+    dbscan_core_points); the per-(point, cluster) reduce is the only
+    shuffle beyond it. Singleton clusters are excluded (a is
+    undefined), which the oracle mirrors."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    fv = e_.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+        ).alias("f"),
+    ).localCheckpoint(eager=True)
+    b = fv.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("f").alias("fb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("f"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pc = (
+        fv.join(b, F.col("vec_id") != F.col("vb"))
+        .select("vec_id", "label", F.col("lb").alias("olabel"), d2.alias("d"))
+        .groupBy("vec_id", "label", "olabel")
+        .agg(
+            F.expr("(sum(d) * 1000) div count(1)").alias("mean_e3")
+        )
+    )
+    a = pc.filter(F.col("olabel") == F.col("label")).select(
+        "vec_id", F.col("mean_e3").alias("a_e3")
+    )
+    bb = (
+        pc.filter(F.col("olabel") != F.col("label"))
+        .groupBy("vec_id")
+        .agg(F.min("mean_e3").alias("b_e3"))
+    )
+    return (
+        fv.select("vec_id", "label")
+        .join(a, "vec_id")
+        .join(bb, "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "a_e3",
+            "b_e3",
+            F.expr(
+                "((b_e3 - a_e3) * 1000000) div greatest(greatest(a_e3, b_e3), 1)"
+            ).alias("silhouette_e6"),
+        )
+    )
+
+
+def q_logistic_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference of a frozen logistic model over per-user
+    behavioral features (event count, purchase count, recency days,
+    integer mean value) — the 'score the whole user base nightly'
+    job, expressed as codegen arithmetic: the logit is an exact
+    integer dot product with frozen e6 weights, and only the final
+    sigmoid is a float expression (from an integer input, shared
+    verbatim by both engines). Top-20 by risk with deterministic
+    ties. One scan to user-sized features, one window."""
+    ev = _t(spark, sf_dir, "events")
+    gm = ev.agg(F.max(F.to_date(F.col("ts"))).alias("gmax"))
+    feat = (
+        ev.crossJoin(F.broadcast(gm))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long")
+            ).alias("n_purchases"),
+            F.min(
+                F.datediff(F.col("gmax"), F.to_date(F.col("ts")))
+            ).alias("recency_days"),
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) div count(1)"
+            ).alias("avg_value_e2"),
+        )
+    )
+    scored = feat.withColumn(
+        "z_e6",
+        F.expr(
+            "-2000000 + 8000 * n_events + 40000 * n_purchases"
+            " - 15000 * recency_days + 20 * avg_value_e2"
+        ),
+    ).withColumn(
+        "p_e6",
+        F.expr(
+            "cast(round(1000000.0 / (1.0 + exp(-cast(z_e6 as double)"
+            " / 1000000.0))) as bigint)"
+        ),
+    )
+    wr = Window.orderBy(F.desc("p_e6"), F.asc("user_id"))
+    return (
+        scored.withColumn("risk_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("risk_rank") <= 20)
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "recency_days",
+            "avg_value_e2",
+            "z_e6",
+            "p_e6",
+            "risk_rank",
+        )
+    )
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase (users
+    without a purchase are right-censored at the observation end) —
+    the estimator every retention/conversion analysis starts from.
+    The product Π(1 − d/n) is carried in LOG SPACE with each step's
+    ln term e9-rounded to BIGINT FIRST, so the cumulative sum is
+    exact integer arithmetic (float summation order can differ
+    between engines; integer summation cannot) and only the final
+    exp is a shared float expression from an integer input. Risk
+    sets come from one cumulative window over the distinct-day
+    frame; d = n (curve hits zero) is capped at ln(1e-12)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.col("ts"))).alias("first_day"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.to_date(F.col("ts"))
+            )
+        ).alias("first_purchase"),
+    )
+    gm = ev.agg(F.max(F.to_date(F.col("ts"))).alias("gmax"))
+    obs = per_user.crossJoin(F.broadcast(gm)).select(
+        "user_id",
+        F.coalesce(
+            F.datediff(F.col("first_purchase"), F.col("first_day")),
+            F.datediff(F.col("gmax"), F.col("first_day")),
+        ).cast("long").alias("t"),
+        F.col("first_purchase").isNotNull().cast("long").alias("is_event"),
+    )
+    n_all = obs.agg(F.count(F.lit(1)).alias("n_users"))
+    byt = obs.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        byt.crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "n_risk",
+            F.col("n_users")
+            - F.coalesce(F.sum("leaving").over(w), F.lit(0).cast("long")),
+        )
+        .filter(F.col("d") > 0)
+    )
+    terms = risk.withColumn(
+        "ln_e9",
+        F.expr(
+            "CASE WHEN d >= n_risk THEN cast(-27631021116 as bigint)"
+            " ELSE cast(round(ln(1.0 - cast(d as double)"
+            " / cast(n_risk as double)) * 1000000000) as bigint) END"
+        ),
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        terms.withColumn("cum_ln_e9", F.sum("ln_e9").over(wc))
+        .select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            F.expr(
+                "cast(round(exp(cast(cum_ln_e9 as double) / 1000000000.0)"
+                " * 1000000) as bigint)"
+            ).alias("km_e6"),
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -11185,6 +11477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_feature_matrix": q_lag_feature_matrix,
         "attribution_time_decay": q_attribution_time_decay,
         "learning_curve_subsets": q_learning_curve_subsets,
+        "influence_cascade": q_influence_cascade,
+        "kcenter_init": q_kcenter_init,
+        "cluster_silhouette": q_cluster_silhouette,
+        "logistic_scoring": q_logistic_scoring,
+        "kaplan_meier": q_kaplan_meier,
     }
 
 
@@ -17828,5 +18125,173 @@ def oracle_sql() -> dict[str, str]:
             SELECT ds.frac::BIGINT AS frac, ds.n_docs, ds.n_tokens,
                    vs.vocab_size
             FROM ds JOIN vs ON vs.frac = ds.frac
+        """,
+        "influence_cascade": f"""
+            WITH {_tok_graph_cte()},
+            sym AS (SELECT x AS src, y AS dst FROM und
+                    UNION ALL SELECT y, x FROM und),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym
+                    GROUP BY 1),
+            a0 AS (SELECT node, 0::BIGINT AS act_round FROM (
+                     SELECT node, row_number() OVER (ORDER BY deg DESC,
+                       node ASC) AS rn FROM deg) WHERE rn <= 2),
+            n1 AS (SELECT sym.src AS node FROM sym
+                   JOIN a0 ON a0.node = sym.dst
+                   GROUP BY sym.src HAVING count(*) >= 2),
+            a1 AS (SELECT * FROM a0 UNION ALL
+                   SELECT node, 1::BIGINT FROM n1
+                   WHERE node NOT IN (SELECT node FROM a0)),
+            n2 AS (SELECT sym.src AS node FROM sym
+                   JOIN a1 ON a1.node = sym.dst
+                   GROUP BY sym.src HAVING count(*) >= 2),
+            a2 AS (SELECT * FROM a1 UNION ALL
+                   SELECT node, 2::BIGINT FROM n2
+                   WHERE node NOT IN (SELECT node FROM a1)),
+            n3 AS (SELECT sym.src AS node FROM sym
+                   JOIN a2 ON a2.node = sym.dst
+                   GROUP BY sym.src HAVING count(*) >= 2),
+            a3 AS (SELECT * FROM a2 UNION ALL
+                   SELECT node, 3::BIGINT FROM n3
+                   WHERE node NOT IN (SELECT node FROM a2))
+            SELECT deg.node, coalesce(a3.act_round, -1)::BIGINT AS act_round
+            FROM deg LEFT JOIN a3 ON a3.node = deg.node
+        """,
+        "kcenter_init": """
+            WITH fv AS (
+              SELECT vec_id, list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            c0 AS (SELECT min(vec_id) AS cid FROM fv),
+            cf0 AS (SELECT f AS cf FROM fv
+                    WHERE vec_id = (SELECT cid FROM c0)),
+            s0 AS (SELECT vec_id, fv.f,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (fv.f[i] - cf0.cf[i])
+                                 * (fv.f[i] - cf0.cf[i])))::BIGINT AS mind
+                   FROM fv CROSS JOIN cf0),
+            nxt1 AS (SELECT vec_id AS ncid, f AS ncf, mind AS nd FROM s0
+                     ORDER BY mind DESC, vec_id ASC LIMIT 1),
+            s1 AS (SELECT s.vec_id, s.f,
+                          least(s.mind, list_sum(list_transform(range(1, 65),
+                            i -> (s.f[i] - n.ncf[i])
+                                 * (s.f[i] - n.ncf[i]))))::BIGINT AS mind
+                   FROM s0 s CROSS JOIN nxt1 n),
+            nxt2 AS (SELECT vec_id AS ncid, f AS ncf, mind AS nd FROM s1
+                     ORDER BY mind DESC, vec_id ASC LIMIT 1),
+            s2 AS (SELECT s.vec_id, s.f,
+                          least(s.mind, list_sum(list_transform(range(1, 65),
+                            i -> (s.f[i] - n.ncf[i])
+                                 * (s.f[i] - n.ncf[i]))))::BIGINT AS mind
+                   FROM s1 s CROSS JOIN nxt2 n),
+            nxt3 AS (SELECT vec_id AS ncid, f AS ncf, mind AS nd FROM s2
+                     ORDER BY mind DESC, vec_id ASC LIMIT 1)
+            SELECT (SELECT cid FROM c0)::BIGINT AS vec_id,
+                   0::BIGINT AS center_rank, 0::BIGINT AS dist_e6
+            UNION ALL SELECT ncid, 1::BIGINT, nd FROM nxt1
+            UNION ALL SELECT ncid, 2::BIGINT, nd FROM nxt2
+            UNION ALL SELECT ncid, 3::BIGINT, nd FROM nxt3
+        """,
+        "cluster_silhouette": """
+            WITH fv AS (
+              SELECT vec_id, label, list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id, a.label, b.label AS olabel,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (a.f[i] - b.f[i])
+                            * (a.f[i] - b.f[i])))::BIGINT AS d
+              FROM fv a JOIN fv b ON a.vec_id <> b.vec_id
+            ),
+            pc AS (SELECT vec_id, label, olabel,
+                          ((sum(d) * 1000) // count(*))::BIGINT AS mean_e3
+                   FROM pairs GROUP BY 1, 2, 3),
+            a AS (SELECT vec_id, mean_e3 AS a_e3 FROM pc
+                  WHERE olabel = label),
+            bb AS (SELECT vec_id, min(mean_e3)::BIGINT AS b_e3 FROM pc
+                   WHERE olabel <> label GROUP BY vec_id)
+            SELECT fv.vec_id, fv.label::BIGINT AS label, a.a_e3, bb.b_e3,
+                   (((bb.b_e3 - a.a_e3) * 1000000)
+                    // greatest(greatest(a.a_e3, bb.b_e3), 1))::BIGINT
+                     AS silhouette_e6
+            FROM fv JOIN a ON a.vec_id = fv.vec_id
+            JOIN bb ON bb.vec_id = fv.vec_id
+        """,
+        "logistic_scoring": """
+            WITH gm AS (SELECT max(CAST(ts AS DATE)) AS gmax FROM events),
+            feat AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END)::BIGINT AS n_purchases,
+                     min(date_diff('day', CAST(ts AS DATE),
+                                   (SELECT gmax FROM gm)))::BIGINT
+                       AS recency_days,
+                     (sum(CAST(round(value * 100) AS BIGINT))
+                      // count(*))::BIGINT AS avg_value_e2
+              FROM events GROUP BY user_id
+            ),
+            sc AS (
+              SELECT *, (-2000000 + 8000 * n_events + 40000 * n_purchases
+                         - 15000 * recency_days
+                         + 20 * avg_value_e2)::BIGINT AS z_e6
+              FROM feat
+            ),
+            p AS (
+              SELECT *, CAST(round(1000000.0
+                        / (1.0 + exp(-CAST(z_e6 AS DOUBLE) / 1000000.0)))
+                        AS BIGINT) AS p_e6
+              FROM sc
+            )
+            SELECT user_id, n_events, n_purchases, recency_days,
+                   avg_value_e2, z_e6, p_e6, risk_rank
+            FROM (SELECT *, row_number() OVER (ORDER BY p_e6 DESC,
+                    user_id ASC)::BIGINT AS risk_rank FROM p)
+            WHERE risk_rank <= 20
+        """,
+        "kaplan_meier": """
+            WITH per_user AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ts AS DATE) END) AS first_purchase
+              FROM events GROUP BY 1
+            ),
+            gm AS (SELECT max(CAST(ts AS DATE)) AS gmax FROM events),
+            obs AS (
+              SELECT user_id,
+                     coalesce(date_diff('day', first_day, first_purchase),
+                              date_diff('day', first_day,
+                                        (SELECT gmax FROM gm)))::BIGINT AS t,
+                     CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0
+                     END AS is_event
+              FROM per_user
+            ),
+            n_all AS (SELECT count(*)::BIGINT AS n_users FROM obs),
+            byt AS (SELECT t, sum(is_event)::BIGINT AS d,
+                           count(*)::BIGINT AS leaving
+                    FROM obs GROUP BY t),
+            risk AS (
+              SELECT t, d,
+                     ((SELECT n_users FROM n_all)
+                      - coalesce(sum(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0))::BIGINT AS n_risk
+              FROM byt
+            ),
+            terms AS (
+              SELECT t, d, n_risk,
+                     CASE WHEN d >= n_risk THEN (-27631021116)::BIGINT
+                          ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)) * 1000000000)
+                               AS BIGINT) END AS ln_e9
+              FROM risk WHERE d > 0
+            )
+            SELECT t AS t_days, n_risk, d AS d_events,
+                   CAST(round(exp(CAST(sum(ln_e9) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) / 1000000000.0) * 1000000) AS BIGINT)
+                     AS km_e6
+            FROM terms
         """,
     }
