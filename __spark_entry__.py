@@ -11167,6 +11167,244 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test (SPRT) monitoring the
+    daily purchase-vs-click conversion rate, H0 p=0.2 vs H1 p=0.25,
+    alpha=0.05 beta=0.2 — the always-valid sequential decision an
+    experimentation platform evaluates per day instead of a fixed
+    -horizon z-test. The LLR increments are k*ln(p1/p0) +
+    (n-k)*ln(q1/q0) whose TWO log factors are frozen e9 integer
+    constants, so the cumulative statistic is exact BIGINT
+    arithmetic end to end, compared against the frozen Wald bounds
+    ln((1-b)/a), ln(b/(1-a)); one scan, day-sized frame, one
+    cumulative window."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    byd = (
+        ev.crossJoin(F.broadcast(mn))
+        .groupBy(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day"))
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long")
+            ).alias("k"),
+        )
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    # ln(0.25/0.2)*1e9, ln(0.75/0.8)*1e9; Wald bounds ln(0.8/0.05),
+    # ln(0.2/0.95) — all frozen integers
+    return (
+        byd.withColumn(
+            "llr_cum_e9",
+            F.sum(
+                F.expr("k * 223143551 + (n - k) * (-64538521)")
+            ).over(w),
+        )
+        .select(
+            "day_idx",
+            "n",
+            "k",
+            "llr_cum_e9",
+            F.expr(
+                "CASE WHEN llr_cum_e9 >= 2772588722 THEN 'accept_h1'"
+                " WHEN llr_cum_e9 <= -1558144618 THEN 'accept_h0'"
+                " ELSE 'continue' END"
+            ).alias("decision"),
+        )
+    )
+
+
+def q_beta_binomial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta(1,1)-binomial posterior per event_type for the
+    'high-value event' rate (value >= 245) — the conjugate Bayesian
+    update a rate dashboard ships because it is EXACT rational
+    arithmetic: posterior alpha/beta are integer counts, the
+    posterior mean is a ppm integer division, and the posterior
+    variance numerator/denominator are exact BIGINTs (reported as
+    e12 via integer division). One scan, type-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("value") >= 245, 1).otherwise(0).cast("long")
+        ).alias("k"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        (F.col("k") + 1).alias("post_alpha"),
+        (F.col("n") - F.col("k") + 1).alias("post_beta"),
+        F.expr("((k + 1) * 1000000) div (n + 2)").alias("post_mean_ppm"),
+        F.expr(
+            "((k + 1) * (n - k + 1) * 1000000000000)"
+            " div ((n + 2) * (n + 2) * (n + 3))"
+        ).alias("post_var_e12"),
+    )
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): theta =
+    cov(X,Y)/var(X) from per-user pre-period (first 15 days) vs
+    post-period value sums, plus the achieved variance-reduction
+    fraction rho^2 — the pre-experiment-data adjustment every mature
+    A/B platform applies. Sums are hundred-dollar integer units
+    (same BIGINT headroom argument as seasonality_strength); theta
+    is exact integer cross-multiplication; only the correlation
+    denominator touches floats, via the same shared sqrt expression
+    family as degree_assortativity, and is e6-rounded before
+    squaring into the ppm reduction."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    pu = (
+        ev.crossJoin(F.broadcast(mn))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.datediff(F.to_date(F.col("ts")), F.col("min_day")) < 15,
+                    F.round(F.col("value") / 100, 0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.datediff(F.to_date(F.col("ts")), F.col("min_day")) >= 15,
+                    F.round(F.col("value") / 100, 0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "((n * sxy - sx * sy) * 1000000)"
+            " div greatest(n * sxx - sx * sx, 1)"
+        ).alias("theta_e6"),
+        F.expr(
+            "cast(round((cast(n * sxy - sx * sy as double)"
+            " / (sqrt(cast(n * sxx - sx * sx as double))"
+            " * sqrt(cast(n * syy - sy * sy as double))))"
+            " * 1000000) as bigint)"
+        ).alias("corr_e6"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        "theta_e6",
+        "corr_e6",
+        F.expr("(corr_e6 * corr_e6) div 1000000").alias(
+            "variance_reduction_ppm"
+        ),
+    )
+
+
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate: users hash-split into
+    control/treat (user_id % 2 — content-derived), periods split at
+    day 15; the four cell means are exact e6 integers (cents * 1e4
+    div n) and the DiD estimator (m11-m10)-(m01-m00) is pure BIGINT
+    — the quasi-experimental readout an analytics platform reports
+    when randomization happened at a calendar boundary. One scan,
+    one conditional-sum pivot to a single row."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day")) < 15, 0
+        ).otherwise(1).alias("period"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+
+    def cell(g: int, p: int, what: str):
+        cond = (F.col("grp") == g) & (F.col("period") == p)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0).cast("long"))
+        return F.sum(F.when(cond, F.col("v_e2")).otherwise(F.lit(0)))
+
+    agg = base.agg(
+        *[
+            cell(g, p, w_).alias(f"{w_}{g}{p}")
+            for g in (0, 1)
+            for p in (0, 1)
+            for w_ in ("n", "s")
+        ]
+    )
+    m = agg.select(
+        *[F.col(f"n{g}{p}") for g in (0, 1) for p in (0, 1)],
+        *[
+            F.expr(f"(s{g}{p} * 10000) div greatest(n{g}{p}, 1)").alias(
+                f"m{g}{p}_e6"
+            )
+            for g in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+    return m.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        "m00_e6",
+        "m01_e6",
+        "m10_e6",
+        "m11_e6",
+        F.expr("(m11_e6 - m10_e6) - (m01_e6 - m00_e6)").alias("did_e6"),
+    )
+
+
+def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis per event_type: the sample size
+    per arm needed to detect a +10% relative lift in the high-value
+    rate at alpha=0.05 / power=0.8 — the planning calculator an
+    experimentation platform serves next to every metric. Baseline
+    rates are exact ppm integers off one scan; the closed-form
+    n = (z_a+z_b)^2 (p1 q1 + p2 q2) / d^2 is ONE shared float
+    expression from those integers with the z constants frozen
+    ((1.959964 + 0.841621)^2 inlined), ceil-rounded to BIGINT."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("value") >= 245, 1).otherwise(0).cast("long")
+        ).alias("k"),
+    )
+    return (
+        g.withColumn("p_ppm", F.expr("(k * 1000000) div n"))
+        .select(
+            "event_type",
+            "n",
+            "k",
+            "p_ppm",
+            F.expr(
+                "cast(ceil((7.848886 * ((cast(p_ppm as double) / 1000000.0)"
+                " * (1.0 - cast(p_ppm as double) / 1000000.0)"
+                " + (cast(p_ppm as double) * 1.1 / 1000000.0)"
+                " * (1.0 - cast(p_ppm as double) * 1.1 / 1000000.0)))"
+                " / ((cast(p_ppm as double) * 0.1 / 1000000.0)"
+                " * (cast(p_ppm as double) * 0.1 / 1000000.0)))"
+                " as bigint)"
+            ).alias("n_required_per_arm"),
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -11482,6 +11720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": q_cluster_silhouette,
         "logistic_scoring": q_logistic_scoring,
         "kaplan_meier": q_kaplan_meier,
+        "sprt_monitor": q_sprt_monitor,
+        "beta_binomial_update": q_beta_binomial_update,
+        "cuped_adjustment": q_cuped_adjustment,
+        "did_estimate": q_did_estimate,
+        "power_sample_size": q_power_sample_size,
     }
 
 
@@ -18293,5 +18536,146 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 1000000000.0) * 1000000) AS BIGINT)
                      AS km_e6
             FROM terms
+        """,
+        "sprt_monitor": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            byd AS (
+              SELECT date_diff('day', (SELECT min_day FROM mn),
+                               CAST(ts AS DATE))::BIGINT AS day_idx,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END)::BIGINT AS k
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1
+            )
+            SELECT day_idx, n, k,
+                   sum(k * 223143551 + (n - k) * (-64538521))
+                     OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)::BIGINT
+                     AS llr_cum_e9,
+                   CASE WHEN sum(k * 223143551 + (n - k) * (-64538521))
+                          OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) >= 2772588722
+                        THEN 'accept_h1'
+                        WHEN sum(k * 223143551 + (n - k) * (-64538521))
+                          OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) <= -1558144618
+                        THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM byd
+        """,
+        "beta_binomial_update": """
+            WITH g AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CASE WHEN value >= 245 THEN 1 ELSE 0
+                         END)::BIGINT AS k
+              FROM events GROUP BY 1
+            )
+            SELECT event_type, n, k,
+                   (k + 1)::BIGINT AS post_alpha,
+                   (n - k + 1)::BIGINT AS post_beta,
+                   (((k + 1) * 1000000) // (n + 2))::BIGINT AS post_mean_ppm,
+                   (((k + 1) * (n - k + 1) * 1000000000000)
+                    // ((n + 2) * (n + 2) * (n + 3)))::BIGINT AS post_var_e12
+            FROM g
+        """,
+        "cuped_adjustment": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            pu AS (
+              SELECT user_id,
+                     sum(CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                CAST(ts AS DATE)) < 15
+                         THEN CAST(round(value / 100) AS BIGINT)
+                         ELSE 0 END)::BIGINT AS x,
+                     sum(CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                CAST(ts AS DATE)) >= 15
+                         THEN CAST(round(value / 100) AS BIGINT)
+                         ELSE 0 END)::BIGINT AS y
+              FROM events GROUP BY user_id
+            ),
+            m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                         sum(y)::BIGINT AS sy,
+                         sum(x * x)::BIGINT AS sxx,
+                         sum(x * y)::BIGINT AS sxy,
+                         sum(y * y)::BIGINT AS syy
+                  FROM pu),
+            c AS (SELECT n, sx, sy,
+                         (((n * sxy - sx * sy) * 1000000)
+                          // greatest(n * sxx - sx * sx, 1))::BIGINT
+                           AS theta_e6,
+                         CAST(round((CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                              * 1000000) AS BIGINT) AS corr_e6
+                  FROM m)
+            SELECT n, sx, sy, theta_e6, corr_e6,
+                   ((corr_e6 * corr_e6) // 1000000)::BIGINT
+                     AS variance_reduction_ppm
+            FROM c
+        """,
+        "did_estimate": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            base AS (
+              SELECT user_id % 2 AS grp,
+                     CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                CAST(ts AS DATE)) < 15
+                          THEN 0 ELSE 1 END AS period,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events
+            ),
+            agg AS (
+              SELECT
+                sum(CASE WHEN grp = 0 AND period = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS n00,
+                sum(CASE WHEN grp = 0 AND period = 1 THEN 1 ELSE 0
+                    END)::BIGINT AS n01,
+                sum(CASE WHEN grp = 1 AND period = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS n10,
+                sum(CASE WHEN grp = 1 AND period = 1 THEN 1 ELSE 0
+                    END)::BIGINT AS n11,
+                sum(CASE WHEN grp = 0 AND period = 0 THEN v_e2 ELSE 0
+                    END)::BIGINT AS s00,
+                sum(CASE WHEN grp = 0 AND period = 1 THEN v_e2 ELSE 0
+                    END)::BIGINT AS s01,
+                sum(CASE WHEN grp = 1 AND period = 0 THEN v_e2 ELSE 0
+                    END)::BIGINT AS s10,
+                sum(CASE WHEN grp = 1 AND period = 1 THEN v_e2 ELSE 0
+                    END)::BIGINT AS s11
+              FROM base
+            ),
+            m AS (
+              SELECT n00, n01, n10, n11,
+                     ((s00 * 10000) // greatest(n00, 1))::BIGINT AS m00_e6,
+                     ((s01 * 10000) // greatest(n01, 1))::BIGINT AS m01_e6,
+                     ((s10 * 10000) // greatest(n10, 1))::BIGINT AS m10_e6,
+                     ((s11 * 10000) // greatest(n11, 1))::BIGINT AS m11_e6
+              FROM agg
+            )
+            SELECT n00, n01, n10, n11, m00_e6, m01_e6, m10_e6, m11_e6,
+                   ((m11_e6 - m10_e6) - (m01_e6 - m00_e6))::BIGINT AS did_e6
+            FROM m
+        """,
+        "power_sample_size": """
+            WITH g AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CASE WHEN value >= 245 THEN 1 ELSE 0
+                         END)::BIGINT AS k
+              FROM events GROUP BY 1
+            ),
+            p AS (SELECT event_type, n, k,
+                         ((k * 1000000) // n)::BIGINT AS p_ppm
+                  FROM g)
+            SELECT event_type, n, k, p_ppm,
+                   CAST(ceil((7.848886 * ((CAST(p_ppm AS DOUBLE) / 1000000.0)
+                        * (1.0 - CAST(p_ppm AS DOUBLE) / 1000000.0)
+                        + (CAST(p_ppm AS DOUBLE) * 1.1 / 1000000.0)
+                        * (1.0 - CAST(p_ppm AS DOUBLE) * 1.1 / 1000000.0)))
+                        / ((CAST(p_ppm AS DOUBLE) * 0.1 / 1000000.0)
+                        * (CAST(p_ppm AS DOUBLE) * 0.1 / 1000000.0)))
+                        AS BIGINT) AS n_required_per_arm
+            FROM p
         """,
     }
