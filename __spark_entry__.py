@@ -11405,6 +11405,209 @@ def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QL_EXPR = (
+    "cast(round(ln((cast(tf as double) + 1000.0 * cast(cf as double)"
+    " / cast(ctot as double)) / (cast(dl as double) + 1000.0))"
+    " * 1000000) as bigint)"
+)
+
+_FLESCH_EXPR = (
+    "cast(round((206.835 - 1.015 * (cast(n_words as double)"
+    " / cast(n_sentences as double)) - 84.6 * (cast(n_syllables as double)"
+    " / cast(n_words as double))) * 1000) as bigint)"
+)
+
+
+def q_dirichlet_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, mu=1000) — the LM-based ranker that sits beside
+    BM25 in every IR engine: score = ln((tf + mu*cf/|C|)/(dl+mu))
+    per gazetteer term, top-3 docs. Candidates are the posting list
+    (tf >= 1), the standard impl; collection stats ride a broadcast
+    1-row crossJoin; the score is ONE shared float expression
+    e6-rounded per (term, doc) BEFORE the rank window, so ties are
+    integer-exact."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("alias"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    ctot = toks.agg(F.count(F.lit(1)).alias("ctot"))
+    gaz = _gazetteer_df(spark).select("alias").distinct()
+    cf = toks.join(F.broadcast(gaz), "alias").groupBy("alias").agg(
+        F.count(F.lit(1)).alias("cf")
+    )
+    tf = (
+        toks.join(F.broadcast(gaz), "alias")
+        .groupBy("alias", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(cf), "alias")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            F.col("alias").alias("term"),
+            "doc_id",
+            "tf",
+            F.expr(_QL_EXPR).alias("ql_e6"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("ql_e6"), F.asc("doc_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= 3)
+
+
+def q_entity_context_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional context profile per KG entity: the top-5
+    non-entity tokens by doc-co-occurrence lift — the pseudo
+    -document an entity-linking reranker embeds (the profile-build
+    counterpart to gazetteer_expansion's candidate mining, which
+    ranks globally; this keeps EVERY entity with its own ranked
+    profile). Lift stays exact integer
+    (n_te * N * 1e6 div (n_t * n_e)); one pinned token scan feeds
+    both incidence frames; the rank window partitions by entity."""
+    files = _doc_files(spark, sf_dir)
+    toks = files.select(
+        "doc_id", F.explode(X.tokens("content")).alias("alias")
+    ).distinct().localCheckpoint(eager=True)
+    gaz = _gazetteer_df(spark)
+    de = toks.join(F.broadcast(gaz), "alias").select(
+        "doc_id", "entity"
+    ).distinct()
+    ct = toks.join(
+        F.broadcast(gaz.select("alias").distinct()), "alias", "left_anti"
+    ).select("doc_id", F.col("alias").alias("token"))
+    nd = files.agg(F.count(F.lit(1)).alias("_n"))
+    nt = ct.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    ne = de.groupBy("entity").agg(F.count(F.lit(1)).alias("n_e"))
+    pairs = ct.join(de, "doc_id").groupBy("token", "entity").agg(
+        F.count(F.lit(1)).alias("n_te")
+    )
+    scored = (
+        pairs.join(F.broadcast(nt), "token")
+        .join(F.broadcast(ne), "entity")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "entity",
+            "token",
+            "n_te",
+            F.expr("(n_te * _n * 1000000) div (n_t * n_e)").alias("lift_e6"),
+        )
+    )
+    wr = Window.partitionBy("entity").orderBy(
+        F.desc("lift_e6"), F.asc("token")
+    )
+    return scored.withColumn(
+        "ctx_rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("ctx_rank") <= 5)
+
+
+def q_biblio_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling and co-citation counts over the
+    directed token graph — the citation-analysis pair (Kessler 1963
+    / Small 1973) a scholarly KG serves: coupling(u,v) = shared
+    OUT-neighbors, cocitation(u,v) = shared IN-neighbors, full-outer
+    merged per unordered pair. Two shared-neighbor self-joins keyed
+    on the common endpoint (fan-out bounded by thresholded degree);
+    edge-sized state throughout."""
+    de = _tok_digraph(spark, sf_dir).select(
+        F.col("t1").alias("src"), F.col("t2").alias("dst")
+    )
+    o1 = de.select(F.col("src").alias("u"), "dst")
+    o2 = de.select(F.col("src").alias("v"), "dst")
+    coup = (
+        o1.join(o2, "dst")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("coupling"))
+    )
+    i1 = de.select(F.col("dst").alias("u"), "src")
+    i2 = de.select(F.col("dst").alias("v"), "src")
+    coci = (
+        i1.join(i2, "src")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cocitation"))
+    )
+    return (
+        coup.join(coci, ["u", "v"], "full_outer")
+        .select(
+            "u",
+            "v",
+            F.coalesce("coupling", F.lit(0).cast("long")).alias("coupling"),
+            F.coalesce("cocitation", F.lit(0).cast("long")).alias(
+                "cocitation"
+            ),
+        )
+    )
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from pure-regex counts —
+    words (whitespace), sentences ([.!?]+ runs, min 1), syllables
+    (vowel-group approximation, the standard hyphenation-free
+    heuristic) — the readability gate an educational-content filter
+    applies. All three counts are exact integers in codegen; the
+    Flesch formula is ONE shared float expression e3-rounded from
+    them. Zero joins, zero shuffles beyond the scan."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")),
+            F.lit(1),
+        ).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).cast("long").alias("n_sentences"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        ).cast("long").alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(_FLESCH_EXPR).alias("flesch_e3"),
+    )
+
+
+def q_next_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token serving table: top-3 bigram successors per token
+    with exact ppm conditional probabilities — the materialized
+    argmax table an autocomplete / speculative-decoding draft serves
+    from. One bigram pass, a vocabulary-sized count frame, one rank
+    window partitioned by predecessor."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    rt = c.groupBy("w1").agg(F.sum("c").alias("rowtot"))
+    wr = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    return (
+        c.join(F.broadcast(rt), "w1")
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w1").alias("token"),
+            F.col("w2").alias("next_token"),
+            F.col("c").alias("n"),
+            F.expr("(c * 1000000) div rowtot").alias("prob_ppm"),
+            "rnk",
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -11725,6 +11928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjustment": q_cuped_adjustment,
         "did_estimate": q_did_estimate,
         "power_sample_size": q_power_sample_size,
+        "dirichlet_ql_retrieval": q_dirichlet_ql_retrieval,
+        "entity_context_profile": q_entity_context_profile,
+        "biblio_coupling": q_biblio_coupling,
+        "readability_scores": q_readability_scores,
+        "next_token_table": q_next_token_table,
     }
 
 
@@ -18677,5 +18885,116 @@ def oracle_sql() -> dict[str, str]:
                         * (CAST(p_ppm AS DOUBLE) * 0.1 / 1000000.0)))
                         AS BIGINT) AS n_required_per_arm
             FROM p
+        """,
+        "dirichlet_ql_retrieval": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS alias FROM t),
+            dlen AS (SELECT doc_id, count(*)::BIGINT AS dl
+                     FROM tok GROUP BY doc_id),
+            ctot AS (SELECT count(*)::BIGINT AS ctot FROM tok),
+            g AS (SELECT DISTINCT alias FROM gaz),
+            cfq AS (SELECT tok.alias, count(*)::BIGINT AS cf
+                    FROM tok JOIN g ON tok.alias = g.alias GROUP BY 1),
+            tfq AS (SELECT tok.alias, tok.doc_id, count(*)::BIGINT AS tf
+                    FROM tok JOIN g ON tok.alias = g.alias
+                    GROUP BY 1, 2),
+            flat AS (SELECT tfq.alias AS term, tfq.doc_id, tfq.tf,
+                            cfq.cf, dlen.dl, (SELECT ctot FROM ctot) AS ctot
+                     FROM tfq
+                     JOIN cfq ON cfq.alias = tfq.alias
+                     JOIN dlen ON dlen.doc_id = tfq.doc_id),
+            sc AS (SELECT term, doc_id, tf, {_QL_EXPR} AS ql_e6 FROM flat)
+            SELECT term, doc_id, tf, ql_e6, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY term
+                        ORDER BY ql_e6 DESC, doc_id ASC)::BIGINT AS rnk
+              FROM sc)
+            WHERE rnk <= 3
+        """,
+        "entity_context_profile": f"""
+            WITH {_GAZ_CTE},
+            tk AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS alias
+                   FROM documents),
+            de AS (SELECT DISTINCT doc_id, entity
+                   FROM tk JOIN gaz ON tk.alias = gaz.alias),
+            ct AS (SELECT doc_id, alias AS token FROM tk
+                   WHERE alias NOT IN (SELECT DISTINCT alias FROM gaz)),
+            nd AS (SELECT count(*)::BIGINT AS _n FROM documents),
+            nt AS (SELECT token, count(*)::BIGINT AS n_t FROM ct
+                   GROUP BY 1),
+            ne AS (SELECT entity, count(*)::BIGINT AS n_e FROM de
+                   GROUP BY 1),
+            pairs AS (SELECT ct.token, de.entity, count(*)::BIGINT AS n_te
+                      FROM ct JOIN de ON de.doc_id = ct.doc_id
+                      GROUP BY 1, 2),
+            sc AS (SELECT pairs.entity, pairs.token, pairs.n_te,
+                          ((pairs.n_te * (SELECT _n FROM nd) * 1000000)
+                           // (nt.n_t * ne.n_e))::BIGINT AS lift_e6
+                   FROM pairs
+                   JOIN nt ON nt.token = pairs.token
+                   JOIN ne ON ne.entity = pairs.entity)
+            SELECT entity, token, n_te, lift_e6, ctx_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY entity
+                        ORDER BY lift_e6 DESC, token ASC)::BIGINT
+                          AS ctx_rank
+              FROM sc)
+            WHERE ctx_rank <= 5
+        """,
+        "biblio_coupling": f"""
+            WITH {_tok_graph_cte()},
+            coup AS (SELECT a.src AS u, b.src AS v,
+                            count(*)::BIGINT AS coupling
+                     FROM de a JOIN de b
+                       ON a.dst = b.dst AND a.src < b.src
+                     GROUP BY 1, 2),
+            coci AS (SELECT a.dst AS u, b.dst AS v,
+                            count(*)::BIGINT AS cocitation
+                     FROM de a JOIN de b
+                       ON a.src = b.src AND a.dst < b.dst
+                     GROUP BY 1, 2)
+            SELECT coalesce(coup.u, coci.u) AS u,
+                   coalesce(coup.v, coci.v) AS v,
+                   coalesce(coup.coupling, 0)::BIGINT AS coupling,
+                   coalesce(coci.cocitation, 0)::BIGINT AS cocitation
+            FROM coup FULL OUTER JOIN coci
+              ON coci.u = coup.u AND coci.v = coup.v
+        """,
+        "readability_scores": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     greatest(len(regexp_extract_all(text, '\\S+')),
+                              1)::BIGINT AS n_words_raw,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1)::BIGINT AS n_sentences,
+                     greatest(len(regexp_extract_all(lower(text),
+                              '[aeiouy]+')), 1)::BIGINT AS n_syllables
+              FROM documents
+            ),
+            b2 AS (SELECT doc_id, n_words_raw AS n_words, n_sentences,
+                          n_syllables
+                   FROM base)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   {_FLESCH_EXPR} AS flesch_e3
+            FROM b2
+        """,
+        "next_token_table": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT split_part(b, ' ', 1) AS w1,
+                     split_part(b, ' ', 2) AS w2
+              FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i + 1])) AS b
+                    FROM t)
+            ),
+            c AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg
+                  GROUP BY 1, 2),
+            rt AS (SELECT w1, sum(c)::BIGINT AS rowtot FROM c GROUP BY 1)
+            SELECT token, next_token, n, prob_ppm, rnk FROM (
+              SELECT c.w1 AS token, c.w2 AS next_token, c.c AS n,
+                     ((c.c * 1000000) // rt.rowtot)::BIGINT AS prob_ppm,
+                     row_number() OVER (PARTITION BY c.w1
+                       ORDER BY c.c DESC, c.w2 ASC)::BIGINT AS rnk
+              FROM c JOIN rt ON rt.w1 = c.w1)
+            WHERE rnk <= 3
         """,
     }
