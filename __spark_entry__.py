@@ -11608,6 +11608,217 @@ def q_next_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing of documents onto
+    8 nodes — the consistent-placement alternative to the hash ring
+    (consistent_hash_ring) that needs no ring state: every doc goes
+    to argmax over nodes of md5(node:doc). Placement is a codegen
+    projection (nodes ride a tiny explode, argmax is one max_by per
+    doc — no shuffle beyond the final balance rollup); output is the
+    per-node doc count and balance ppm, the skew audit HRW
+    deployments watch. Weights are content-derived, so placement is
+    partitioning-invariant by construction."""
+    d = _docs(spark, sf_dir)
+    nodes = F.array(*[F.lit(f"node{i}") for i in range(8)])
+    pick = d.select(
+        "doc_id",
+        F.explode(nodes).alias("node"),
+    ).select(
+        "doc_id",
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("node"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("w"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("node"))
+    assign = (
+        pick.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "node")
+    )
+    tot = assign.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        assign.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "n_assigned",
+            F.expr("(n_assigned * 8000000) div n_docs").alias(
+                "load_x8_ppm"
+            ),
+        )
+    )
+
+
+def q_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the daily-revenue aggregate view
+    over even event_ids (the base) merged with the odd-id delta
+    batch — each output day classified insert (delta only) /
+    update (both) / unchanged (base only), with old and new exact
+    cent totals: the self-maintainable-aggregate step an IVM engine
+    applies instead of recomputing the view. Base and delta each
+    reduce BEFORE the day-keyed outer join, so the merge touches
+    day-sized state only."""
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("old_e2")
+        )
+    )
+    delta = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("d_e2")
+        )
+    )
+    return (
+        base.join(delta, "day", "full_outer")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("old_e2", F.lit(0).cast("long")).alias("old_e2"),
+            (
+                F.coalesce("old_e2", F.lit(0).cast("long"))
+                + F.coalesce("d_e2", F.lit(0).cast("long"))
+            ).alias("new_e2"),
+            F.expr(
+                "CASE WHEN old_e2 IS NULL THEN 'insert'"
+                " WHEN d_e2 IS NULL THEN 'unchanged'"
+                " ELSE 'update' END"
+            ).alias("change"),
+        )
+    )
+
+
+def q_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check against the expected funnel
+    signup -> view -> click -> purchase: per user, each adjacent
+    funnel constraint is checked on FIRST-occurrence timestamps
+    (first view not before first signup, etc. — the token-replay
+    fitness a conformance engine reports), then rolled up to
+    violation counts and a fitness distribution. One groupBy to
+    per-user first-occurrence state (4 columns), codegen checks, a
+    tiny rollup keyed by the violation signature."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.col("ts"))
+        ).alias(f"t_{t}")
+
+    pu = ev.groupBy("user_id").agg(
+        first_of("signup"), first_of("view"), first_of("click"),
+        first_of("purchase"),
+    )
+    checks = pu.select(
+        "user_id",
+        F.expr(
+            "CASE WHEN t_view IS NOT NULL AND (t_signup IS NULL"
+            " OR t_view < t_signup) THEN 1 ELSE 0 END"
+        ).cast("long").alias("v_view_before_signup"),
+        F.expr(
+            "CASE WHEN t_click IS NOT NULL AND (t_view IS NULL"
+            " OR t_click < t_view) THEN 1 ELSE 0 END"
+        ).cast("long").alias("v_click_before_view"),
+        F.expr(
+            "CASE WHEN t_purchase IS NOT NULL AND (t_click IS NULL"
+            " OR t_purchase < t_click) THEN 1 ELSE 0 END"
+        ).cast("long").alias("v_purchase_before_click"),
+    )
+    return (
+        checks.withColumn(
+            "n_violations",
+            F.col("v_view_before_signup")
+            + F.col("v_click_before_view")
+            + F.col("v_purchase_before_click"),
+        )
+        .groupBy(
+            "v_view_before_signup",
+            "v_click_before_view",
+            "v_purchase_before_click",
+            "n_violations",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_boruvka_round_mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Boruvka round over the weighted token graph: every
+    node (round-0 component) nominates its minimum-weight incident
+    edge, ties broken by (w, x, y) — by the cut property every
+    nominated edge IS an MST edge, which is the invariant a
+    log-round distributed MST (Boruvka/GHS lineage) repeats after
+    contraction. Output is the deduplicated nominated edge set with
+    how many endpoints picked it (2 = mutual minimum). One
+    symmetric explode + one per-node argmin window + one dedup —
+    edge-sized state, and the selection is provably correct without
+    any convergence caveat (contraction rounds are where bounded
+    -round caveats live; see scc_bounded for that discipline)."""
+    e = _tok_ungraph(spark, sf_dir)
+    sym = e.select(
+        F.col("x").alias("node"), "x", "y", "w"
+    ).unionAll(e.select(F.col("y").alias("node"), "x", "y", "w"))
+    wr = Window.partitionBy("node").orderBy(
+        F.asc("w"), F.asc("x"), F.asc("y")
+    )
+    picks = (
+        sym.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("x", "y", "w")
+    )
+    return picks.groupBy("x", "y", "w").agg(
+        F.count(F.lit(1)).alias("n_pickers")
+    )
+
+
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 5-minute activity
+    interval; per user, overlapping intervals merge (the classic
+    running-max-end island detection — one window, no self-join)
+    and the output is each user's merged-interval count and total
+    covered seconds — the uptime/engagement arithmetic a billing or
+    SLA pipeline needs exact. Interval bounds are epoch-second
+    BIGINTs; a new island starts when an interval's start exceeds
+    the running max end of all earlier intervals."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("s"),
+        (F.unix_timestamp(F.col("ts")) + 300).alias("e"),
+        "event_id",
+    )
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wl), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    isl = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("ie") - F.col("is_")).alias("covered_seconds"),
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -11933,6 +12144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biblio_coupling": q_biblio_coupling,
         "readability_scores": q_readability_scores,
         "next_token_table": q_next_token_table,
+        "rendezvous_hashing": q_rendezvous_hashing,
+        "ivm_delta_merge": q_ivm_delta_merge,
+        "process_conformance": q_process_conformance,
+        "boruvka_round_mst_edges": q_boruvka_round_mst_edges,
+        "interval_union_coverage": q_interval_union_coverage,
     }
 
 
@@ -18996,5 +19212,124 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY c.c DESC, c.w2 ASC)::BIGINT AS rnk
               FROM c JOIN rt ON rt.w1 = c.w1)
             WHERE rnk <= 3
+        """,
+        "rendezvous_hashing": f"""
+            WITH nodes AS (SELECT 'node' || i::VARCHAR AS node
+                           FROM (SELECT unnest(range(8)) AS i)),
+            pick AS (
+              SELECT doc_id, node,
+                     {_dk_hex8("node || ':' || doc_id::VARCHAR")} AS w
+              FROM documents CROSS JOIN nodes
+            ),
+            assign AS (
+              SELECT doc_id, node FROM (
+                SELECT doc_id, node,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY w DESC, node ASC) AS rn
+                FROM pick) WHERE rn = 1
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n_docs FROM assign)
+            SELECT node, count(*)::BIGINT AS n_assigned,
+                   ((count(*) * 8000000)
+                    // (SELECT n_docs FROM tot))::BIGINT AS load_x8_ppm
+            FROM assign GROUP BY node
+        """,
+        "ivm_delta_merge": """
+            WITH base AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS old_e2
+              FROM events WHERE event_id % 2 = 0 GROUP BY 1
+            ),
+            delta AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS d_e2
+              FROM events WHERE event_id % 2 = 1 GROUP BY 1
+            )
+            SELECT coalesce(base.day, delta.day)::VARCHAR AS day,
+                   coalesce(base.old_e2, 0)::BIGINT AS old_e2,
+                   (coalesce(base.old_e2, 0)
+                    + coalesce(delta.d_e2, 0))::BIGINT AS new_e2,
+                   CASE WHEN base.day IS NULL THEN 'insert'
+                        WHEN delta.day IS NULL THEN 'unchanged'
+                        ELSE 'update' END AS change
+            FROM base FULL OUTER JOIN delta ON delta.day = base.day
+        """,
+        "process_conformance": """
+            WITH pu AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS t_signup,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS t_view,
+                     min(CASE WHEN event_type = 'click' THEN ts END)
+                       AS t_click,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+              FROM events GROUP BY user_id
+            ),
+            checks AS (
+              SELECT user_id,
+                     (CASE WHEN t_view IS NOT NULL AND (t_signup IS NULL
+                           OR t_view < t_signup) THEN 1 ELSE 0
+                      END)::BIGINT AS v_view_before_signup,
+                     (CASE WHEN t_click IS NOT NULL AND (t_view IS NULL
+                           OR t_click < t_view) THEN 1 ELSE 0
+                      END)::BIGINT AS v_click_before_view,
+                     (CASE WHEN t_purchase IS NOT NULL AND (t_click IS NULL
+                           OR t_purchase < t_click) THEN 1 ELSE 0
+                      END)::BIGINT AS v_purchase_before_click
+              FROM pu
+            )
+            SELECT v_view_before_signup, v_click_before_view,
+                   v_purchase_before_click,
+                   (v_view_before_signup + v_click_before_view
+                    + v_purchase_before_click)::BIGINT AS n_violations,
+                   count(*)::BIGINT AS n_users
+            FROM checks
+            GROUP BY 1, 2, 3, 4
+        """,
+        "boruvka_round_mst_edges": f"""
+            WITH {_tok_graph_cte()},
+            sym AS (SELECT x AS node, x, y, w FROM und
+                    UNION ALL SELECT y, x, y, w FROM und),
+            picks AS (
+              SELECT x, y, w FROM (
+                SELECT x, y, w,
+                       row_number() OVER (PARTITION BY node
+                         ORDER BY w ASC, x ASC, y ASC) AS rn
+                FROM sym) WHERE rn = 1
+            )
+            SELECT x, y, w, count(*)::BIGINT AS n_pickers
+            FROM picks GROUP BY 1, 2, 3
+        """,
+        "interval_union_coverage": """
+            WITH iv AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+                     (floor(epoch(ts)) + 300)::BIGINT AS e, event_id
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, s, e, event_id,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id,
+                     sum(new_island) OVER (PARTITION BY user_id
+                       ORDER BY s, event_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS island,
+                     s, e
+              FROM marked
+            ),
+            g AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie
+                  FROM isl GROUP BY 1, 2)
+            SELECT user_id, count(*)::BIGINT AS n_intervals,
+                   sum(ie - is_)::BIGINT AS covered_seconds
+            FROM g GROUP BY user_id
         """,
     }
