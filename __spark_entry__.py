@@ -11819,6 +11819,222 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phonetic_key_sql(inner: str, duck: bool) -> str:
+    """Consonant-skeleton key: drop vowels, collapse each consonant
+    run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
+    has no backreferences ('(.)\\1+' only works on the Java side).
+    Spark replaces globally by default; DuckDB needs the 'g' flag."""
+    g = ", 'g'" if duck else ""
+    expr = f"regexp_replace(lower({inner}), '[aeiouy]', ''{g})"
+    for ch in "bcdfghjklmnpqrstvwxz_":
+        expr = f"regexp_replace({expr}, '{ch}{ch}+', '{ch}'{g})"
+    return expr
+
+
+def q_itemcf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 co-purchase partners
+    per part by squared cosine over the customer-part incidence —
+    the neighborhood model a 'customers also bought' service
+    precomputes. cos^2 = n_ab^2/(n_a*n_b) keeps the score fully
+    integer (ppm) — no sqrt, same ranking as cosine since scores are
+    nonnegative. The incidence is distinct-reduced BEFORE the
+    customer-keyed pair join (the only superlinear frame, bounded by
+    per-customer basket size — at 100 TB you cap baskets or prune by
+    item frequency, the standard CF co-occurrence discipline); pair
+    counts then join item marginals broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    na = cp.groupBy(F.col("l_partkey").alias("a")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        cp.join(b, (F.col("o_custkey") == F.col("ck")) & (F.col("l_partkey") < F.col("pb")))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("pb").alias("b_"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    nb = na.select(F.col("a").alias("b_"), F.col("n_a").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b_")
+        .select(
+            "a",
+            F.col("b_").alias("b"),
+            "n_ab",
+            F.expr("(n_ab * n_ab * 1000000) div (n_a * n_b)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    wr = Window.partitionBy("a").orderBy(F.desc("cos2_ppm"), F.asc("b"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(wr).cast("long")
+    ).filter(F.col("rnk") <= 3)
+
+
+def q_seasonal_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average seasonal decomposition (STL-lite) of daily
+    revenue: trend = centered 7-day MA (exact integer div over a
+    full calendar spine so gaps count as zero revenue — same spine
+    discipline as daily_locf_fill), detrended = x - trend, seasonal
+    = per-ISO-weekday mean of the detrended series — the
+    decomposition a forecast pipeline materializes. Every division
+    is integer (e2 cents); edge days without a full 7-day window are
+    excluded from the seasonal means exactly as classical
+    decomposition does. Output is the 7-row seasonal profile."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date(F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x_e2"
+        )
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    full = (
+        spine.join(daily, "day", "left")
+        .withColumn("x_e2", F.coalesce("x_e2", F.lit(0).cast("long")))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        full.withColumn("n_win", F.count(F.lit(1)).over(w))
+        .withColumn("trend_e2", F.expr("sum(x_e2) over (order by day rows between 3 preceding and 3 following) div 7"))
+        .filter(F.col("n_win") == 7)
+        .select(
+            (F.expr("weekday(day)") + 1).cast("long").alias("iso_dow"),
+            (F.col("x_e2") - F.col("trend_e2")).alias("detr_e2"),
+        )
+    )
+    return det.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("sum(detr_e2) div count(1)").alias("seasonal_e2"),
+    )
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand over lineitem: OLS slope of
+    ln(quantity) on ln(unit price), with each row's logs e6-QUANTIZED
+    FIRST (one shared expression) so the regression moments are
+    exact BIGINT sums and the slope is an integer cross
+    -multiplication — the quantize-then-regress pattern that makes
+    float regressions hash-exact (same discipline as
+    theil_sen_slope). One scan, one moment reduce, one-row output
+    with the e6 slope and moment diagnostics."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.expr(
+            "cast(round(ln(cast(l_extendedprice as double)"
+            " / cast(l_quantity as double)) * 1000000) as bigint)"
+        ).alias("lx"),
+        F.expr(
+            "cast(round(ln(cast(l_quantity as double)) * 1000000) as bigint)"
+        ).alias("ly"),
+    )
+    # drop to e3 ("milli-log") units, then CENTER on the integer
+    # means before the moment products: uncentered n*sxy-sx*sy runs
+    # ~1e17 and the final *1e6 overflows BIGINT; centered moments are
+    # variance-sized, and slope = S_xy/S_xx needs no n factor
+    r2 = rows.select(
+        F.expr("lx div 1000").alias("x"), F.expr("ly div 1000").alias("y")
+    )
+    mu = r2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(x) div count(1)").alias("mx"),
+        F.expr("sum(y) div count(1)").alias("my"),
+    )
+    c = r2.crossJoin(F.broadcast(mu)).select(
+        "n",
+        (F.col("x") - F.col("mx")).alias("cx"),
+        (F.col("y") - F.col("my")).alias("cy"),
+    )
+    m = c.groupBy("n").agg(
+        F.sum("cx").alias("sx"),
+        F.sum("cy").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("(sxy * 1000000) div greatest(sxx, 1)").alias(
+            "elasticity_e6"
+        ),
+    )
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking key table for fuzzy token grouping: a
+    soundex-like consonant skeleton (vowels dropped, repeated
+    consonants collapsed — a pure regexp_replace chain, so the
+    oracle runs the identical transforms with no soundex builtin)
+    over the union of document tokens and part-name words, emitting
+    every block with its members and a confusable flag (>= 2
+    distinct tokens sharing a key, e.g. red/rod) — the blocking key
+    an entity-resolution pass adds beside edit-distance and
+    sorted-neighborhood. Vocabulary-sized after the first reduce."""
+    d = _docs(spark, sf_dir)
+    p_ = _t(spark, sf_dir, "part")
+    toks = d.select(F.explode(X.tokens("text")).alias("tok")).unionAll(
+        p_.select(F.explode(F.split(F.col("p_name"), " ")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    keyed = vocab.withColumn(
+        "pkey", F.expr(_phonetic_key_sql("tok", duck=False))
+    )
+    return keyed.groupBy("pkey").agg(
+        F.countDistinct("tok").alias("n_tokens"),
+        F.sum("n").alias("n_occurrences"),
+        F.expr("array_join(sort_array(collect_set(tok)), ' ')").alias(
+            "members"
+        ),
+    ).withColumn(
+        "confusable", (F.col("n_tokens") >= 2).cast("long")
+    )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    while the cumulative share is <= 80%, B to 95%, C after — the
+    Pareto segmentation every supply-chain dashboard ships. Shares
+    never divide: class boundaries are integer cross-multiplications
+    of the exact e2 cumulative sums against the broadcast total; the
+    rank window is the only global ordering and it runs on the
+    part-sized rollup, not the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("long")
+        ).alias("rev_e2")
+    )
+    tot = pr.agg(F.sum("rev_e2").alias("tot_e2"))
+    w = Window.orderBy(F.desc("rev_e2"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .withColumn("cum_e2", F.sum("rev_e2").over(w))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "rev_e2",
+            "cum_e2",
+            F.expr(
+                "CASE WHEN cum_e2 * 100 <= tot_e2 * 80 THEN 'A'"
+                " WHEN cum_e2 * 100 <= tot_e2 * 95 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc_class"),
+        )
+    )
+
+
 _TYPE_SUBCLASS: list[tuple[str, str]] = [
     ("DB", "SOFTWARE"),
     ("LIB", "SOFTWARE"),
@@ -12149,6 +12365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_conformance": q_process_conformance,
         "boruvka_round_mst_edges": q_boruvka_round_mst_edges,
         "interval_union_coverage": q_interval_union_coverage,
+        "itemcf_similarity": q_itemcf_similarity,
+        "seasonal_decompose_lite": q_seasonal_decompose_lite,
+        "price_elasticity": q_price_elasticity,
+        "phonetic_blocking": q_phonetic_blocking,
+        "abc_classification": q_abc_classification,
     }
 
 
@@ -19331,5 +19552,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_intervals,
                    sum(ie - is_)::BIGINT AS covered_seconds
             FROM g GROUP BY user_id
+        """,
+        "itemcf_similarity": """
+            WITH cp AS (
+              SELECT DISTINCT o.o_custkey, li.l_partkey
+              FROM lineitem li JOIN orders o
+                ON li.l_orderkey = o.o_orderkey
+            ),
+            na AS (SELECT l_partkey AS a, count(*)::BIGINT AS n_a FROM cp
+                   GROUP BY 1),
+            pairs AS (
+              SELECT x.l_partkey AS a, y.l_partkey AS b,
+                     count(*)::BIGINT AS n_ab
+              FROM cp x JOIN cp y
+                ON x.o_custkey = y.o_custkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT pairs.a, pairs.b, pairs.n_ab,
+                     ((pairs.n_ab * pairs.n_ab * 1000000)
+                      // (na.n_a * nb.n_a))::BIGINT AS cos2_ppm
+              FROM pairs
+              JOIN na ON na.a = pairs.a
+              JOIN na nb ON nb.a = pairs.b
+            )
+            SELECT a, b, n_ab, cos2_ppm, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY a
+                        ORDER BY cos2_ppm DESC, b ASC)::BIGINT AS rnk
+              FROM scored)
+            WHERE rnk <= 3
+        """,
+        "seasonal_decompose_lite": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS x_e2
+              FROM orders GROUP BY 1
+            ),
+            span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+            spine AS (SELECT unnest(generate_series((SELECT d0 FROM span),
+                                                    (SELECT d1 FROM span),
+                                                    INTERVAL 1 DAY))
+                               ::DATE AS day),
+            f AS (SELECT spine.day,
+                         coalesce(daily.x_e2, 0)::BIGINT AS x_e2
+                  FROM spine LEFT JOIN daily ON daily.day = spine.day),
+            det AS (
+              SELECT day, x_e2,
+                     count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING) AS n_win,
+                     (sum(x_e2) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING) // 7)::BIGINT AS trend_e2
+              FROM f
+            )
+            SELECT isodow(day)::BIGINT AS iso_dow,
+                   count(*)::BIGINT AS n_days,
+                   (sum(x_e2 - trend_e2) // count(*))::BIGINT AS seasonal_e2
+            FROM det WHERE n_win = 7
+            GROUP BY 1
+        """,
+        "price_elasticity": """
+            WITH rows_ AS (
+              SELECT CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+                     / CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS lx,
+                     CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS ly
+              FROM lineitem
+            ),
+            r2 AS (SELECT lx // 1000 AS x, ly // 1000 AS y FROM rows_),
+            mu AS (SELECT count(*)::BIGINT AS n,
+                          (sum(x) // count(*))::BIGINT AS mx,
+                          (sum(y) // count(*))::BIGINT AS my
+                   FROM r2),
+            c AS (SELECT (SELECT n FROM mu) AS n,
+                         (x - (SELECT mx FROM mu))::BIGINT AS cx,
+                         (y - (SELECT my FROM mu))::BIGINT AS cy
+                  FROM r2),
+            m AS (SELECT n, sum(cx)::BIGINT AS sx, sum(cy)::BIGINT AS sy,
+                         sum(cx * cx)::BIGINT AS sxx,
+                         sum(cx * cy)::BIGINT AS sxy
+                  FROM c GROUP BY n)
+            SELECT n, sx, sy,
+                   ((sxy * 1000000) // greatest(sxx, 1))::BIGINT
+                     AS elasticity_e6
+            FROM m
+        """,
+        "phonetic_blocking": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS tok FROM documents
+              UNION ALL
+              SELECT unnest(string_split(p_name, ' ')) FROM part
+            ),
+            vocab AS (SELECT tok, count(*)::BIGINT AS n FROM toks
+                      GROUP BY tok),
+            keyed AS (
+              SELECT tok, n,
+                     {_phonetic_key_sql('tok', duck=True)} AS pkey
+              FROM vocab
+            )
+            SELECT pkey, count(DISTINCT tok)::BIGINT AS n_tokens,
+                   sum(n)::BIGINT AS n_occurrences,
+                   array_to_string(list_sort(list(DISTINCT tok)), ' ')
+                     AS members,
+                   (CASE WHEN count(DISTINCT tok) >= 2 THEN 1 ELSE 0
+                    END)::BIGINT AS confusable
+            FROM keyed GROUP BY pkey
+        """,
+        "abc_classification": """
+            WITH pr AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 100) AS BIGINT))::BIGINT AS rev_e2
+              FROM lineitem GROUP BY 1
+            ),
+            tot AS (SELECT sum(rev_e2)::BIGINT AS tot_e2 FROM pr),
+            c AS (SELECT l_partkey AS partkey, rev_e2,
+                         sum(rev_e2) OVER (ORDER BY rev_e2 DESC,
+                           l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS cum_e2,
+                         (SELECT tot_e2 FROM tot) AS tot_e2
+                  FROM pr)
+            SELECT partkey, rev_e2, cum_e2,
+                   CASE WHEN cum_e2 * 100 <= tot_e2 * 80 THEN 'A'
+                        WHEN cum_e2 * 100 <= tot_e2 * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c
         """,
     }
