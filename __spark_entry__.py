@@ -11819,6 +11819,189 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPMI_EXPR = (
+    "cast(round(greatest(ln((cast(n_ab as double) * cast(n_tot as double))"
+    " / (cast(n_a as double) * cast(n_b as double))), 0.0)"
+    " * 1000000) as bigint)"
+)
+
+_ENTROPY_TERM = (
+    "cast(round(-(cast(c as double) / cast(n_tot as double))"
+    " * ln(cast(c as double) / cast(n_tot as double))"
+    " * 1000000000) as bigint)"
+)
+
+
+def q_ppmi_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive PMI over ±2-position skipgram windows — the
+    co-occurrence statistic word-embedding training factorizes
+    (Levy & Goldberg 2014), positional where cooccur_lift is
+    doc-grain. Window pairs come from one posexplode + two offset
+    joins expressed as transform() over the token array (no
+    self-join of the corpus); counts reduce to the vocab²-bounded
+    pair frame, marginals broadcast, and the PPMI clamp + log is one
+    shared e6 expression. Top-5 context rows per word keep the
+    output vocabulary-sized."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, greatest(size(ts), 1)),"
+                " i -> filter(transform(array(1, 2),"
+                " k -> CASE WHEN i + k <= size(ts)"
+                " THEN struct(ts[i - 1] AS a, ts[i + k - 1] AS b)"
+                " END), p -> p IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    cnt = sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = cnt.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cnt.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cnt.agg(F.sum("n_ab").alias("n_tot"))
+    scored = (
+        cnt.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "n_ab", F.expr(_PPMI_EXPR).alias("ppmi_e6"))
+    )
+    wr = Window.partitionBy("a").orderBy(
+        F.desc("ppmi_e6"), F.desc("n_ab"), F.asc("b")
+    )
+    return scored.withColumn(
+        "ctx_rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("ctx_rank") <= 5)
+
+
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per language tag — the
+    compressibility / diversity diagnostic that predicts LM
+    perplexity floors and flags corrupted shards. Each trigram's
+    -p·ln(p) term is e9-rounded FIRST (one shared expression), so
+    the per-language entropy is an exact integer SUM of those terms
+    (float summation order never matters), reported in e9 nats with
+    the distinct-trigram count."""
+    d = _docs(spark, sf_dir)
+    tg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    cnt = tg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n_tot"))
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .select("lang", F.expr(_ENTROPY_TERM).alias("term_e9"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_trigrams"),
+            F.sum("term_e9").alias("entropy_e9"),
+        )
+    )
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness via the index of dispersion of per-document
+    counts, D = var/mean = (n·Σc² − (Σc)²) / (n·Σc) — the corpus
+    -linguistics separator of bursty content words (D >> 1) from
+    evenly spread function words (D ≈ 1), all exact BIGINT (docs
+    WITHOUT the token enter as zeros through the n·Σc² form — no
+    spine join needed). One token scan to (token, doc) counts, one
+    vocab-sized reduce."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    dc = d.select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    ).groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    st = dc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_docs_with"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return (
+        st.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "n_docs_with",
+            "s",
+            F.expr("((n * ss - s * s) * 1000000) div (n * s)").alias(
+                "dispersion_e6"
+            ),
+        )
+    )
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution: weights ∝ count^0.75
+    — computed as sqrt(n·sqrt(n)), a composition of IEEE
+    correctly-rounded sqrts and one exact double multiply, so the e6
+    quantization is bit-identical across engines WITHOUT trusting
+    libm's pow (same determinism argument as temperature_mix).
+    Shares are ppm integer divisions against the broadcast weight
+    total; vocabulary-sized throughout."""
+    d = _docs(spark, sf_dir)
+    cnt = d.select(F.explode(X.tokens("text")).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = cnt.withColumn(
+        "w_e6",
+        F.expr(
+            "cast(round(sqrt(cast(n as double)"
+            " * sqrt(cast(n as double))) * 1000000) as bigint)"
+        ),
+    )
+    tot = w.agg(F.sum("n").alias("n_tot"), F.sum("w_e6").alias("w_tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "n",
+            F.expr("(n * 1000000) div n_tot").alias("unigram_ppm"),
+            F.expr("(w_e6 * 1000000) div w_tot").alias("sampling_ppm"),
+        )
+    )
+
+
+def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One OPIC cash-distribution round (Abiteboul et al. 2003) over
+    the directed token graph: every node splits 1e6 cash equally
+    among its out-neighbors by integer division, the remainder going
+    to the lexicographically smallest successor so cash is conserved
+    EXACTLY — the online page-importance update a crawl frontier
+    ranks by (PageRank's streaming cousin; pagerank here is the
+    fixed-round batch variant). Edge-sized join against broadcast
+    out-degrees, one rank window for the remainder assignment."""
+    de = _tok_digraph(spark, sf_dir).select(
+        F.col("t1").alias("src"), F.col("t2").alias("dst")
+    )
+    od = de.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    wr = Window.partitionBy("src").orderBy("dst")
+    give = (
+        de.join(F.broadcast(od), "src")
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            "dst",
+            (
+                F.expr("1000000 div outd")
+                + F.when(
+                    F.col("rn") == 1, F.expr("1000000 - outd * (1000000 div outd)")
+                ).otherwise(F.lit(0))
+            ).alias("cash"),
+        )
+    )
+    return give.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("cash").alias("cash_e6"),
+    )
+
+
 def _phonetic_key_sql(inner: str, duck: bool) -> str:
     """Consonant-skeleton key: drop vowels, collapse each consonant
     run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
@@ -12370,6 +12553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_elasticity": q_price_elasticity,
         "phonetic_blocking": q_phonetic_blocking,
         "abc_classification": q_abc_classification,
+        "ppmi_skipgram": q_ppmi_skipgram,
+        "corpus_entropy": q_corpus_entropy,
+        "token_burstiness": q_token_burstiness,
+        "negative_sampling_table": q_negative_sampling_table,
+        "opic_priority": q_opic_priority,
     }
 
 
@@ -19679,5 +19867,106 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cum_e2 * 100 <= tot_e2 * 95 THEN 'B'
                         ELSE 'C' END AS abc_class
             FROM c
+        """,
+        "ppmi_skipgram": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            pr AS (
+              SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b
+              FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                         i -> ts[i] || ' ' || ts[i + 1])) AS p
+                FROM t
+                UNION ALL
+                SELECT unnest(list_transform(
+                         range(1, greatest(len(ts) - 1, 1)),
+                         i -> ts[i] || ' ' || ts[i + 2]))
+                FROM t
+              ) WHERE p IS NOT NULL
+            ),
+            sym AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+            cnt AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM sym
+                    GROUP BY 1, 2),
+            ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cnt GROUP BY 1),
+            mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cnt GROUP BY 1),
+            tot AS (SELECT sum(n_ab)::BIGINT AS n_tot FROM cnt),
+            sc AS (SELECT cnt.a, cnt.b, cnt.n_ab, ma.n_a, mb.n_b,
+                          (SELECT n_tot FROM tot) AS n_tot
+                   FROM cnt
+                   JOIN ma ON ma.a = cnt.a
+                   JOIN mb ON mb.b = cnt.b),
+            scored AS (SELECT a, b, n_ab, {_PPMI_EXPR} AS ppmi_e6 FROM sc)
+            SELECT a, b, n_ab, ppmi_e6, ctx_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY a
+                        ORDER BY ppmi_e6 DESC, n_ab DESC, b ASC)::BIGINT
+                          AS ctx_rank
+              FROM scored)
+            WHERE ctx_rank <= 5
+        """,
+        "corpus_entropy": f"""
+            WITH tg AS (
+              SELECT lang,
+                     unnest(list_transform(
+                       range(1, greatest(length(text) - 2, 1) + 1),
+                       i -> substring(text, i, 3))) AS g
+              FROM documents
+            ),
+            cnt AS (SELECT lang, g, count(*)::BIGINT AS c FROM tg
+                    GROUP BY 1, 2),
+            tot AS (SELECT lang, sum(c)::BIGINT AS n_tot FROM cnt
+                    GROUP BY 1),
+            terms AS (SELECT cnt.lang, {_ENTROPY_TERM} AS term_e9
+                      FROM cnt JOIN tot ON tot.lang = cnt.lang)
+            SELECT lang, count(*)::BIGINT AS n_distinct_trigrams,
+                   sum(term_e9)::BIGINT AS entropy_e9
+            FROM terms GROUP BY lang
+        """,
+        "token_burstiness": f"""
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            dc AS (SELECT tok, doc_id, count(*)::BIGINT AS c FROM (
+                     SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+                   GROUP BY 1, 2),
+            st AS (SELECT tok, count(*)::BIGINT AS n_docs_with,
+                          sum(c)::BIGINT AS s,
+                          sum(c * c)::BIGINT AS ss
+                   FROM dc GROUP BY tok)
+            SELECT tok, n_docs_with, s,
+                   ((((SELECT n FROM nd) * ss - s * s) * 1000000)
+                    // ((SELECT n FROM nd) * s))::BIGINT AS dispersion_e6
+            FROM st
+        """,
+        "negative_sampling_table": f"""
+            WITH cnt AS (SELECT tok, count(*)::BIGINT AS n FROM (
+                           SELECT unnest({_TOKS}) AS tok FROM documents)
+                         GROUP BY tok),
+            w AS (SELECT tok, n,
+                         CAST(round(sqrt(CAST(n AS DOUBLE)
+                              * sqrt(CAST(n AS DOUBLE))) * 1000000)
+                              AS BIGINT) AS w_e6
+                  FROM cnt),
+            tot AS (SELECT sum(n)::BIGINT AS n_tot,
+                           sum(w_e6)::BIGINT AS w_tot FROM w)
+            SELECT tok, n,
+                   ((n * 1000000) // (SELECT n_tot FROM tot))::BIGINT
+                     AS unigram_ppm,
+                   ((w_e6 * 1000000) // (SELECT w_tot FROM tot))::BIGINT
+                     AS sampling_ppm
+            FROM w
+        """,
+        "opic_priority": f"""
+            WITH {_tok_graph_cte()},
+            od AS (SELECT src, count(*)::BIGINT AS outd FROM de
+                   GROUP BY src),
+            give AS (
+              SELECT de.dst,
+                     (1000000 // od.outd
+                      + CASE WHEN row_number() OVER (PARTITION BY de.src
+                               ORDER BY de.dst) = 1
+                        THEN 1000000 - od.outd * (1000000 // od.outd)
+                        ELSE 0 END)::BIGINT AS cash
+              FROM de JOIN od ON od.src = de.src
+            )
+            SELECT dst AS node, count(*)::BIGINT AS n_sources,
+                   sum(cash)::BIGINT AS cash_e6
+            FROM give GROUP BY dst
         """,
     }
