@@ -12002,6 +12002,297 @@ def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between three DAILY business
+    series that live in different tables — order count, order
+    revenue (hundred-dollar units), event count — aligned by
+    RELATIVE day index (each series' offset from its own first day;
+    the tables live on disjoint calendars): the cross-source metric
+    -health matrix an observability layer computes. Each table
+    reduces to its own day-sized rollup before the index-keyed join;
+    the metric pairs ride an explode over the joined day frame, and
+    each correlation is the shared assortativity sqrt form e6
+    -rounded from exact BIGINT moments."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    # the tables live on disjoint calendars (TPC-H 1992-98 vs 2024
+    # events), so alignment is by RELATIVE day index from each
+    # series' own first day — the standard cross-source alignment
+    od0 = o.groupBy(F.to_date(F.col("o_orderdate")).alias("day")).agg(
+        F.count(F.lit(1)).alias("m_orders"),
+        F.sum(F.round(F.col("o_totalprice") / 100, 0).cast("long")).alias(
+            "m_rev"
+        ),
+    )
+    omn = od0.agg(F.min("day").alias("d0"))
+    od = od0.crossJoin(F.broadcast(omn)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("day_idx"),
+        "m_orders",
+        "m_rev",
+    )
+    ed0 = ev.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("m_events")
+    )
+    emn = ed0.agg(F.min("day").alias("d0"))
+    ed = ed0.crossJoin(F.broadcast(emn)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("day_idx"),
+        "m_events",
+    )
+    j = (
+        od.join(ed, "day_idx", "inner")
+        .select(
+            F.coalesce("m_orders", F.lit(0).cast("long")).alias("m_orders"),
+            F.coalesce("m_rev", F.lit(0).cast("long")).alias("m_rev"),
+            F.coalesce("m_events", F.lit(0).cast("long")).alias("m_events"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders_vs_rev").alias("pair"),
+                    F.col("m_orders").alias("x"),
+                    F.col("m_rev").alias("y"),
+                ),
+                F.struct(
+                    F.lit("orders_vs_events").alias("pair"),
+                    F.col("m_orders").alias("x"),
+                    F.col("m_events").alias("y"),
+                ),
+                F.struct(
+                    F.lit("rev_vs_events").alias("pair"),
+                    F.col("m_rev").alias("x"),
+                    F.col("m_events").alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.pair", "p.x", "p.y")
+    m = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select("pair", "m", F.expr(_ASSORT_EXPR).alias("corr_e6"))
+
+
+def q_qq_drift_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ-plot drift points: the nine decile values of the event
+    value distribution in the first 15 days vs the rest, matched by
+    decile — the visual-drift companion to ks_two_sample (max gap)
+    and emd_drift (area). Quantiles are EXACT order statistics via
+    cumulative counts over the e2-quantized distinct-value frame
+    (value at rank ceil(q*n/10), the Type-1 estimator — no
+    interpolation, no floats); both halves share one scan and one
+    window each."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        F.when(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day")) < 15, 1
+        ).otherwise(0).alias("in_a"),
+    )
+    g = base.groupBy("s").agg(
+        F.sum(F.col("in_a").cast("long")).alias("ca"),
+        F.sum((F.lit(1) - F.col("in_a")).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cum = (
+        g.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .localCheckpoint(eager=True)
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+
+    def decile(side: str, cumcol: str, ncol: str) -> DataFrame:
+        hit = (
+            cum.crossJoin(F.broadcast(qs))
+            .filter(F.col(cumcol) * 10 >= F.col("q") * F.col(ncol))
+            .groupBy("q")
+            .agg(F.min("s").alias(f"q_{side}_e2"))
+        )
+        return hit
+
+    da = decile("a", "cuma", "na")
+    db = decile("b", "cumb", "nb")
+    return (
+        da.join(db, "q")
+        .select(
+            F.col("q").cast("long").alias("decile"),
+            "q_a_e2",
+            "q_b_e2",
+            (F.col("q_b_e2") - F.col("q_a_e2")).alias("shift_e2"),
+        )
+    )
+
+
+def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily revenue: a day is an outlier when
+    |x − median7| exceeds 3·1.4826·MAD7 of its centered 7-day
+    window — the robust spike detector that, unlike z-scores, one
+    anomaly cannot mask. Median and MAD are EXACT small-window order
+    statistics (sort of the 7 collected window values — array-sized,
+    never a shuffle) and the threshold test is the integer cross
+    -multiplication |x−med|·1e4 > 44478·mad, so no floats at all.
+    Edge days without a full window are reported with flag −1 (not
+    testable), which the oracle mirrors."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date(F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "x_e2"
+        )
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"), "d0"
+    )
+    full = (
+        spine.join(daily, "day", "left")
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("day_idx"),
+            F.coalesce("x_e2", F.lit(0).cast("long")).alias("x_e2"),
+        )
+    )
+    w = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    win = full.withColumn("vals", F.collect_list("x_e2").over(w))
+    med = F.expr("element_at(array_sort(vals), 4)")
+    scored = (
+        win.filter(F.size("vals") == 7)
+        .withColumn("med_e2", med)
+        .withColumn(
+            "mad_e2",
+            F.expr(
+                "element_at(array_sort(transform(vals,"
+                " v -> abs(v - element_at(array_sort(vals), 4)))), 4)"
+            ),
+        )
+        .select(
+            "day_idx",
+            "x_e2",
+            "med_e2",
+            "mad_e2",
+            F.expr(
+                "CASE WHEN abs(x_e2 - med_e2) * 10000"
+                " > 44478 * greatest(mad_e2, 1) THEN 1 ELSE 0 END"
+            ).cast("long").alias("is_outlier"),
+        )
+    )
+    edges = (
+        win.filter(F.size("vals") != 7)
+        .select(
+            "day_idx",
+            "x_e2",
+            F.lit(-1).cast("long").alias("med_e2"),
+            F.lit(-1).cast("long").alias("mad_e2"),
+            F.lit(-1).cast("long").alias("is_outlier"),
+        )
+    )
+    return scored.unionByName(edges)
+
+
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing count-of-counts table with the adjusted counts
+    r* = (r+1)·N_{r+1}/N_r — the frequency-smoothing table (and the
+    unseen-mass estimate N_1/N) every classical LM and species
+    -richness estimator starts from. Token counts reduce to the
+    count-of-counts frame (bounded by max frequency, tiny), the
+    N_{r+1} lookup is a self-join on r+1, and r* is an exact e6
+    integer division (0 where N_{r+1}=0, the standard truncation)."""
+    d = _docs(spark, sf_dir)
+    cnt = d.select(F.explode(X.tokens("text")).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("r"))
+    coc = cnt.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    tot = cnt.agg(F.sum("r").alias("n_tokens"))
+    return (
+        coc.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r1", F.lit(0).cast("long")).alias("n_r_plus_1"),
+            F.expr(
+                "((r + 1) * coalesce(n_r1, 0) * 1000000) div n_r"
+            ).alias("r_star_e6"),
+            F.expr("(r * n_r * 1000000) div n_tokens").alias(
+                "mass_share_ppm"
+            ),
+        )
+    )
+
+
+def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily event count and daily
+    order revenue at lags −3..+3 — the lead/lag diagnostic that
+    answers 'does traffic predict revenue, and by how many days'.
+    Series are aligned by relative day index (disjoint calendars),
+    mean-centered with integer means, and each lag's
+    correlation is the shared sqrt form e6-rounded from exact BIGINT
+    moments. Output is one row per lag."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    ed0 = ev.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    emn = ed0.agg(F.min("day").alias("d0"))
+    ed = ed0.crossJoin(F.broadcast(emn)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("day_idx"),
+        "a",
+    )
+    od0 = o.groupBy(F.to_date(F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") / 100, 0).cast("long")).alias("b")
+    )
+    omn = od0.agg(F.min("day").alias("d0"))
+    od = od0.crossJoin(F.broadcast(omn)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("day_idx"),
+        "b",
+    )
+    j = ed.join(od, "day_idx", "inner")
+    mu = j.agg(
+        F.expr("sum(a) div count(1)").alias("ma"),
+        F.expr("sum(b) div count(1)").alias("mb"),
+    )
+    c = (
+        j.crossJoin(F.broadcast(mu))
+        .select(
+            "day_idx",
+            (F.col("a") - F.col("ma")).alias("ca"),
+            (F.col("b") - F.col("mb")).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    b2 = c.select(F.col("day_idx").alias("di2"), F.col("cb").alias("cb2"))
+    lagged = (
+        c.crossJoin(F.broadcast(lags))
+        .join(
+            b2,
+            F.col("di2") == F.col("day_idx") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb2").alias("sy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("ca") * F.col("cb2")).alias("sxy"),
+            F.sum(F.col("cb2") * F.col("cb2")).alias("syy"),
+        )
+    )
+    return lagged.select(
+        F.col("lag").cast("long").alias("lag"),
+        "m",
+        F.expr(_ASSORT_EXPR).alias("xcorr_e6"),
+    )
+
+
 def _phonetic_key_sql(inner: str, duck: bool) -> str:
     """Consonant-skeleton key: drop vowels, collapse each consonant
     run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
@@ -12558,6 +12849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_burstiness": q_token_burstiness,
         "negative_sampling_table": q_negative_sampling_table,
         "opic_priority": q_opic_priority,
+        "daily_metric_correlations": q_daily_metric_correlations,
+        "qq_drift_points": q_qq_drift_points,
+        "hampel_outliers": q_hampel_outliers,
+        "good_turing_counts": q_good_turing_counts,
+        "cross_correlation_lags": q_cross_correlation_lags,
     }
 
 
@@ -19968,5 +20264,174 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst AS node, count(*)::BIGINT AS n_sources,
                    sum(cash)::BIGINT AS cash_e6
             FROM give GROUP BY dst
+        """,
+        "daily_metric_correlations": f"""
+            WITH od0 AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     count(*)::BIGINT AS m_orders,
+                     sum(CAST(round(o_totalprice / 100) AS BIGINT))::BIGINT
+                       AS m_rev
+              FROM orders GROUP BY 1
+            ),
+            od AS (SELECT date_diff('day',
+                            (SELECT min(day) FROM od0), day)::BIGINT
+                            AS day_idx,
+                          m_orders, m_rev
+                   FROM od0),
+            ed0 AS (SELECT CAST(ts AS DATE) AS day,
+                           count(*)::BIGINT AS m_events
+                    FROM events GROUP BY 1),
+            ed AS (SELECT date_diff('day',
+                            (SELECT min(day) FROM ed0), day)::BIGINT
+                            AS day_idx,
+                          m_events
+                   FROM ed0),
+            j AS (SELECT coalesce(od.m_orders, 0)::BIGINT AS m_orders,
+                         coalesce(od.m_rev, 0)::BIGINT AS m_rev,
+                         coalesce(ed.m_events, 0)::BIGINT AS m_events
+                  FROM od JOIN ed ON ed.day_idx = od.day_idx),
+            pairs AS (
+              SELECT 'orders_vs_rev' AS pair, m_orders AS x, m_rev AS y
+              FROM j
+              UNION ALL
+              SELECT 'orders_vs_events', m_orders, m_events FROM j
+              UNION ALL
+              SELECT 'rev_vs_events', m_rev, m_events FROM j
+            ),
+            mm AS (SELECT pair, count(*)::BIGINT AS m,
+                          sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                          sum(x * x)::BIGINT AS sxx,
+                          sum(x * y)::BIGINT AS sxy,
+                          sum(y * y)::BIGINT AS syy
+                   FROM pairs GROUP BY pair)
+            SELECT pair, m, {_ASSORT_EXPR} AS corr_e6 FROM mm
+        """,
+        "qq_drift_points": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            base AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS s,
+                     CASE WHEN date_diff('day', (SELECT min_day FROM mn),
+                                         CAST(ts AS DATE)) < 15
+                          THEN 1 ELSE 0 END AS in_a
+              FROM events
+            ),
+            g AS (SELECT s, sum(in_a)::BIGINT AS ca,
+                         sum(1 - in_a)::BIGINT AS cb
+                  FROM base GROUP BY s),
+            tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                    FROM g),
+            cum AS (SELECT s,
+                           sum(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)::BIGINT AS cuma,
+                           sum(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)::BIGINT AS cumb,
+                           (SELECT na FROM tot) AS na,
+                           (SELECT nb FROM tot) AS nb
+                    FROM g),
+            qs AS (SELECT unnest(range(1, 10))::BIGINT AS q),
+            da AS (SELECT q, min(s)::BIGINT AS q_a_e2
+                   FROM cum CROSS JOIN qs
+                   WHERE cuma * 10 >= q * na GROUP BY q),
+            db AS (SELECT q, min(s)::BIGINT AS q_b_e2
+                   FROM cum CROSS JOIN qs
+                   WHERE cumb * 10 >= q * nb GROUP BY q)
+            SELECT da.q AS decile, da.q_a_e2, db.q_b_e2,
+                   (db.q_b_e2 - da.q_a_e2)::BIGINT AS shift_e2
+            FROM da JOIN db ON db.q = da.q
+        """,
+        "hampel_outliers": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS x_e2
+              FROM orders GROUP BY 1
+            ),
+            span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+            spine AS (SELECT unnest(generate_series((SELECT d0 FROM span),
+                                                    (SELECT d1 FROM span),
+                                                    INTERVAL 1 DAY))
+                               ::DATE AS day),
+            f AS (SELECT date_diff('day', (SELECT d0 FROM span),
+                                   spine.day)::BIGINT AS day_idx,
+                         coalesce(daily.x_e2, 0)::BIGINT AS x_e2
+                  FROM spine LEFT JOIN daily ON daily.day = spine.day),
+            win AS (
+              SELECT day_idx, x_e2,
+                     list(x_e2) OVER (ORDER BY day_idx ROWS BETWEEN
+                       3 PRECEDING AND 3 FOLLOWING) AS vals
+              FROM f
+            ),
+            sc AS (
+              SELECT day_idx, x_e2,
+                     list_sort(vals)[4]::BIGINT AS med_e2,
+                     list_sort(list_transform(vals,
+                       v -> abs(v - list_sort(vals)[4])))[4]::BIGINT
+                       AS mad_e2
+              FROM win WHERE len(vals) = 7
+            )
+            SELECT day_idx, x_e2, med_e2, mad_e2,
+                   (CASE WHEN abs(x_e2 - med_e2) * 10000
+                         > 44478 * greatest(mad_e2, 1) THEN 1 ELSE 0
+                    END)::BIGINT AS is_outlier
+            FROM sc
+            UNION ALL
+            SELECT day_idx, x_e2, (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT
+            FROM win WHERE len(vals) <> 7
+        """,
+        "good_turing_counts": f"""
+            WITH cnt AS (SELECT tok, count(*)::BIGINT AS r FROM (
+                           SELECT unnest({_TOKS}) AS tok FROM documents)
+                         GROUP BY tok),
+            coc AS (SELECT r, count(*)::BIGINT AS n_r FROM cnt GROUP BY r),
+            nxt AS (SELECT (r - 1)::BIGINT AS r, n_r AS n_r1 FROM coc),
+            tot AS (SELECT sum(r)::BIGINT AS n_tokens FROM cnt)
+            SELECT coc.r, coc.n_r,
+                   coalesce(nxt.n_r1, 0)::BIGINT AS n_r_plus_1,
+                   (((coc.r + 1) * coalesce(nxt.n_r1, 0) * 1000000)
+                    // coc.n_r)::BIGINT AS r_star_e6,
+                   ((coc.r * coc.n_r * 1000000)
+                    // (SELECT n_tokens FROM tot))::BIGINT
+                     AS mass_share_ppm
+            FROM coc LEFT JOIN nxt ON nxt.r = coc.r
+        """,
+        "cross_correlation_lags": f"""
+            WITH ed0 AS (SELECT CAST(ts AS DATE) AS day,
+                                count(*)::BIGINT AS a
+                         FROM events GROUP BY 1),
+            ed AS (SELECT date_diff('day',
+                            (SELECT min(day) FROM ed0), day)::BIGINT
+                            AS day_idx, a
+                   FROM ed0),
+            od0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                           sum(CAST(round(o_totalprice / 100)
+                               AS BIGINT))::BIGINT AS b
+                    FROM orders GROUP BY 1),
+            od AS (SELECT date_diff('day',
+                            (SELECT min(day) FROM od0), day)::BIGINT
+                            AS day_idx, b
+                   FROM od0),
+            j AS (SELECT ed.day_idx, ed.a, od.b FROM ed
+                  JOIN od ON od.day_idx = ed.day_idx),
+            mu AS (SELECT (sum(a) // count(*))::BIGINT AS ma,
+                          (sum(b) // count(*))::BIGINT AS mb
+                   FROM j),
+            c AS (SELECT day_idx, (a - (SELECT ma FROM mu))::BIGINT AS ca,
+                         (b - (SELECT mb FROM mu))::BIGINT AS cb
+                  FROM j),
+            lags AS (SELECT unnest(range(-3, 4))::BIGINT AS lag),
+            lagged AS (
+              SELECT lags.lag, c.ca, b2.cb AS cb2
+              FROM c CROSS JOIN lags
+              JOIN c b2 ON b2.day_idx = c.day_idx + lags.lag
+            ),
+            mm AS (SELECT lag, count(*)::BIGINT AS m,
+                          sum(ca)::BIGINT AS sx, sum(cb2)::BIGINT AS sy,
+                          sum(ca * ca)::BIGINT AS sxx,
+                          sum(ca * cb2)::BIGINT AS sxy,
+                          sum(cb2 * cb2)::BIGINT AS syy
+                   FROM lagged GROUP BY lag)
+            SELECT lag::BIGINT AS lag, m, {_ASSORT_EXPR} AS xcorr_e6
+            FROM mm
         """,
     }
