@@ -12293,6 +12293,285 @@ def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration per event_type: the
+    even-event_id half calibrates (nonconformity = |value − that
+    half's integer mean|, q_hat = the ceil((n+1)·0.9)-th order
+    statistic — an EXACT rank selection, the finite-sample-valid
+    quantile split conformal prescribes), the odd half evaluates
+    empirical coverage — the distribution-free interval machinery
+    modern ML serving wraps around point predictions. Everything is
+    e2-cent integers; the rank selection runs per type over the
+    distinct-score cumulative frame."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+    mu = (
+        base.filter(F.col("is_cal"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(v_e2) div count(1)").alias("mu_e2"))
+    )
+    resid = (
+        base.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "is_cal",
+            F.abs(F.col("v_e2") - F.col("mu_e2")).alias("r_e2"),
+            "mu_e2",
+        )
+    )
+    cal = resid.filter(F.col("is_cal"))
+    n_cal = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    rc = cal.groupBy("event_type", "r_e2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("r_e2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qhat = (
+        rc.withColumn("cum", F.sum("c").over(w))
+        .join(F.broadcast(n_cal), "event_type")
+        .filter(F.expr("cum * 10 >= 9 * (n_cal + 1)"))
+        .groupBy("event_type", "n_cal")
+        .agg(F.min("r_e2").alias("qhat_e2"))
+    )
+    test = resid.filter(~F.col("is_cal"))
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "qhat_e2")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("r_e2") <= F.col("qhat_e2"), 1).otherwise(0).cast("long")
+            ).alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "qhat_e2",
+            "n_test",
+            F.expr("(n_covered * 1000000) div n_test").alias("coverage_ppm"),
+        )
+    )
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (Zhao et al. 2018
+    marketing formulation): v(S) = the purchase rate of (user, day)
+    sessions whose touched-channel set is exactly S (4 channels ->
+    16 coalitions; the daily grain is what makes coalitions vary),
+    and each channel's value is the exact coalition sum
+    Σ w(|S|)·(v(S∪i) − v(S)) with the factorial weights frozen as
+    e9 integer literals — the order-independent credit split that
+    last/linear/decay attribution approximates. Coalition rates are
+    ppm integers; the coalition frame is 16 rows, so the Shapley
+    join arithmetic is broadcast-trivial; only the user rollup
+    touches the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id", F.to_date(F.col("ts")).alias("day")).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("c_click"),
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("c_view"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("c_signup"),
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("c_error"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    co = pu.groupBy("c_click", "c_view", "c_signup", "c_error").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("converted").cast("long")).alias("n_conv"),
+    ).withColumn(
+        "mask",
+        F.expr("c_click * 1 + c_view * 2 + c_signup * 4 + c_error * 8"),
+    ).withColumn(
+        "v_ppm", F.expr("(n_conv * 1000000) div n_sessions")
+    ).localCheckpoint(eager=True)
+    chans = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    # w(|S|) for n=4: |S|!·(n-1-|S|)!/n! as e9 literals
+    pairs = (
+        co.select(F.col("mask").alias("s_mask"), F.col("v_ppm").alias("v_s"))
+        .crossJoin(F.broadcast(chans))
+        .filter(F.expr("(s_mask & bit) = 0"))
+        .join(
+            F.broadcast(
+                co.select(
+                    F.col("mask").alias("si_mask"), F.col("v_ppm").alias("v_si")
+                )
+            ),
+            F.expr("si_mask = s_mask | bit"),
+            "left",
+        )
+        .withColumn("v_si", F.coalesce("v_si", F.lit(0).cast("long")))
+        .withColumn(
+            "w_e9",
+            F.expr(
+                "CASE bit_count(s_mask) WHEN 0 THEN 250000000"
+                " WHEN 1 THEN 83333333 WHEN 2 THEN 83333333"
+                " ELSE 250000000 END"
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_coalitions"),
+            F.expr(
+                "sum(w_e9 * (v_si - v_s)) div 1000000000"
+            ).alias("shapley_ppm"),
+        )
+    )
+
+
+def q_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: for every gazetteer entity
+    mention, the ±2-token window (left/right joined as strings),
+    grouped to the top-3 contexts per entity — the corpus-linguistics
+    view an annotation QA pass reads before trusting distant
+    supervision. One posexplode carries positions; windows are array
+    slices (no self-join); the (entity, context) frame is
+    mention-bounded and the rank window partitions by entity."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(X.tokens("text")).alias("pos", "alias"),
+        X.tokens("text").alias("ts"),
+    )
+    gaz = _gazetteer_df(spark)
+    hits = toks.join(F.broadcast(gaz), "alias").select(
+        "entity",
+        F.expr(
+            "concat_ws(' ', slice(ts, greatest(pos - 1, 1),"
+            " least(pos, 2)))"
+        ).alias("left_ctx"),
+        F.expr(
+            "concat_ws(' ', slice(ts, pos + 2,"
+            " greatest(least(size(ts) - pos - 1, 2), 0)))"
+        ).alias("right_ctx"),
+    )
+    cnt = hits.groupBy("entity", "left_ctx", "right_ctx").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("entity").orderBy(
+        F.desc("n"), F.asc("left_ctx"), F.asc("right_ctx")
+    )
+    return cnt.withColumn(
+        "ctx_rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("ctx_rank") <= 3)
+
+
+def q_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the bin-weighted |observed −
+    predicted| summary of calibration_bins, the single number a
+    model card reports. Per-bin rates are exact ppm integers; ECE is
+    the count-weighted integer sum divided once at the end, with
+    max-bin gap (MCE) alongside. One scan, bin-sized state."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        F.round(F.col("value") * 2000, 0).cast("long").alias("p_e6"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pos").cast("long")).alias("n_pos"),
+        F.sum("p_e6").alias("sum_p"),
+    ).withColumn(
+        "gap_ppm",
+        F.abs(
+            F.expr("(n_pos * 1000000) div n") - F.expr("sum_p div n")
+        ),
+    )
+    return g.agg(
+        F.sum("n").alias("n_total"),
+        F.expr("sum(n * gap_ppm) div sum(n)").alias("ece_ppm"),
+        F.max("gap_ppm").alias("mce_ppm"),
+    )
+
+
+def q_obf_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien–Fleming group-sequential monitoring of the two-arm
+    (user_id % 2) purchase rate at 5 interim looks (6-day blocks):
+    the cumulative two-proportion z at each look vs the frozen OBF
+    boundary 4.56/2.96/2.36/2.01/1.78 (the classic 5-look table,
+    e6 literals) — the alpha-spending school beside sprt_monitor's
+    likelihood-ratio school. Counts are exact; z is ONE shared sqrt
+    expression from the six integer counts, e6-rounded before the
+    boundary compare."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    byl = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            F.least(
+                (
+                    F.datediff(F.to_date(F.col("ts")), F.col("min_day")) / 6
+                ).cast("long"),
+                F.lit(4),
+            ).alias("look"),
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        )
+        .groupBy("look")
+        .agg(
+            F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n0_inc"),
+            F.sum(F.expr("CASE WHEN arm = 0 THEN conv ELSE 0 END")).alias("k0_inc"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n1_inc"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN conv ELSE 0 END")).alias("k1_inc"),
+        )
+    )
+    w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        byl.withColumn("n0", F.sum("n0_inc").over(w))
+        .withColumn("k0", F.sum("k0_inc").over(w))
+        .withColumn("n1", F.sum("n1_inc").over(w))
+        .withColumn("k1", F.sum("k1_inc").over(w))
+    )
+    z = (
+        "cast(round(((cast(k1 as double) / cast(n1 as double)"
+        " - cast(k0 as double) / cast(n0 as double))"
+        " / sqrt((cast(k0 + k1 as double) / cast(n0 + n1 as double))"
+        " * (1.0 - cast(k0 + k1 as double) / cast(n0 + n1 as double))"
+        " * (1.0 / cast(n0 as double) + 1.0 / cast(n1 as double))))"
+        " * 1000000) as bigint)"
+    )
+    return cum.select(
+        "look",
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        F.expr(z).alias("z_e6"),
+        F.expr(
+            "CASE look WHEN 0 THEN 4560000 WHEN 1 THEN 2960000"
+            " WHEN 2 THEN 2360000 WHEN 3 THEN 2010000"
+            " ELSE 1780000 END"
+        ).alias("bound_e6"),
+    ).withColumn(
+        "crossed",
+        (F.abs(F.col("z_e6")) >= F.col("bound_e6")).cast("long"),
+    )
+
+
 def _phonetic_key_sql(inner: str, duck: bool) -> str:
     """Consonant-skeleton key: drop vowels, collapse each consonant
     run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
@@ -12854,6 +13133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_outliers": q_hampel_outliers,
         "good_turing_counts": q_good_turing_counts,
         "cross_correlation_lags": q_cross_correlation_lags,
+        "conformal_calibration": q_conformal_calibration,
+        "shapley_attribution": q_shapley_attribution,
+        "kwic_contexts": q_kwic_contexts,
+        "ece_summary": q_ece_summary,
+        "obf_group_sequential": q_obf_group_sequential,
     }
 
 
@@ -20433,5 +20717,192 @@ def oracle_sql() -> dict[str, str]:
                    FROM lagged GROUP BY lag)
             SELECT lag::BIGINT AS lag, m, {_ASSORT_EXPR} AS xcorr_e6
             FROM mm
+        """,
+        "conformal_calibration": """
+            WITH base AS (
+              SELECT event_type, (event_id % 2 = 0) AS is_cal,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events
+            ),
+            mu AS (SELECT event_type,
+                          (sum(v_e2) // count(*))::BIGINT AS mu_e2
+                   FROM base WHERE is_cal GROUP BY 1),
+            resid AS (SELECT base.event_type, base.is_cal,
+                             abs(base.v_e2 - mu.mu_e2)::BIGINT AS r_e2
+                      FROM base JOIN mu ON mu.event_type = base.event_type),
+            n_cal AS (SELECT event_type, count(*)::BIGINT AS n_cal
+                      FROM resid WHERE is_cal GROUP BY 1),
+            rc AS (SELECT event_type, r_e2, count(*)::BIGINT AS c
+                   FROM resid WHERE is_cal GROUP BY 1, 2),
+            cw AS (SELECT event_type, r_e2,
+                          sum(c) OVER (PARTITION BY event_type ORDER BY r_e2
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum
+                   FROM rc),
+            qhat AS (SELECT cw.event_type, n_cal.n_cal,
+                            min(cw.r_e2)::BIGINT AS qhat_e2
+                     FROM cw JOIN n_cal
+                       ON n_cal.event_type = cw.event_type
+                     WHERE cw.cum * 10 >= 9 * (n_cal.n_cal + 1)
+                     GROUP BY 1, 2)
+            SELECT resid.event_type, qhat.n_cal, qhat.qhat_e2,
+                   count(*)::BIGINT AS n_test,
+                   ((sum(CASE WHEN resid.r_e2 <= qhat.qhat_e2 THEN 1
+                         ELSE 0 END) * 1000000)
+                    // count(*))::BIGINT AS coverage_ppm
+            FROM resid
+            JOIN qhat ON qhat.event_type = resid.event_type
+            WHERE NOT resid.is_cal
+            GROUP BY 1, 2, 3
+        """,
+        "shapley_attribution": """
+            WITH pu AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                         END) AS c_click,
+                     max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                         END) AS c_view,
+                     max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                         END) AS c_signup,
+                     max(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                         END) AS c_error,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS converted
+              FROM events GROUP BY user_id, CAST(ts AS DATE)
+            ),
+            co AS (
+              SELECT (c_click * 1 + c_view * 2 + c_signup * 4
+                      + c_error * 8)::BIGINT AS mask,
+                     count(*)::BIGINT AS n_sessions,
+                     sum(converted)::BIGINT AS n_conv
+              FROM pu GROUP BY 1
+            ),
+            cv AS (SELECT mask,
+                          ((n_conv * 1000000) // n_sessions)::BIGINT
+                            AS v_ppm
+                   FROM co),
+            chans(channel, bit) AS (VALUES ('click', 1), ('view', 2),
+                                           ('signup', 4), ('error', 8)),
+            pairs AS (
+              SELECT chans.channel, s.v_ppm AS v_s,
+                     coalesce(si.v_ppm, 0)::BIGINT AS v_si,
+                     (CASE bit_count(s.mask) WHEN 0 THEN 250000000
+                      WHEN 1 THEN 83333333 WHEN 2 THEN 83333333
+                      ELSE 250000000 END)::BIGINT AS w_e9
+              FROM cv s
+              CROSS JOIN chans
+              LEFT JOIN cv si ON si.mask = (s.mask | chans.bit)
+              WHERE (s.mask & chans.bit) = 0
+            )
+            SELECT channel, count(*)::BIGINT AS n_coalitions,
+                   (sum(w_e9 * (v_si - v_s)) // 1000000000)::BIGINT
+                     AS shapley_ppm
+            FROM pairs GROUP BY channel
+        """,
+        "kwic_contexts": f"""
+            WITH {_GAZ_CTE},
+            t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, ts, unnest(ts) AS alias,
+                           generate_subscripts(ts, 1) AS p1
+                    FROM t),
+            hits AS (
+              SELECT gaz.entity,
+                     coalesce(array_to_string(
+                       list_slice(ts, greatest(p1 - 2, 1), p1 - 1), ' '),
+                       '') AS left_ctx,
+                     coalesce(array_to_string(
+                       list_slice(ts, p1 + 1, least(p1 + 2, len(ts))), ' '),
+                       '') AS right_ctx
+              FROM tok JOIN gaz ON gaz.alias = tok.alias
+            ),
+            cnt AS (SELECT entity, left_ctx, right_ctx,
+                           count(*)::BIGINT AS n
+                    FROM hits GROUP BY 1, 2, 3)
+            SELECT entity, left_ctx, right_ctx, n, ctx_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY entity
+                        ORDER BY n DESC, left_ctx ASC,
+                                 right_ctx ASC)::BIGINT AS ctx_rank
+              FROM cnt)
+            WHERE ctx_rank <= 3
+        """,
+        "ece_summary": """
+            WITH b AS (
+              SELECT least(floor(value / 50)::BIGINT, 9) AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END AS pos,
+                     CAST(round(value * 2000) AS BIGINT) AS p_e6
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            g AS (
+              SELECT bin, count(*)::BIGINT AS n,
+                     sum(pos)::BIGINT AS n_pos,
+                     sum(p_e6)::BIGINT AS sum_p
+              FROM b GROUP BY bin
+            ),
+            g2 AS (SELECT n,
+                          abs((n_pos * 1000000) // n
+                              - sum_p // n)::BIGINT AS gap_ppm
+                   FROM g)
+            SELECT sum(n)::BIGINT AS n_total,
+                   (sum(n * gap_ppm) // sum(n))::BIGINT AS ece_ppm,
+                   max(gap_ppm)::BIGINT AS mce_ppm
+            FROM g2
+        """,
+        "obf_group_sequential": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            byl AS (
+              SELECT least(date_diff('day', (SELECT min_day FROM mn),
+                             CAST(ts AS DATE)) // 6, 4)::BIGINT AS look,
+                     sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                         END)::BIGINT AS n0_inc,
+                     sum(CASE WHEN user_id % 2 = 0
+                              AND event_type = 'purchase' THEN 1 ELSE 0
+                         END)::BIGINT AS k0_inc,
+                     sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                         END)::BIGINT AS n1_inc,
+                     sum(CASE WHEN user_id % 2 = 1
+                              AND event_type = 'purchase' THEN 1 ELSE 0
+                         END)::BIGINT AS k1_inc
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1
+            ),
+            cum AS (
+              SELECT look,
+                     sum(n0_inc) OVER w AS n0, sum(k0_inc) OVER w AS k0,
+                     sum(n1_inc) OVER w AS n1, sum(k1_inc) OVER w AS k1
+              FROM byl
+              WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT look, n0::BIGINT AS n0, k0::BIGINT AS k0,
+                   n1::BIGINT AS n1, k1::BIGINT AS k1,
+                   CAST(round(((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                        / sqrt((CAST(k0 + k1 AS DOUBLE)
+                                / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(k0 + k1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))))
+                        * 1000000) AS BIGINT) AS z_e6,
+                   (CASE look WHEN 0 THEN 4560000 WHEN 1 THEN 2960000
+                    WHEN 2 THEN 2360000 WHEN 3 THEN 2010000
+                    ELSE 1780000 END)::BIGINT AS bound_e6,
+                   (CASE WHEN abs(CAST(round(((CAST(k1 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE)
+                        - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                        / sqrt((CAST(k0 + k1 AS DOUBLE)
+                                / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(k0 + k1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))))
+                        * 1000000) AS BIGINT))
+                        >= (CASE look WHEN 0 THEN 4560000
+                            WHEN 1 THEN 2960000 WHEN 2 THEN 2360000
+                            WHEN 3 THEN 2010000 ELSE 1780000 END)
+                    THEN 1 ELSE 0 END)::BIGINT AS crossed
+            FROM cum
         """,
     }
