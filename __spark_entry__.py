@@ -12572,6 +12572,214 @@ def q_obf_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window RAG chunking audit: 32-token windows with stride
+    16 (the standard overlapping-passage scheme beside
+    cdc_chunking's content-defined variant), reporting per-document
+    chunk counts and the corpus-wide duplicate-chunk rate — the
+    index-bloat number a RAG pipeline watches, since overlapping
+    strides double-count boilerplate. Chunks come from one
+    sequence+transform over the token array (no self-join); the
+    duplicate rate is one md5-keyed reduce."""
+    d = _docs(spark, sf_dir)
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(ceil((size({t}) - 32)"
+                " / 16), 0)), i -> concat_ws(' ',"
+                " slice({t}, i * 16 + 1, 32)))".replace(
+                    "{t}", "regexp_extract_all(text,"
+                    " '[A-Za-z_][A-Za-z0-9_]*', 0)"
+                )
+            )
+        ).alias("chunk"),
+    ).filter(F.col("chunk") != "")
+    per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    fp = ch.groupBy(F.md5("chunk").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dup = fp.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks_total"),
+        F.max("n_chunks").alias("max_chunks_per_doc"),
+    )
+    return stats.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_chunks_total",
+        "max_chunks_per_doc",
+        "n_distinct",
+        F.expr(
+            "((n_total - n_distinct) * 1000000) div n_total"
+        ).alias("dup_chunk_ppm"),
+    )
+
+
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every ordered pair of event
+    types, the distinct-user intersection and Jaccard ppm — the
+    segment-overlap grid an audience platform renders. The user-type
+    incidence reduces once (distinct), the pair join is keyed on
+    user (type-bounded fan-out), and marginals broadcast back onto
+    the 5x5 output."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=True
+    )
+    na = ut.groupBy(F.col("event_type").alias("ta")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("tb"))
+    inter = (
+        ut.join(b, (F.col("user_id") == F.col("ub")) & (F.col("event_type") < F.col("tb")))
+        .groupBy(F.col("event_type").alias("ta"), "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    nb = na.select(F.col("ta").alias("tb"), F.col("n_a").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "(n_both * 1000000) div (n_a + n_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length power-law tail index
+    over the top-k=100 order statistics: alpha_hat = k /
+    Σ ln(x_i / x_(k+1)) — the heavy-tail diagnostic that decides
+    whether mean-based capacity planning is even meaningful. The
+    ranked tail is selected by an exact window on the length rollup;
+    each log ratio is e6-quantized per row (rule-11a
+    quantize-then-aggregate) so the sum is exact BIGINT, and the
+    final alpha is one integer division."""
+    d = _docs(spark, sf_dir)
+    ln_ = d.select(F.col("n_chars").cast("long").alias("x"))
+    ranked = ln_.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("x")))
+    )
+    thr = ranked.filter(F.col("rn") == 101).select(
+        F.col("x").alias("x_k1")
+    )
+    tail = (
+        ranked.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.expr(
+                "cast(round(ln(cast(x as double)"
+                " / cast(x_k1 as double)) * 1000000) as bigint)"
+            ).alias("lr_e6")
+        )
+    )
+    return tail.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lr_e6").alias("sum_lr_e6"),
+    ).select(
+        "k",
+        "sum_lr_e6",
+        F.expr(
+            "(k * 1000000000000) div greatest(sum_lr_e6, 1)"
+        ).alias("alpha_e6"),
+    )
+
+
+def q_peak_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak sliding-window request rate per user: the maximum number
+    of events inside ANY trailing 10-minute window, via an
+    event-time RANGE frame (rangeBetween −600s..0 over epoch
+    seconds — the one window shape rate limiting needs that row
+    frames cannot express), plus the time when the peak occurs —
+    the quota-audit query an API platform runs to size limits.
+    One window pass per user partition; user-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("es"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-600, 0)
+    )
+    rated = base.withColumn("win_n", F.count(F.lit(1)).over(w))
+    return rated.groupBy("user_id").agg(
+        F.max("win_n").alias("peak_10min"),
+        F.expr("min_by(es, struct(-win_n, es))").alias("peak_at_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_topk_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day churn of the top-10 users by event value: the
+    Jaccard overlap between consecutive days' leaderboards — the
+    stability metric that separates durable heavy users from
+    one-day spikes on a trending dashboard. Daily leaderboards are
+    day-partitioned rank windows on the (day, user) rollup; the
+    consecutive-day comparison is one day-keyed self-join of the
+    top-10 membership (leaderboard-sized, never corpus-sized)."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    du = (
+        ev.crossJoin(F.broadcast(mn))
+        .groupBy(
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day"))
+            .cast("long")
+            .alias("day_idx"),
+            "user_id",
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_e2")
+        )
+    )
+    wr = Window.partitionBy("day_idx").orderBy(
+        F.desc("v_e2"), F.asc("user_id")
+    )
+    top = (
+        du.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("day_idx", "user_id")
+        .localCheckpoint(eager=True)
+    )
+    nxt = top.select(
+        (F.col("day_idx") - 1).alias("day_idx"),
+        F.col("user_id").alias("u2"),
+    )
+    inter = (
+        top.join(nxt, (top.day_idx == nxt.day_idx) & (top.user_id == nxt.u2))
+        .groupBy(top.day_idx)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    days = top.select("day_idx").distinct()
+    pairs = days.join(
+        days.select((F.col("day_idx") - 1).alias("day_idx")).distinct(),
+        "day_idx",
+    )
+    return (
+        pairs.join(inter, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            F.expr(
+                "(coalesce(n_common, 0) * 1000000)"
+                " div (20 - coalesce(n_common, 0))"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def _phonetic_key_sql(inner: str, duck: bool) -> str:
     """Consonant-skeleton key: drop vowels, collapse each consonant
     run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
@@ -13138,6 +13346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_contexts": q_kwic_contexts,
         "ece_summary": q_ece_summary,
         "obf_group_sequential": q_obf_group_sequential,
+        "rag_chunk_stats": q_rag_chunk_stats,
+        "audience_overlap_matrix": q_audience_overlap_matrix,
+        "hill_tail_index": q_hill_tail_index,
+        "peak_rate_per_user": q_peak_rate_per_user,
+        "topk_churn_daily": q_topk_churn_daily,
     }
 
 
@@ -20904,5 +21117,132 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 3 THEN 2010000 ELSE 1780000 END)
                     THEN 1 ELSE 0 END)::BIGINT AS crossed
             FROM cum
+        """,
+        "rag_chunk_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            ch AS (
+              SELECT doc_id, chunk FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, greatest(ceil((len(ts) - 32) / 16.0),
+                                           0)::BIGINT + 1),
+                         i -> array_to_string(list_slice(ts, i * 16 + 1,
+                                least(i * 16 + 32, len(ts))), ' ')))
+                         AS chunk
+                FROM t)
+              WHERE chunk <> ''
+            ),
+            per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                        FROM ch GROUP BY doc_id),
+            fp AS (SELECT md5(chunk) AS h, count(*)::BIGINT AS c FROM ch
+                   GROUP BY 1),
+            dup AS (SELECT sum(c)::BIGINT AS n_total,
+                           count(*)::BIGINT AS n_distinct FROM fp),
+            stats AS (SELECT count(*)::BIGINT AS n_docs,
+                             sum(n_chunks)::BIGINT AS n_chunks_total,
+                             max(n_chunks)::BIGINT AS max_chunks_per_doc
+                      FROM per_doc)
+            SELECT stats.n_docs, stats.n_chunks_total,
+                   stats.max_chunks_per_doc, dup.n_distinct,
+                   (((dup.n_total - dup.n_distinct) * 1000000)
+                    // dup.n_total)::BIGINT AS dup_chunk_ppm
+            FROM stats CROSS JOIN dup
+        """,
+        "audience_overlap_matrix": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            na AS (SELECT event_type AS ta, count(*)::BIGINT AS n_a
+                   FROM ut GROUP BY 1),
+            inter AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     count(*)::BIGINT AS n_both
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT inter.ta, inter.tb, na.n_a, nb.n_a AS n_b,
+                   inter.n_both,
+                   ((inter.n_both * 1000000)
+                    // (na.n_a + nb.n_a - inter.n_both))::BIGINT
+                     AS jaccard_ppm
+            FROM inter
+            JOIN na ON na.ta = inter.ta
+            JOIN na nb ON nb.ta = inter.tb
+        """,
+        "hill_tail_index": """
+            WITH ranked AS (
+              SELECT n_chars::BIGINT AS x,
+                     row_number() OVER (ORDER BY n_chars DESC) AS rn
+              FROM documents
+            ),
+            thr AS (SELECT x AS x_k1 FROM ranked WHERE rn = 101),
+            tail AS (
+              SELECT CAST(round(ln(CAST(x AS DOUBLE)
+                     / CAST((SELECT x_k1 FROM thr) AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS lr_e6
+              FROM ranked WHERE rn <= 100
+            )
+            SELECT count(*)::BIGINT AS k, sum(lr_e6)::BIGINT AS sum_lr_e6,
+                   ((count(*) * 1000000000000)
+                    // greatest(sum(lr_e6), 1))::BIGINT AS alpha_e6
+            FROM tail
+        """,
+        "peak_rate_per_user": """
+            WITH base AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id
+              FROM events
+            ),
+            rated AS (
+              SELECT user_id, es,
+                     count(*) OVER (PARTITION BY user_id ORDER BY es
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS win_n
+              FROM base
+            ),
+            pick AS (
+              SELECT user_id, es, win_n,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY win_n DESC, es ASC) AS rn
+              FROM rated
+            )
+            SELECT p.user_id, p.win_n AS peak_10min,
+                   p.es AS peak_at_epoch, c.n_events
+            FROM pick p
+            JOIN (SELECT user_id, count(*)::BIGINT AS n_events FROM base
+                  GROUP BY 1) c ON c.user_id = p.user_id
+            WHERE p.rn = 1
+        """,
+        "topk_churn_daily": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            du AS (
+              SELECT date_diff('day', (SELECT min_day FROM mn),
+                               CAST(ts AS DATE))::BIGINT AS day_idx,
+                     user_id,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v_e2
+              FROM events GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT day_idx, user_id FROM (
+                SELECT day_idx, user_id,
+                       row_number() OVER (PARTITION BY day_idx
+                         ORDER BY v_e2 DESC, user_id ASC) AS rn
+                FROM du) WHERE rn <= 10
+            ),
+            inter AS (
+              SELECT a.day_idx, count(*)::BIGINT AS n_common
+              FROM top a JOIN top b
+                ON b.day_idx = a.day_idx + 1 AND b.user_id = a.user_id
+              GROUP BY 1
+            ),
+            days AS (SELECT DISTINCT day_idx FROM top),
+            pairs AS (SELECT d1.day_idx FROM days d1
+                      JOIN days d2 ON d2.day_idx = d1.day_idx + 1)
+            SELECT pairs.day_idx,
+                   coalesce(inter.n_common, 0)::BIGINT AS n_common,
+                   ((coalesce(inter.n_common, 0) * 1000000)
+                    // (20 - coalesce(inter.n_common, 0)))::BIGINT
+                     AS jaccard_ppm
+            FROM pairs LEFT JOIN inter ON inter.day_idx = pairs.day_idx
         """,
     }
