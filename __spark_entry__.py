@@ -11392,13 +11392,18 @@ def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "k",
             "p_ppm",
+            # greatest(p_ppm, 1): a zero observed rate (possible at tiny
+            # sf) has no finite detectable-lift sample size; clamp to
+            # 1 ppm instead of dividing by zero
             F.expr(
-                "cast(ceil((7.848886 * ((cast(p_ppm as double) / 1000000.0)"
-                " * (1.0 - cast(p_ppm as double) / 1000000.0)"
-                " + (cast(p_ppm as double) * 1.1 / 1000000.0)"
-                " * (1.0 - cast(p_ppm as double) * 1.1 / 1000000.0)))"
-                " / ((cast(p_ppm as double) * 0.1 / 1000000.0)"
-                " * (cast(p_ppm as double) * 0.1 / 1000000.0)))"
+                "cast(ceil((7.848886"
+                " * ((cast(greatest(p_ppm, 1) as double) / 1000000.0)"
+                " * (1.0 - cast(greatest(p_ppm, 1) as double) / 1000000.0)"
+                " + (cast(greatest(p_ppm, 1) as double) * 1.1 / 1000000.0)"
+                " * (1.0 - cast(greatest(p_ppm, 1) as double) * 1.1"
+                " / 1000000.0)))"
+                " / ((cast(greatest(p_ppm, 1) as double) * 0.1 / 1000000.0)"
+                " * (cast(greatest(p_ppm, 1) as double) * 0.1 / 1000000.0)))"
                 " as bigint)"
             ).alias("n_required_per_arm"),
         )
@@ -20295,12 +20300,18 @@ def oracle_sql() -> dict[str, str]:
                          ((k * 1000000) // n)::BIGINT AS p_ppm
                   FROM g)
             SELECT event_type, n, k, p_ppm,
-                   CAST(ceil((7.848886 * ((CAST(p_ppm AS DOUBLE) / 1000000.0)
-                        * (1.0 - CAST(p_ppm AS DOUBLE) / 1000000.0)
-                        + (CAST(p_ppm AS DOUBLE) * 1.1 / 1000000.0)
-                        * (1.0 - CAST(p_ppm AS DOUBLE) * 1.1 / 1000000.0)))
-                        / ((CAST(p_ppm AS DOUBLE) * 0.1 / 1000000.0)
-                        * (CAST(p_ppm AS DOUBLE) * 0.1 / 1000000.0)))
+                   CAST(ceil((7.848886
+                        * ((CAST(greatest(p_ppm, 1) AS DOUBLE) / 1000000.0)
+                        * (1.0 - CAST(greatest(p_ppm, 1) AS DOUBLE)
+                           / 1000000.0)
+                        + (CAST(greatest(p_ppm, 1) AS DOUBLE) * 1.1
+                           / 1000000.0)
+                        * (1.0 - CAST(greatest(p_ppm, 1) AS DOUBLE) * 1.1
+                           / 1000000.0)))
+                        / ((CAST(greatest(p_ppm, 1) AS DOUBLE) * 0.1
+                            / 1000000.0)
+                        * (CAST(greatest(p_ppm, 1) AS DOUBLE) * 0.1
+                           / 1000000.0)))
                         AS BIGINT) AS n_required_per_arm
             FROM p
         """,
