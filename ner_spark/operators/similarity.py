@@ -297,6 +297,94 @@ def exact_near_pairs(
     )
 
 
+def exact_eps_pairs(
+    corpus: DataFrame,
+    eps2: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: float = 1000.0,
+    n_blocks: int | None = None,
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with EXACT integer squared distance
+    <= eps2 over floor(v * quant) vectors — the epsilon-ball edge
+    builder behind DBSCAN-style density queries and clique mining.
+
+    Same deterministic block tiling as exact_near_pairs (every
+    unordered pair lands in exactly one tile; B derived from the
+    corpus size so a tile stays far from the Arrow 2 GB ceiling),
+    but the tile kernel is INTEGER GEMM: components are e3-floored
+    int64 (identical to the SQL floor(x*1000) both engines run), and
+    d2 = |a|^2 + |b|^2 - 2 a.b in int64 is EXACT (|component| <=
+    ~quant * |x|, dot <= dims * quant^2 * max|x|^2 — orders of
+    magnitude inside int64), so unlike the cosine kernel there is no
+    float pruning margin and no re-verify pass: the emitted (id_a,
+    id_b, d2) rows are bit-identical to the per-row zip_with fold,
+    ~100x faster. Output: id_a, id_b, d2 (BIGINT)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(16, math.ceil(corpus.count() / rows_per_block))
+
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    blocks = v.groupBy("_blk").agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+    tiles = (
+        blocks.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
+        .join(
+            blocks.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+    q = float(quant)
+    e2 = int(eps2)
+
+    def score(batches):
+        for pdf in batches:
+            oa, ob, od = [], [], []
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.array([r["_id"] for r in rows_a], dtype=np.int64)
+                A = np.floor(
+                    np.array([r["_v"] for r in rows_a], dtype=np.float64) * q
+                ).astype(np.int64)
+                ids_b = np.array([r["_id"] for r in rows_b], dtype=np.int64)
+                B = np.floor(
+                    np.array([r["_v"] for r in rows_b], dtype=np.float64) * q
+                ).astype(np.int64)
+                a2 = (A * A).sum(axis=1)
+                b2 = (B * B).sum(axis=1)
+                d2 = a2[:, None] + b2[None, :] - 2 * (A @ B.T)
+                ia, ib = np.nonzero(d2 <= e2)
+                ga, gb = ids_a[ia], ids_b[ib]
+                keep = ga != gb
+                if same:
+                    keep = ga < gb  # each unordered pair once
+                ia, ib, ga, gb = ia[keep], ib[keep], ga[keep], gb[keep]
+                lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+                oa.append(lo)
+                ob.append(hi)
+                od.append(d2[ia, ib])
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(oa) if oa else empty,
+                    "id_b": np.concatenate(ob) if ob else empty,
+                    "d2": np.concatenate(od) if od else empty,
+                }
+            )
+
+    return tiles.mapInPandas(score, "id_a bigint, id_b bigint, d2 bigint")
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int | None = None,
