@@ -10975,36 +10975,21 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical for ranking): a = mean intra-cluster distance, b = the
     smallest mean distance to another cluster, s = (b-a)/max(a,b).
     Means are e3-quantized BY EXACT INTEGER DIVISION before the
-    final ratio so the whole surface is BIGINT. The pair frame is
-    the honest exact baseline (same regime note as
-    dbscan_core_points); the per-(point, cluster) reduce is the only
-    shuffle beyond it. Singleton clusters are excluded (a is
-    undefined), which the oracle mirrors."""
+    final ratio so the whole surface is BIGINT. The O(n^2) distance
+    work runs in similarity.pairwise_label_moments — tiled integer
+    GEMM emitting per-(point, label) PARTIAL sums (tile output is
+    rows x labels, the full distance matrix never materializes), bit
+    -identical to the per-row fold since integer sums commute.
+    Singleton clusters are excluded (a is undefined), which the
+    oracle mirrors."""
     e_ = _t(spark, sf_dir, "embeddings")
-    fv = e_.select(
+    mom = similarity.pairwise_label_moments(e_).localCheckpoint(eager=True)
+    lbl = e_.select("vec_id", F.col("label").cast("long").alias("label"))
+    pc = mom.join(lbl, "vec_id").select(
         "vec_id",
         "label",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
-        ).alias("f"),
-    ).localCheckpoint(eager=True)
-    b = fv.select(
-        F.col("vec_id").alias("vb"),
-        F.col("label").alias("lb"),
-        F.col("f").alias("fb"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("f"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    pc = (
-        fv.join(b, F.col("vec_id") != F.col("vb"))
-        .select("vec_id", "label", F.col("lb").alias("olabel"), d2.alias("d"))
-        .groupBy("vec_id", "label", "olabel")
-        .agg(
-            F.expr("(sum(d) * 1000) div count(1)").alias("mean_e3")
-        )
+        "olabel",
+        F.expr("(sum_d2 * 1000) div cnt").alias("mean_e3"),
     )
     a = pc.filter(F.col("olabel") == F.col("label")).select(
         "vec_id", F.col("mean_e3").alias("a_e3")
@@ -11015,7 +11000,7 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("mean_e3").alias("b_e3"))
     )
     return (
-        fv.select("vec_id", "label")
+        lbl.select("vec_id", "label")
         .join(a, "vec_id")
         .join(bb, "vec_id")
         .select(

@@ -385,6 +385,117 @@ def exact_eps_pairs(
     return tiles.mapInPandas(score, "id_a bigint, id_b bigint, d2 bigint")
 
 
+def pairwise_label_moments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: float = 1000.0,
+    n_blocks: int | None = None,
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Per-(point, other-point's-label) EXACT distance moments:
+    (id, olabel, sum_d2, cnt) over all ordered pairs id != other —
+    the reduction silhouette/medoid quality metrics need, computed
+    as tiled integer GEMM instead of an O(n^2) interpreted HOF join.
+
+    Same tiling and int64 exactness as exact_eps_pairs; each tile
+    emits PARTIAL sums grouped by the other side's label (tile
+    output is rows x labels, not rows x rows), and a final
+    (id, olabel) groupBy folds tiles — so the full n^2 distance
+    matrix never materializes anywhere. Off-diagonal tiles
+    contribute in BOTH directions; the diagonal tile excludes
+    self-pairs. Integer sums commute, so the result is bit-identical
+    to the per-row fold at any tiling."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(16, math.ceil(corpus.count() / rows_per_block))
+
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    blocks = v.groupBy("_blk").agg(
+        F.collect_list(F.struct("_id", "_lbl", "_v")).alias("_rows")
+    )
+    tiles = (
+        blocks.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
+        .join(
+            blocks.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+    q = float(quant)
+
+    def score(batches):
+        for pdf in batches:
+            out_id, out_lbl, out_s, out_c = [], [], [], []
+
+            def unpack(rows):
+                ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+                lbl = np.array([r["_lbl"] for r in rows], dtype=np.int64)
+                M = np.floor(
+                    np.array([r["_v"] for r in rows], dtype=np.float64) * q
+                ).astype(np.int64)
+                return ids, lbl, M
+
+            def emit(ids, olbl, d2, self_mask=None):
+                # d2: rows(ids) x cols(olbl); sum/count per (id, olabel)
+                if self_mask is not None:
+                    d2 = d2.copy()
+                    d2[self_mask] = 0
+                for lab in np.unique(olbl):
+                    cols = olbl == lab
+                    s = d2[:, cols].sum(axis=1)
+                    c = np.full(len(ids), int(cols.sum()), dtype=np.int64)
+                    if self_mask is not None:
+                        self_in_lab = self_mask[:, cols].any(axis=1)
+                        c = c - self_in_lab.astype(np.int64)
+                    out_id.append(ids)
+                    out_lbl.append(np.full(len(ids), lab, dtype=np.int64))
+                    out_s.append(s)
+                    out_c.append(c)
+
+            for rows_a, rows_b, same in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ia, la, A = unpack(rows_a)
+                ib, lb, B = unpack(rows_b)
+                a2 = (A * A).sum(axis=1)
+                b2 = (B * B).sum(axis=1)
+                d2 = a2[:, None] + b2[None, :] - 2 * (A @ B.T)
+                if same:
+                    emit(ia, lb, d2, self_mask=ia[:, None] == ib[None, :])
+                else:
+                    emit(ia, lb, d2)
+                    emit(ib, la, d2.T)
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id) if out_id else empty,
+                    "olabel": np.concatenate(out_lbl) if out_lbl else empty,
+                    "s_d2": np.concatenate(out_s) if out_s else empty,
+                    "c_n": np.concatenate(out_c) if out_c else empty,
+                }
+            )
+
+    part = tiles.mapInPandas(
+        score, "vec_id bigint, olabel bigint, s_d2 bigint, c_n bigint"
+    )
+    return (
+        part.groupBy("vec_id", "olabel")
+        .agg(F.sum("s_d2").alias("sum_d2"), F.sum("c_n").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int | None = None,
