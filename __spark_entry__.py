@@ -12757,6 +12757,227 @@ def q_topk_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid selection per ground-truth cluster: the member
+    minimizing the exact sum of squared e3 distances to its own
+    cluster (ties to the smaller id) — the representative-picking
+    step k-medoids/PAM and dedup-cluster canonicalization run.
+    Rides the SAME pairwise_label_moments integer-GEMM reduction as
+    cluster_silhouette (one kernel, two consumers); the argmin is a
+    label-partitioned rank window over the (point, own-label)
+    moment rows."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    mom = similarity.pairwise_label_moments(e_)
+    lbl = e_.select("vec_id", F.col("label").cast("long").alias("label"))
+    own = mom.join(lbl, "vec_id").filter(
+        F.col("olabel") == F.col("label")
+    )
+    wr = Window.partitionBy("label").orderBy(F.asc("sum_d2"), F.asc("vec_id"))
+    return (
+        own.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            F.col("cnt").alias("n_other_members"),
+            F.col("sum_d2").alias("sum_d2_to_members"),
+        )
+    )
+
+
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-validity index against the ground-truth
+    labels, squared-medoid variant: scatter s_i = mean SQUARED
+    distance of cluster i members to the MEDOID (not the float
+    centroid — everything stays exact BIGINT), separation = SQUARED
+    medoid-to-medoid distance (same units, so the ratio needs no
+    sqrt), DB_i = max_{j != i} (s_i + s_j) / d2_ij e6-floored —
+    the lower-is-better compactness/separation score reported next
+    to silhouette. The moment kernel feeds medoids and scatters; the
+    pairwise medoid frame is clusters^2-sized."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    mom = similarity.pairwise_label_moments(e_).localCheckpoint(eager=True)
+    lbl = e_.select("vec_id", F.col("label").cast("long").alias("label"))
+    own = mom.join(lbl, "vec_id").filter(F.col("olabel") == F.col("label"))
+    wr = Window.partitionBy("label").orderBy(F.asc("sum_d2"), F.asc("vec_id"))
+    med = (
+        own.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            # mean SQUARED distance — same units as the squared
+            # medoid-to-medoid separation below, so the DB ratio
+            # needs no sqrt and stays exact
+            F.expr("sum_d2 div cnt").alias("scatter_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fv = e_.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(1000.0))
+        ).alias("f"),
+    )
+    mv = med.join(fv, med.medoid_id == fv.vec_id).select(
+        "label", "scatter_q", "f"
+    )
+    b = mv.select(
+        F.col("label").alias("lb"),
+        F.col("scatter_q").alias("sb"),
+        F.col("f").alias("fb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("f"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # squared-distance variant throughout (like cluster_silhouette):
+    # scatter and separation share units, so the ratio needs no sqrt
+    pair = mv.join(b, F.col("label") != F.col("lb")).select(
+        "label",
+        d2.alias("d2_sep"),
+        F.expr("scatter_q + sb").alias("ssum"),
+    )
+    per = pair.groupBy("label").agg(
+        F.max(
+            F.expr("(ssum * 1000000) div greatest(d2_sep, 1)")
+        ).alias("db_i_e6")
+    )
+    return per.select("label", "db_i_e6")
+
+
+def q_temporal_motif_aba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal A->B->A motif counts: three consecutive events of a
+    user forming a type alternation (first and third the same type,
+    middle different) with the whole motif inside 30 minutes — the
+    smallest temporal-network motif (Paranjape et al. 2017) and a
+    bounce/retry signature in clickstreams. One lead() window pass
+    per user (no self-joins), exact epoch-second bounds, motif-type
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.unix_timestamp(F.col("ts")).alias("s1"),
+        F.lead("event_type").over(wl).alias("t2"),
+        F.lead("event_type", 2).over(wl).alias("t3"),
+        F.lead(F.unix_timestamp(F.col("ts")), 2).over(wl).alias("s3"),
+    )
+    motifs = seq.filter(
+        (F.col("t3").isNotNull())
+        & (F.col("t1") == F.col("t3"))
+        & (F.col("t1") != F.col("t2"))
+        & (F.col("s3") - F.col("s1") <= 1800)
+    )
+    return motifs.groupBy(
+        F.col("t1").alias("outer_type"), F.col("t2").alias("middle_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_motifs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per event type: each event opens a
+    5-minute presence interval; the sweep-line (+1 at start, −1 at
+    end, cumulative max) gives the exact maximum number of
+    simultaneously open intervals — capacity planning's load number,
+    which peak_rate_per_user's arrival count does NOT give (arrivals
+    != concurrency). Boundary convention: ends sort before starts at
+    the same second (an interval ending exactly when another starts
+    does not overlap it). One explode to 2n boundary events, one
+    ordered window per type."""
+    ev = _t(spark, sf_dir, "events")
+    bnd = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.unix_timestamp(F.col("ts")).alias("at"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (F.unix_timestamp(F.col("ts")) + 300).alias("at"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b"),
+    ).select("event_type", F.col("b.at").alias("at"), F.col("b.delta").alias("delta"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("at"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bnd.withColumn("open_n", F.sum("delta").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("open_n").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap confidence interval for mean daily
+    revenue: 20 resamples, each drawing n days WITH replacement via
+    content-derived hashes (draw i of resample r picks day index
+    md5(r:i) mod n — reproducible on any cluster, no rand()), then
+    the P5/P95 of the resample means by exact rank selection — the
+    uncertainty band a metrics platform shows without distributional
+    assumptions. The draw frame is (R x n_days)-sized (calendar-,
+    not corpus-, bounded); means are exact integer divisions."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date(F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "x_e2"
+            )
+        )
+    )
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(wi) - 1).alias("di"), "x_e2"
+    ).localCheckpoint(eager=True)
+    nd = idx.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        spark.range(0, 20)
+        .select(F.col("id").alias("r"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "r",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("r"), F.col("i"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("di"),
+        )
+    )
+    means = (
+        draws.join(F.broadcast(idx), "di")
+        .groupBy("r")
+        .agg(F.expr("sum(x_e2) div count(1)").alias("mean_e2"))
+    )
+    wr = Window.orderBy("mean_e2")
+    ranked = means.withColumn("rn", F.row_number().over(wr))
+    return ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.min(F.expr("CASE WHEN rn = 2 THEN mean_e2 END")).alias("p5_e2"),
+        F.min(F.expr("CASE WHEN rn = 19 THEN mean_e2 END")).alias("p95_e2"),
+        F.expr("sum(mean_e2) div count(1)").alias("boot_mean_e2"),
+    )
+
+
 def _phonetic_key_sql(inner: str, duck: bool) -> str:
     """Consonant-skeleton key: drop vowels, collapse each consonant
     run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
@@ -13328,6 +13549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail_index": q_hill_tail_index,
         "peak_rate_per_user": q_peak_rate_per_user,
         "topk_churn_daily": q_topk_churn_daily,
+        "cluster_medoids": q_cluster_medoids,
+        "davies_bouldin": q_davies_bouldin,
+        "temporal_motif_aba": q_temporal_motif_aba,
+        "peak_concurrency": q_peak_concurrency,
+        "bootstrap_ci_revenue": q_bootstrap_ci_revenue,
     }
 
 
@@ -21227,5 +21453,141 @@ def oracle_sql() -> dict[str, str]:
                     // (20 - coalesce(inter.n_common, 0)))::BIGINT
                      AS jaccard_ppm
             FROM pairs LEFT JOIN inter ON inter.day_idx = pairs.day_idx
+        """,
+        "cluster_medoids": """
+            WITH fv AS (
+              SELECT vec_id, label::BIGINT AS label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            own AS (
+              SELECT a.vec_id, a.label,
+                     count(*)::BIGINT AS cnt,
+                     sum(list_sum(list_transform(range(1, 65),
+                       i -> (a.f[i] - b.f[i])
+                            * (a.f[i] - b.f[i]))))::BIGINT AS sum_d2
+              FROM fv a JOIN fv b
+                ON a.vec_id <> b.vec_id AND a.label = b.label
+              GROUP BY 1, 2
+            )
+            SELECT label, vec_id AS medoid_id,
+                   cnt AS n_other_members,
+                   sum_d2 AS sum_d2_to_members
+            FROM (SELECT *, row_number() OVER (PARTITION BY label
+                    ORDER BY sum_d2 ASC, vec_id ASC) AS rn FROM own)
+            WHERE rn = 1
+        """,
+        "davies_bouldin": """
+            WITH fv AS (
+              SELECT vec_id, label::BIGINT AS label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            own AS (
+              SELECT a.vec_id, a.label,
+                     count(*)::BIGINT AS cnt,
+                     sum(list_sum(list_transform(range(1, 65),
+                       i -> (a.f[i] - b.f[i])
+                            * (a.f[i] - b.f[i]))))::BIGINT AS sum_d2
+              FROM fv a JOIN fv b
+                ON a.vec_id <> b.vec_id AND a.label = b.label
+              GROUP BY 1, 2
+            ),
+            med AS (
+              SELECT label, vec_id AS medoid_id,
+                     (sum_d2 // cnt)::BIGINT AS scatter_q
+              FROM (SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY sum_d2 ASC, vec_id ASC) AS rn FROM own)
+              WHERE rn = 1
+            ),
+            mv AS (SELECT med.label, med.scatter_q, fv.f
+                   FROM med JOIN fv ON fv.vec_id = med.medoid_id),
+            pair AS (
+              SELECT a.label,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (a.f[i] - b.f[i])
+                            * (a.f[i] - b.f[i])))::BIGINT AS d2_sep,
+                     (a.scatter_q + b.scatter_q)::BIGINT AS ssum
+              FROM mv a JOIN mv b ON a.label <> b.label
+            )
+            SELECT label,
+                   max((ssum * 1000000)
+                       // greatest(d2_sep, 1))::BIGINT AS db_i_e6
+            FROM pair GROUP BY label
+        """,
+        "temporal_motif_aba": """
+            WITH seq AS (
+              SELECT user_id, event_type AS t1,
+                     floor(epoch(ts))::BIGINT AS s1,
+                     lead(event_type) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3,
+                     lead(floor(epoch(ts))::BIGINT, 2) OVER w AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t1 AS outer_type, t2 AS middle_type,
+                   count(*)::BIGINT AS n_motifs,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM seq
+            WHERE t3 IS NOT NULL AND t1 = t3 AND t1 <> t2
+              AND s3 - s1 <= 1800
+            GROUP BY 1, 2
+        """,
+        "peak_concurrency": """
+            WITH bnd AS (
+              SELECT event_type, floor(epoch(ts))::BIGINT AS at,
+                     1 AS delta
+              FROM events
+              UNION ALL
+              SELECT event_type, floor(epoch(ts))::BIGINT + 300, -1
+              FROM events
+            ),
+            run AS (
+              SELECT event_type,
+                     sum(delta) OVER (PARTITION BY event_type
+                       ORDER BY at ASC, delta ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS open_n
+              FROM bnd
+            )
+            SELECT event_type, max(open_n)::BIGINT AS peak_concurrency,
+                   (count(*) // 2)::BIGINT AS n_intervals
+            FROM run GROUP BY event_type
+        """,
+        "bootstrap_ci_revenue": f"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS x_e2
+              FROM orders GROUP BY 1
+            ),
+            idx AS (SELECT row_number() OVER (ORDER BY day) - 1 AS di,
+                           x_e2
+                    FROM daily),
+            nd AS (SELECT count(*)::BIGINT AS n FROM idx),
+            draws AS (
+              SELECT r, {_dk_hex8("r::VARCHAR || ':' || i::VARCHAR")}
+                        % (SELECT n FROM nd) AS di
+              FROM (SELECT unnest(range(20)) AS r) rs
+              CROSS JOIN (SELECT unnest(range(1,
+                            (SELECT n FROM nd)::INT + 1)) AS i) iss
+            ),
+            means AS (
+              SELECT draws.r,
+                     (sum(idx.x_e2) // count(*))::BIGINT AS mean_e2
+              FROM draws JOIN idx ON idx.di = draws.di
+              GROUP BY draws.r
+            ),
+            ranked AS (SELECT mean_e2,
+                              row_number() OVER (ORDER BY mean_e2) AS rn
+                       FROM means)
+            SELECT count(*)::BIGINT AS n_resamples,
+                   min(CASE WHEN rn = 2 THEN mean_e2 END)::BIGINT AS p5_e2,
+                   min(CASE WHEN rn = 19 THEN mean_e2 END)::BIGINT
+                     AS p95_e2,
+                   (sum(mean_e2) // count(*))::BIGINT AS boot_mean_e2
+            FROM ranked
         """,
     }
