@@ -12978,6 +12978,223 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mahalanobis_diag_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outliers: per-dimension integer
+    moments (e3 components) give mu and a variance proxy, and each
+    vector's score sums (x_d - mu_d)^2 * 1e6 div var_d over
+    dimensions — the covariance-diagonal outlier detector an
+    embedding-quality gate runs before indexing. Two passes: one
+    dim-keyed moment reduce (posexplode; 64-row result broadcast
+    back), one scoring pass; top-20 by score with deterministic
+    ties. Means/variances are integer divisions, so the score is
+    exact BIGINT."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    dims = e_.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+            )
+        ).alias("d", "v"),
+    )
+    mom = dims.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(v) div count(1)").alias("mu"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.sum("v").alias("s"),
+    ).select(
+        "d",
+        "mu",
+        F.expr("greatest((ss - (s * s) div n) div n, 1)").alias("var_q"),
+    )
+    scored = (
+        dims.join(F.broadcast(mom), "d")
+        .select(
+            "vec_id",
+            F.expr("((v - mu) * (v - mu) * 1000000) div var_q").alias("t"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("t").alias("score_e6"))
+    )
+    wr = Window.orderBy(F.desc("score_e6"), F.asc("vec_id"))
+    return scored.withColumn(
+        "outlier_rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("outlier_rank") <= 20)
+
+
+def q_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label homophily of the epsilon-ball embedding graph: the
+    observed same-label edge fraction vs the configuration-null
+    expectation Σ n_l(n_l−1) / (n(n−1)) — the one-number check that
+    a similarity graph actually respects class structure (lift >> 1)
+    before anyone trusts graph-propagated labels. Edges come from
+    the exact_eps_pairs integer-GEMM kernel (third consumer);
+    marginals are a label-sized rollup; output is one exact-ppm
+    row."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.exact_eps_pairs(e_, 1450000)
+    lbl = e_.select("vec_id", F.col("label").cast("long").alias("label"))
+    la = lbl.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lab_a"))
+    lb = lbl.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lab_b"))
+    ej = pairs.join(F.broadcast(la), "id_a").join(F.broadcast(lb), "id_b")
+    obs = ej.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            F.expr("CASE WHEN lab_a = lab_b THEN 1 ELSE 0 END")
+        ).alias("n_same"),
+    )
+    marg = lbl.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    exp_ = marg.agg(
+        F.sum(F.expr("nl * (nl - 1)")).alias("same_pairs"),
+        F.sum("nl").alias("n"),
+    ).select(
+        F.expr("(same_pairs * 1000000) div (n * (n - 1))").alias(
+            "expected_same_ppm"
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(exp_))
+        .select(
+            "n_edges",
+            "n_same",
+            F.expr("(n_same * 1000000) div greatest(n_edges, 1)").alias(
+                "observed_same_ppm"
+            ),
+            "expected_same_ppm",
+            F.expr(
+                "((n_same * 1000000) div greatest(n_edges, 1)) * 1000000"
+                " div greatest(expected_same_ppm, 1)"
+            ).alias("homophily_lift_e6"),
+        )
+    )
+
+
+def q_duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screening report: purchases by the same
+    user in the same ten-dollar amount band within an hour of the
+    previous one — the double-charge screen every payments pipeline
+    runs, reported for EVERY purchasing user (a screen's output is
+    mostly clean users; suppressing zeros would hide the denominator
+    an audit needs). One lag() window over (user, band) partitions
+    ordered by time — the partition key makes candidate pairs
+    adjacent, no self-join; exact epoch-second gaps and exact cent
+    rollups."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value") / 10).cast("long").alias("band"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+        F.unix_timestamp(F.col("ts")).alias("es"),
+        "event_id",
+    )
+    wl = Window.partitionBy("user_id", "band").orderBy("es", "event_id")
+    flagged = base.withColumn(
+        "gap", F.col("es") - F.lag("es").over(wl)
+    ).withColumn(
+        "is_dup",
+        (F.col("gap").isNotNull() & (F.col("gap") <= 3600)).cast("long"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("is_dup").alias("n_flagged"),
+        F.sum(
+            F.expr("CASE WHEN is_dup = 1 THEN v_e2 ELSE 0 END")
+        ).alias("flagged_value_e2"),
+    )
+
+
+def q_retention_decay_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention decay rate: ln of the week-k return
+    rate (users of week 0 active in week k) regressed on k by the
+    quantize-then-regress discipline — the single decay constant a
+    growth model plugs in. Rates are exact ppm first, each ln is
+    e6-rounded per point (4 points, k=1..4), and the OLS slope over
+    the tiny frame is an integer cross-multiplication. Two scans:
+    cohort membership, weekly activity."""
+    ev = _t(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date(F.col("ts"))).alias("min_day"))
+    wk = ev.crossJoin(F.broadcast(mn)).select(
+        "user_id",
+        (
+            F.datediff(F.to_date(F.col("ts")), F.col("min_day")) / 7
+        ).cast("long").alias("week"),
+    ).distinct()
+    cohort = wk.filter(F.col("week") == 0).select("user_id")
+    n0 = cohort.agg(F.count(F.lit(1)).alias("n_cohort"))
+    ret = (
+        wk.join(cohort, "user_id")
+        .filter(F.col("week").between(1, 4))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "week",
+            F.expr("(n_active * 1000000) div n_cohort").alias("rate_ppm"),
+        )
+        .select(
+            "week",
+            "rate_ppm",
+            F.expr(
+                "cast(round(ln(cast(rate_ppm as double) / 1000000.0)"
+                " * 1000000) as bigint)"
+            ).alias("lr_e6"),
+        )
+    )
+    m = ret.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("week").alias("sx"),
+        F.sum("lr_e6").alias("sy"),
+        F.sum(F.col("week") * F.col("week")).alias("sxx"),
+        F.sum(F.col("week") * F.col("lr_e6")).alias("sxy"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "((n * sxy - sx * sy) * 1000)"
+            " div greatest(n * sxx - sx * sx, 1)"
+        ).alias("decay_rate_e9"),
+    )
+
+
+def q_cv_fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment audit:
+    content-derived folds (md5(user) mod 5) within each event_type
+    stratum, reporting per-(stratum, fold) counts and the fold's ppm
+    deviation from the stratum's ideal fifth — the split-health
+    check an AutoML harness prints before training. Deterministic by
+    construction (hash folds), one scan, strata x folds output."""
+    ev = _t(spark, sf_dir, "events")
+    f_ = ev.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+    )
+    cell = f_.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("n").alias("n_stratum"))
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            "n",
+            F.expr(
+                "(n * 5000000) div n_stratum - 1000000"
+            ).alias("dev_from_fifth_ppm"),
+        )
+    )
+
+
 def _phonetic_key_sql(inner: str, duck: bool) -> str:
     """Consonant-skeleton key: drop vowels, collapse each consonant
     run — per-letter 'bb+' -> 'b' replacements because DuckDB's RE2
@@ -13554,6 +13771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_motif_aba": q_temporal_motif_aba,
         "peak_concurrency": q_peak_concurrency,
         "bootstrap_ci_revenue": q_bootstrap_ci_revenue,
+        "mahalanobis_diag_outliers": q_mahalanobis_diag_outliers,
+        "label_homophily": q_label_homophily,
+        "duplicate_payment_flags": q_duplicate_payment_flags,
+        "retention_decay_rate": q_retention_decay_rate,
+        "cv_fold_balance": q_cv_fold_balance,
     }
 
 
@@ -21589,5 +21811,135 @@ def oracle_sql() -> dict[str, str]:
                      AS p95_e2,
                    (sum(mean_e2) // count(*))::BIGINT AS boot_mean_e2
             FROM ranked
+        """,
+        "mahalanobis_diag_outliers": """
+            WITH dims AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     floor(unnest(embedding::DOUBLE[]) * 1000)::BIGINT AS v
+              FROM embeddings
+            ),
+            mom AS (
+              SELECT d, (sum(v) // count(*))::BIGINT AS mu,
+                     greatest((sum(v * v)
+                               - (sum(v) * sum(v)) // count(*))
+                              // count(*), 1)::BIGINT AS var_q
+              FROM dims GROUP BY d
+            ),
+            scored AS (
+              SELECT dims.vec_id,
+                     sum(((dims.v - mom.mu) * (dims.v - mom.mu) * 1000000)
+                         // mom.var_q)::BIGINT AS score_e6
+              FROM dims JOIN mom ON mom.d = dims.d
+              GROUP BY 1
+            )
+            SELECT vec_id, score_e6, outlier_rank FROM (
+              SELECT *, row_number() OVER (ORDER BY score_e6 DESC,
+                        vec_id ASC)::BIGINT AS outlier_rank
+              FROM scored)
+            WHERE outlier_rank <= 20
+        """,
+        "label_homophily": """
+            WITH fv AS (
+              SELECT vec_id, label::BIGINT AS label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> floor(x * 1000)::BIGINT) AS f
+              FROM embeddings
+            ),
+            ej AS (
+              SELECT a.label AS lab_a, b.label AS lab_b
+              FROM fv a JOIN fv b ON a.vec_id < b.vec_id
+              WHERE list_sum(list_transform(range(1, 65),
+                      i -> (a.f[i] - b.f[i]) * (a.f[i] - b.f[i])))
+                    <= 1450000
+            ),
+            obs AS (SELECT count(*)::BIGINT AS n_edges,
+                           sum(CASE WHEN lab_a = lab_b THEN 1 ELSE 0
+                               END)::BIGINT AS n_same
+                    FROM ej),
+            marg AS (SELECT label, count(*)::BIGINT AS nl FROM fv
+                     GROUP BY 1),
+            exp_ AS (SELECT ((sum(nl * (nl - 1)) * 1000000)
+                             // (sum(nl) * (sum(nl) - 1)))::BIGINT
+                              AS expected_same_ppm
+                     FROM marg)
+            SELECT obs.n_edges, obs.n_same,
+                   ((obs.n_same * 1000000)
+                    // greatest(obs.n_edges, 1))::BIGINT
+                     AS observed_same_ppm,
+                   exp_.expected_same_ppm,
+                   (((obs.n_same * 1000000) // greatest(obs.n_edges, 1))
+                    * 1000000
+                    // greatest(exp_.expected_same_ppm, 1))::BIGINT
+                     AS homophily_lift_e6
+            FROM obs CROSS JOIN exp_
+        """,
+        "duplicate_payment_flags": """
+            WITH base AS (
+              SELECT user_id, floor(value / 10)::BIGINT AS band,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2,
+                     floor(epoch(ts))::BIGINT AS es, event_id
+              FROM events WHERE event_type = 'purchase'
+            ),
+            flagged AS (
+              SELECT user_id, v_e2,
+                     CASE WHEN es - lag(es) OVER (PARTITION BY user_id,
+                            band ORDER BY es, event_id) <= 3600
+                          THEN 1 ELSE 0 END AS is_dup
+              FROM base
+            )
+            SELECT user_id, count(*)::BIGINT AS n_purchases,
+                   sum(is_dup)::BIGINT AS n_flagged,
+                   sum(CASE WHEN is_dup = 1 THEN v_e2 ELSE 0
+                       END)::BIGINT AS flagged_value_e2
+            FROM flagged GROUP BY user_id
+        """,
+        "retention_decay_rate": """
+            WITH mn AS (SELECT min(CAST(ts AS DATE)) AS min_day
+                        FROM events),
+            wk AS (
+              SELECT DISTINCT user_id,
+                     (date_diff('day', (SELECT min_day FROM mn),
+                                CAST(ts AS DATE)) // 7)::BIGINT AS week
+              FROM events
+            ),
+            cohort AS (SELECT user_id FROM wk WHERE week = 0),
+            n0 AS (SELECT count(*)::BIGINT AS n_cohort FROM cohort),
+            ret AS (
+              SELECT wk.week,
+                     ((count(*) * 1000000)
+                      // (SELECT n_cohort FROM n0))::BIGINT AS rate_ppm
+              FROM wk JOIN cohort ON cohort.user_id = wk.user_id
+              WHERE wk.week BETWEEN 1 AND 4
+              GROUP BY wk.week
+            ),
+            pts AS (SELECT week, rate_ppm,
+                           CAST(round(ln(CAST(rate_ppm AS DOUBLE)
+                                / 1000000.0) * 1000000) AS BIGINT) AS lr_e6
+                    FROM ret),
+            m AS (SELECT count(*)::BIGINT AS n, sum(week)::BIGINT AS sx,
+                         sum(lr_e6)::BIGINT AS sy,
+                         sum(week * week)::BIGINT AS sxx,
+                         sum(week * lr_e6)::BIGINT AS sxy
+                  FROM pts)
+            SELECT n, sx, sy,
+                   (((n * sxy - sx * sy) * 1000)
+                    // greatest(n * sxx - sx * sx, 1))::BIGINT
+                     AS decay_rate_e9
+            FROM m
+        """,
+        "cv_fold_balance": f"""
+            WITH f_ AS (
+              SELECT event_type,
+                     {_dk_hex8('user_id::VARCHAR')} % 5 AS fold
+              FROM events
+            ),
+            cell AS (SELECT event_type, fold, count(*)::BIGINT AS n
+                     FROM f_ GROUP BY 1, 2),
+            tot AS (SELECT event_type, sum(n)::BIGINT AS n_stratum
+                    FROM cell GROUP BY 1)
+            SELECT cell.event_type, cell.fold::BIGINT AS fold, cell.n,
+                   ((cell.n * 5000000) // tot.n_stratum
+                    - 1000000)::BIGINT AS dev_from_fifth_ppm
+            FROM cell JOIN tot ON tot.event_type = cell.event_type
         """,
     }
