@@ -13423,6 +13423,302 @@ _TYPE_SUBCLASS: list[tuple[str, str]] = [
 ]
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch over the corpus
+    vocabulary, calibrated against the exact count: hash every
+    distinct token to 32 bits (md5 prefix — same bytes both
+    engines), keep the k=64 smallest, and estimate
+    NDV ≈ (k−1)·2^32 / h_(k) — the bottom-k sketch a catalog uses
+    for NDV stats because it is mergeable across partitions (each
+    partition's bottom-k union-merges; Spark's sort-limit IS that
+    per-partition TakeOrdered + driver merge). Ties and collisions
+    break on (h, tok) so both engines pick identical bottom sets;
+    everything after the hash is exact BIGINT."""
+    docs = _docs(spark, sf_dir)
+    hs = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .distinct()
+        .select(
+            "tok",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    kth = (
+        hs.orderBy(F.asc("h"), F.asc("tok"))
+        .limit(64)
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k"))
+    )
+    exact = hs.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            "k",
+            "h_k",
+            "exact_distinct",
+            F.expr(
+                "((k - 1) * 4294967296) div greatest(h_k, 1)"
+            ).alias("est_distinct"),
+        )
+        .select(
+            "k",
+            "h_k",
+            "exact_distinct",
+            "est_distinct",
+            (F.col("est_distinct") - F.col("exact_distinct")).alias(
+                "err_signed"
+            ),
+            F.expr(
+                "(abs(est_distinct - exact_distinct) * 1000000)"
+                " div exact_distinct"
+            ).alias("err_abs_ppm"),
+        )
+    )
+
+
+def _hilbert_rounds() -> list[tuple[str, str, str]]:
+    """One xy2d Hilbert round per bit plane, as dialect-free SQL text
+    (shared verbatim by the Spark plan and the DuckDB oracle). The
+    (3·rx) XOR ry Gray-code term is rewritten 3·rx + ry − 2·rx·ry —
+    exact for bits, and sidesteps Spark `^` vs DuckDB `xor()`. The
+    rotation uses the d2xy-consistent rot(s) form; adjacency of
+    consecutive d values is pinned by a pytest against the textbook
+    recursive implementation."""
+    rounds = []
+    for s in (128, 64, 32, 16, 8, 4, 2, 1):
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        d_ = f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        nx = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - y ELSE y END) ELSE x END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - x ELSE x END) ELSE y END"
+        )
+        rounds.append((d_, nx, ny))
+    return rounds
+
+
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over (customer bucket × order-day
+    bucket) with a locality audit: 8 unrolled integer rounds of the
+    xy2d transform give each order a d ∈ [0, 65536), and the report
+    groups rows into 16 contiguous key ranges showing each range's
+    (x, y) bounding box — aligned 4096-cell Hilbert segments are
+    exact 64×64 tiles, the property that makes Hilbert ordering beat
+    Z-order for 2-D data-skipping (no diagonal seam jumps). Pure
+    projection + one groupBy; the key expression is whole-stage
+    codegen end to end."""
+    o = _t(spark, sf_dir, "orders")
+    df = o.selectExpr(
+        "CAST(o_custkey % 256 AS BIGINT) AS x0",
+        "CAST(((datediff(o_orderdate, DATE '1995-01-01') % 256) + 256)"
+        " % 256 AS BIGINT) AS y0",
+    ).selectExpr("x0", "y0", "x0 AS x", "y0 AS y", "CAST(0 AS BIGINT) AS d")
+    for d_, nx, ny in _hilbert_rounds():
+        df = df.selectExpr(
+            "x0", "y0", f"{d_} AS d", f"{nx} AS x", f"{ny} AS y"
+        )
+    return (
+        df.withColumn("bucket", F.expr("d div 4096"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x0").alias("x_min"),
+            F.max("x0").alias("x_max"),
+            F.min("y0").alias("y_min"),
+            F.max("y0").alias("y_max"),
+        )
+    )
+
+
+def q_jl_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the e3-integer
+    embeddings 64→16 dims with a deterministic ±1 sign matrix
+    (md5 parity of (dim, proj)), then compare each consecutive-id
+    pair's squared distance before and after — E[proj_d2] = 16·orig_d2
+    for ±1 projections, so ratio_ppm ≈ 1e6 certifies the projection
+    preserves geometry before anyone swaps it into the ANN path. The
+    sign matrix is a 1024-row broadcast; both distance sums are exact
+    BIGINT; the only shuffles are the two (id, dim|proj)-keyed
+    groupBys."""
+    e_ = _t(spark, sf_dir, "embeddings")
+    dims = e_.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+            )
+        ).alias("d", "v"),
+    )
+    signs = (
+        spark.range(64)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("j")))
+        .select(
+            "d",
+            "j",
+            (
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("d"), F.col("j"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("s"),
+        )
+    )
+    proj = (
+        dims.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("p"))
+    )
+    pa = proj.select(F.col("vec_id").alias("id_a"), "j", F.col("p").alias("pa"))
+    pb = proj.select(
+        (F.col("vec_id") - 1).cast("long").alias("id_a"),
+        "j",
+        F.col("p").alias("pb"),
+    )
+    pd2 = (
+        pa.join(pb, ["id_a", "j"])
+        .groupBy("id_a")
+        .agg(F.sum(F.expr("(pa - pb) * (pa - pb)")).alias("proj_d2"))
+    )
+    va = dims.select(F.col("vec_id").alias("id_a"), "d", F.col("v").alias("va"))
+    vb = dims.select(
+        (F.col("vec_id") - 1).cast("long").alias("id_a"),
+        "d",
+        F.col("v").alias("vb"),
+    )
+    od2 = (
+        va.join(vb, ["id_a", "d"])
+        .groupBy("id_a")
+        .agg(F.sum(F.expr("(va - vb) * (va - vb)")).alias("orig_d2"))
+    )
+    return od2.join(pd2, "id_a").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        (F.col("id_a") + 1).cast("long").alias("id_b"),
+        "orig_d2",
+        "proj_d2",
+        F.expr(
+            "(proj_d2 * 1000000) div greatest(16 * orig_d2, 1)"
+        ).alias("ratio_ppm"),
+    )
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic calibration (PAVA) of purchase rate over value
+    bands via the minimax closed form fit_i = max_{j≤i} min_{k≥i}
+    mean(y over bands j..k) — the monotone-regression step a score
+    calibrator runs after binning, computed without the sequential
+    pool-adjacent loop so it stays a (tiny) relational plan: one scan
+    reduces events to ≤10 (band, n, pos) rows, and the 55 interval
+    means + minimax are joins over that band-sized frame (constant
+    size at any corpus scale). Interval means are exact ppm
+    integers, so the minimax is deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    bins = (
+        ev.select(
+            F.least(F.floor(F.col("value") / 25), F.lit(9))
+            .cast("long")
+            .alias("bin"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .localCheckpoint(eager=True)
+    )
+    bj = bins.select(F.col("bin").alias("j"))
+    bk = bins.select(F.col("bin").alias("k"))
+    bz = bins.select(F.col("bin").alias("z"), "n", "pos")
+    iv = (
+        bj.crossJoin(bk)
+        .filter("j <= k")
+        .join(bz, F.expr("z BETWEEN j AND k"))
+        .groupBy("j", "k")
+        .agg(F.expr("(sum(pos) * 1000000) div sum(n)").alias("mean_ppm"))
+    )
+    fit = (
+        bins.select(F.col("bin").alias("i"))
+        .join(iv, F.expr("j <= i AND k >= i"))
+        .groupBy("i", "j")
+        .agg(F.min("mean_ppm").alias("m1"))
+        .groupBy("i")
+        .agg(F.max("m1").alias("iso_ppm"))
+    )
+    return bins.join(fit, bins["bin"] == fit["i"]).select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("(pos * 1000000) div n").alias("raw_ppm"),
+        "iso_ppm",
+    )
+
+
+def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index term proximity: for every document containing
+    BOTH query terms ('join', 'filter'), the minimum token distance
+    between an occurrence of each — the phrase/proximity signal a
+    ranker layers over BM25. Linear, not quadratic: positions of the
+    two terms merge-sort inside a per-doc window and the minimum
+    cross-term pair is provably attained at ADJACENT rows of that
+    order (any point strictly between an optimal pair would itself
+    form a closer cross pair), so one lag() suffices — no
+    position × position self-join. Score = 1e6 div (1 + gap),
+    exact."""
+    docs = _docs(spark, sf_dir)
+    pos_ = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
+    ).filter(F.col("tok").isin("join", "filter"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gaps = (
+        pos_.withColumn("prev_tok", F.lag("tok").over(w))
+        .withColumn("prev_pos", F.lag("pos").over(w))
+        .withColumn(
+            "gap",
+            F.when(
+                F.col("prev_tok").isNotNull()
+                & (F.col("prev_tok") != F.col("tok")),
+                F.col("pos") - F.col("prev_pos"),
+            ),
+        )
+    )
+    return (
+        gaps.groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN tok = 'join' THEN 1 ELSE 0 END")).alias(
+                "n_a"
+            ),
+            F.sum(
+                F.expr("CASE WHEN tok = 'filter' THEN 1 ELSE 0 END")
+            ).alias("n_b"),
+            F.min("gap").alias("min_gap"),
+        )
+        .filter(F.col("min_gap").isNotNull())
+        .select(
+            "doc_id",
+            "n_a",
+            "n_b",
+            F.col("min_gap").cast("long").alias("min_gap"),
+            F.expr("1000000 div (1 + min_gap)").alias("prox_score_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -13776,6 +14072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_payment_flags": q_duplicate_payment_flags,
         "retention_decay_rate": q_retention_decay_rate,
         "cv_fold_balance": q_cv_fold_balance,
+        "kmv_distinct": q_kmv_distinct,
+        "hilbert_key": q_hilbert_key,
+        "jl_distance_audit": q_jl_distance_audit,
+        "isotonic_calibration": q_isotonic_calibration,
+        "term_proximity": q_term_proximity,
     }
 
 
@@ -13915,6 +14216,22 @@ def _dk_hex8(expr: str) -> str:
         for k in range(8)
     )
     return f"({terms})"
+
+
+def _hilbert_duck_sql() -> str:
+    """DuckDB twin of q_hilbert_key's unrolled xy2d chain: the SAME
+    `_hilbert_rounds()` round text nested as subqueries, so both
+    engines execute byte-identical integer arithmetic."""
+    sql = (
+        "SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d FROM ("
+        "SELECT CAST(o_custkey % 256 AS BIGINT) AS x0, "
+        "CAST(((date_diff('day', DATE '1995-01-01',"
+        " CAST(o_orderdate AS DATE)) % 256) + 256) % 256 AS BIGINT) AS y0"
+        " FROM orders)"
+    )
+    for d_, nx, ny in _hilbert_rounds():
+        sql = f"SELECT x0, y0, {d_} AS d, {nx} AS x, {ny} AS y FROM ({sql})"
+    return sql
 
 
 def _bloom_pos_sql(j: int, col: str) -> str:
@@ -21941,5 +22258,126 @@ def oracle_sql() -> dict[str, str]:
                    ((cell.n * 5000000) // tot.n_stratum
                     - 1000000)::BIGINT AS dev_from_fifth_ppm
             FROM cell JOIN tot ON tot.event_type = cell.event_type
+        """,
+        "kmv_distinct": f"""
+            WITH tk AS (
+              SELECT DISTINCT tok FROM (
+                SELECT unnest({_TOKS}) AS tok FROM documents)
+            ),
+            hs AS (SELECT tok, {_dk_hex8("tok")} AS h FROM tk),
+            kth AS (
+              SELECT max(h)::BIGINT AS h_k, count(*)::BIGINT AS k
+              FROM (SELECT h, tok FROM hs ORDER BY h ASC, tok ASC LIMIT 64)
+            ),
+            ex AS (SELECT count(*)::BIGINT AS exact_distinct FROM hs),
+            est AS (
+              SELECT k, h_k, exact_distinct,
+                     (((k - 1) * 4294967296)
+                      // greatest(h_k, 1))::BIGINT AS est_distinct
+              FROM kth CROSS JOIN ex
+            )
+            SELECT k, h_k, exact_distinct, est_distinct,
+                   (est_distinct - exact_distinct)::BIGINT AS err_signed,
+                   ((abs(est_distinct - exact_distinct) * 1000000)
+                    // exact_distinct)::BIGINT AS err_abs_ppm
+            FROM est
+        """,
+        "hilbert_key": f"""
+            SELECT (d // 4096)::BIGINT AS bucket, count(*)::BIGINT AS n,
+                   min(x0)::BIGINT AS x_min, max(x0)::BIGINT AS x_max,
+                   min(y0)::BIGINT AS y_min, max(y0)::BIGINT AS y_max
+            FROM ({_hilbert_duck_sql()})
+            GROUP BY 1
+        """,
+        "jl_distance_audit": f"""
+            WITH dims AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                     floor(unnest(embedding::DOUBLE[]) * 1000)::BIGINT AS v
+              FROM embeddings
+            ),
+            signs AS (
+              SELECT d, j,
+                     (1 - 2 * ({_dk_hex8("d::VARCHAR || '_' || j::VARCHAR")}
+                               % 2))::BIGINT AS s
+              FROM range(64) AS t1(d) CROSS JOIN range(16) AS t2(j)
+            ),
+            proj AS (
+              SELECT vec_id, j, sum(s * v)::BIGINT AS p
+              FROM dims JOIN signs USING (d) GROUP BY 1, 2
+            ),
+            pd2 AS (
+              SELECT a.vec_id AS id_a,
+                     sum((a.p - b.p) * (a.p - b.p))::BIGINT AS proj_d2
+              FROM proj a JOIN proj b
+                ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+              GROUP BY 1
+            ),
+            od2 AS (
+              SELECT a.vec_id AS id_a,
+                     sum((a.v - b.v) * (a.v - b.v))::BIGINT AS orig_d2
+              FROM dims a JOIN dims b
+                ON b.vec_id = a.vec_id + 1 AND b.d = a.d
+              GROUP BY 1
+            )
+            SELECT od2.id_a::BIGINT AS id_a, (od2.id_a + 1)::BIGINT AS id_b,
+                   od2.orig_d2, pd2.proj_d2,
+                   ((pd2.proj_d2 * 1000000)
+                    // greatest(16 * od2.orig_d2, 1))::BIGINT AS ratio_ppm
+            FROM od2 JOIN pd2 USING (id_a)
+        """,
+        "isotonic_calibration": """
+            WITH b AS (
+              SELECT least(floor(value / 25), 9)::BIGINT AS bin,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END)::BIGINT AS pos
+              FROM events GROUP BY 1
+            ),
+            iv AS (
+              SELECT j.bin AS j, k.bin AS k,
+                     ((sum(z.pos) * 1000000) // sum(z.n))::BIGINT AS mean_ppm
+              FROM b j JOIN b k ON j.bin <= k.bin
+              JOIN b z ON z.bin BETWEEN j.bin AND k.bin
+              GROUP BY 1, 2
+            ),
+            fit AS (
+              SELECT i, max(m1)::BIGINT AS iso_ppm FROM (
+                SELECT b.bin AS i, iv.j, min(iv.mean_ppm) AS m1
+                FROM b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+                GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT b.bin, b.n, b.pos,
+                   ((b.pos * 1000000) // b.n)::BIGINT AS raw_ppm, fit.iso_ppm
+            FROM b JOIN fit ON fit.i = b.bin
+        """,
+        "term_proximity": f"""
+            WITH pos_ AS (
+              SELECT doc_id, pos, tok FROM (
+                SELECT doc_id, unnest(ts) AS tok,
+                       generate_subscripts(ts, 1) - 1 AS pos
+                FROM (SELECT doc_id, {_TOKS} AS ts FROM documents))
+              WHERE tok IN ('join', 'filter')
+            ),
+            gaps AS (
+              SELECT doc_id, tok,
+                     CASE WHEN lag(tok) OVER w IS NOT NULL
+                               AND lag(tok) OVER w <> tok
+                          THEN pos - lag(pos) OVER w END AS gap
+              FROM pos_
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN tok = 'join' THEN 1 ELSE 0
+                         END)::BIGINT AS n_a,
+                     sum(CASE WHEN tok = 'filter' THEN 1 ELSE 0
+                         END)::BIGINT AS n_b,
+                     min(gap)::BIGINT AS min_gap
+              FROM gaps GROUP BY 1
+            )
+            SELECT doc_id, n_a, n_b, min_gap,
+                   (1000000 // (1 + min_gap))::BIGINT AS prox_score_ppm
+            FROM agg WHERE min_gap IS NOT NULL
         """,
     }
