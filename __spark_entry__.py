@@ -13719,6 +13719,649 @@ def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _journey_tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared journey-chain builder: per-user channel sequences
+    (events strictly before the first purchase), with START and
+    CONV/NULL terminals, reduced to (src, dst, c) transition counts.
+    One corpus scan + three window passes; consumed by the
+    removal-effect and expected-steps absorbing-chain queries, so it
+    is pinned (rule 10)."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "p_seen",
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ch = seq.filter(
+        (F.col("event_type") != "purchase") & (F.col("p_seen") == 0)
+    )
+    rk = ch.withColumn("rn", F.row_number().over(wl)).withColumn(
+        "rn_d",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        ),
+    )
+    mid = (
+        ch.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wl).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+    cv = ev.groupBy("user_id").agg(
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("cv")
+    )
+    st = rk.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    la = (
+        rk.filter(F.col("rn_d") == 1)
+        .join(cv, "user_id")
+        .select(
+            F.col("event_type").alias("src"),
+            F.expr(
+                "CASE WHEN cv = 1 THEN 'CONV' ELSE 'NULL' END"
+            ).alias("dst"),
+        )
+    )
+    dr = (
+        cv.filter(F.col("cv") == 1)
+        .join(ch.select("user_id").distinct(), "user_id", "left_anti")
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    return (
+        mid.unionByName(st)
+        .unionByName(la)
+        .unionByName(dr)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def q_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect channel attribution: per-user journeys
+    (channel events strictly before the first purchase, START and
+    CONV/NULL terminals) define a first-order chain; conversion
+    probability from START is 6 fixed absorbing-iteration rounds in
+    exact ppm, re-run once per removed channel (paths entering the
+    removed state are absorbed at 0, row totals NOT renormalized —
+    the standard removal-effect model). The removal effect
+    p_base − p_removed is the attribution signal; floors make every
+    round deterministic in both engines, and each p_removed term is
+    ≤ its baseline twin so effects are nonnegative. One corpus scan
+    builds transitions; the iteration runs on (variant × state)
+    frames of a few dozen rows with broadcast joins — no driver
+    action in the loop."""
+    tr = _journey_tr(spark, sf_dir)
+    rt = tr.groupBy("src").agg(F.sum("c").alias("rowtot"))
+    chn = (
+        tr.select(F.col("src").alias("channel"))
+        .filter(F.col("channel") != "START")
+        .distinct()
+    )
+    variants = chn.select(F.col("channel").alias("variant")).unionByName(
+        spark.range(1).select(F.lit("(none)").alias("variant"))
+    )
+    trv = (
+        tr.join(F.broadcast(rt), "src")
+        .crossJoin(F.broadcast(variants))
+        .filter(
+            (F.col("variant") != F.col("src"))
+            & (F.col("variant") != F.col("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    pi = trv.select(
+        "variant",
+        F.col("src").alias("state"),
+        F.lit(0).cast("long").alias("p"),
+    ).distinct()
+    for _ in range(6):
+        pi = (
+            trv.join(
+                F.broadcast(
+                    pi.select("variant", F.col("state").alias("dst"), "p")
+                ),
+                ["variant", "dst"],
+                "left",
+            )
+            .select(
+                "variant",
+                F.col("src").alias("state"),
+                F.expr(
+                    "(c * CASE WHEN dst = 'CONV' THEN 1000000"
+                    " WHEN dst = 'NULL' THEN 0"
+                    " ELSE coalesce(p, 0) END) div rowtot"
+                ).alias("m"),
+            )
+            .groupBy("variant", "state")
+            .agg(F.sum("m").alias("p"))
+        )
+    base = pi.filter(
+        (F.col("variant") == "(none)") & (F.col("state") == "START")
+    ).select(F.col("p").alias("p_base_ppm"))
+    rem = pi.filter(
+        (F.col("variant") != "(none)") & (F.col("state") == "START")
+    ).select(F.col("variant").alias("channel"), F.col("p").alias("p_rm"))
+    return (
+        chn.join(rem, "channel", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "channel",
+            "p_base_ppm",
+            F.coalesce("p_rm", F.lit(0)).cast("long").alias("p_removed_ppm"),
+            (
+                F.col("p_base_ppm") - F.coalesce("p_rm", F.lit(0))
+            ).cast("long").alias("removal_effect_ppm"),
+        )
+    )
+
+
+def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS (histogram-based outlier score) over events: three
+    independent feature histograms — fifty-unit value band, hour of
+    day, event type — and each event's score sums the e6-quantized
+    −ln densities (quantize-then-aggregate, PLANS.md rule 11), the
+    density-product outlier detector that needs no distance matrix
+    and scales as three tiny dimension tables broadcast back onto
+    one scan. Top-20 with deterministic (score, event_id) ties."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.floor(F.col("value") / 50).cast("long").alias("f_band"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.col("event_type").alias("f_type"),
+    )
+    n_ = base.agg(F.count(F.lit(1)).alias("n"))
+    d1 = base.groupBy("f_band").agg(F.count(F.lit(1)).alias("c1"))
+    d2 = base.groupBy("f_hour").agg(F.count(F.lit(1)).alias("c2"))
+    d3 = base.groupBy("f_type").agg(F.count(F.lit(1)).alias("c3"))
+
+    def term(c: str) -> str:
+        return (
+            f"cast(round(-ln(cast({c} as double) / cast(n as double))"
+            " * 1000000) as bigint)"
+        )
+
+    scored = (
+        base.join(F.broadcast(d1), "f_band")
+        .join(F.broadcast(d2), "f_hour")
+        .join(F.broadcast(d3), "f_type")
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "event_id",
+            F.expr(
+                f"{term('c1')} + {term('c2')} + {term('c3')}"
+            ).alias("score_e6"),
+        )
+    )
+    wr = Window.orderBy(F.desc("score_e6"), F.asc("event_id"))
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("outlier_rank") <= 20)
+    )
+
+
+def q_dep_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological build layers of the repo dependency graph: layer 0
+    = repos with no dependencies, layer(r) = 1 + max(layer(dep))
+    after 4 fixed rounds — the schedule a monorepo build system
+    derives from `repo_deps` (cycles clamp at the round bound rather
+    than diverging; the bound IS the audit: a repo at the cap is in
+    or under a cycle). Edges are repo²-bounded and every join
+    broadcasts; no driver action in the loop."""
+    dep = (
+        q_repo_deps(spark, sf_dir)
+        .select(F.col("subj").alias("r"), F.col("obj").alias("dep"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        _docs(spark, sf_dir).select(F.col("source").alias("repo")).distinct()
+    )
+    lay = nodes.select("repo", F.lit(0).cast("long").alias("layer"))
+    for _ in range(4):
+        up = (
+            dep.join(
+                F.broadcast(
+                    lay.select(
+                        F.col("repo").alias("dep"), F.col("layer").alias("dl")
+                    )
+                ),
+                "dep",
+            )
+            .groupBy("r")
+            .agg((F.max("dl") + 1).alias("nl"))
+        )
+        lay = (
+            nodes.join(
+                F.broadcast(up.select(F.col("r").alias("repo"), "nl")),
+                "repo",
+                "left",
+            )
+            .select(
+                "repo", F.coalesce("nl", F.lit(0)).cast("long").alias("layer")
+            )
+        )
+    nd = dep.groupBy("r").agg(F.count(F.lit(1)).alias("n_deps"))
+    return (
+        lay.join(
+            F.broadcast(nd.select(F.col("r").alias("repo"), "n_deps")),
+            "repo",
+            "left",
+        )
+        .select(
+            "repo",
+            F.coalesce("n_deps", F.lit(0)).cast("long").alias("n_deps"),
+            "layer",
+        )
+    )
+
+
+def _token_digraph_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-100 directed token-adjacency backbone:
+    consecutive-token edges ranked by count with (n desc, src, dst)
+    tie order — a fixed-size strongest-association graph at every
+    corpus scale (a quantile threshold cliffs: this corpus's edge
+    weights cluster so n≥40 spans empty→complete across sf)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS src, ts[i] AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return (
+        bg.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(100)
+    )
+
+
+def q_ffl_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-forward-loop motif census over the directed token graph:
+    count, per source node a, the (a→b, b→c, a→c) triads — the
+    network-analytics motif that separates hierarchy (FFL-rich) from
+    cycles, over the deterministic top-100 strongest-edge backbone.
+    The backbone is constant-size so the two-hop join and closure
+    probe are bounded regardless of corpus scale; at 100 TB only the
+    one groupBy behind the backbone touches the corpus."""
+    e = q_ffl_motifs._edges(spark, sf_dir)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .join(e3, ["a", "c"])
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_ffl"))
+        .select(F.col("a").alias("token"), "n_ffl")
+    )
+
+
+q_ffl_motifs._edges = _token_digraph_top100
+
+
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled Brandes betweenness over the undirected top-60
+    token backbone: forward BFS (4 level-synchronous rounds) carries
+    exact shortest-path counts σ, then the dependency accumulation
+    δ(u) = Σ_succ σ_u·(1e6 + δ_v) div σ_v walks the levels backward —
+    Brandes' algorithm with each δ term e6-floored so both engines
+    produce identical integers. Sources are the 2 lexicographically
+    smallest nodes (corpus-derived, deterministic). Every frame is
+    (root × node)-sized; rounds are fixed — the level-synchronous
+    shape a Pregel-style cluster run uses, no driver action in the
+    loops."""
+    und = q_betweenness_sampled._edges(spark, sf_dir)
+    e0 = und.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    ed = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = ed.select(F.col("a").alias("node")).distinct()
+    roots = nodes.orderBy("node").limit(2)
+    lv = [
+        roots.select(
+            F.col("node").alias("root"),
+            "node",
+            F.lit(1).cast("long").alias("sigma"),
+        ).localCheckpoint(eager=True)
+    ]
+    visited = lv[0].select("root", "node")
+    for _ in range(4):
+        nxt = (
+            lv[-1]
+            .join(ed, lv[-1]["node"] == ed["a"])
+            .select("root", F.col("b").alias("node"), "sigma")
+            .join(visited, ["root", "node"], "left_anti")
+            .groupBy("root", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        lv.append(nxt)
+        visited = (
+            visited.unionByName(nxt.select("root", "node"))
+            .localCheckpoint(eager=True)
+        )
+    dl = lv[4].select(
+        "root", "node", "sigma", F.lit(0).cast("long").alias("delta")
+    )
+    parts = []
+    for l_ in (3, 2, 1):
+        succ = dl.select(
+            F.col("root").alias("vroot"),
+            F.col("node").alias("vnode"),
+            F.col("sigma").alias("vsigma"),
+            F.col("delta").alias("vdelta"),
+        )
+        terms = (
+            lv[l_]
+            .join(ed, lv[l_]["node"] == ed["a"])
+            .join(
+                succ,
+                (F.col("root") == F.col("vroot"))
+                & (F.col("b") == F.col("vnode")),
+            )
+            .select(
+                "root",
+                "node",
+                F.expr(
+                    "(sigma * (1000000 + vdelta)) div vsigma"
+                ).alias("t"),
+            )
+            .groupBy("root", "node")
+            .agg(F.sum("t").alias("dsum"))
+        )
+        dl = (
+            lv[l_]
+            .join(terms, ["root", "node"], "left")
+            .select(
+                "root",
+                "node",
+                "sigma",
+                F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        parts.append(dl)
+    parts.append(lv[4].select("root", "node", F.lit(0).cast("long").alias("delta")))
+    allp = parts[0].select("root", "node", "delta")
+    for p in parts[1:]:
+        allp = allp.unionByName(p.select("root", "node", "delta"))
+    return allp.groupBy("node").agg(F.sum("delta").alias("bc_e6"))
+
+
+def _token_graph_top60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-60 undirected token backbone (see
+    _token_digraph_top100 for why top-k beats a weight threshold):
+    undirected weight = summed both-direction counts, tie order
+    (w desc, a, b)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens("text").alias("ts"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> struct(ts[i - 1] AS s, ts[i] AS t))"
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
+    return (
+        bg.filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.desc("w"), F.asc("src"), F.asc("dst"))
+        .limit(60)
+    )
+
+
+q_betweenness_sampled._edges = _token_graph_top60
+
+
+def q_journey_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected journey length before absorption (conversion OR
+    abandonment) from every transient state, via the fundamental-
+    matrix recurrence e(v) = 1 + Σ T[v→u]·e(u) run as 6 fixed
+    absorbing rounds in exact e6 — the funnel-depth forecast a
+    journey simulator pairs with the removal-effect probabilities.
+    Reuses the shared `_journey_tr` chain (one corpus scan); the
+    iteration is state-sized broadcast joins, no driver action."""
+    tr = _journey_tr(spark, sf_dir)
+    rt = tr.groupBy("src").agg(F.sum("c").alias("rowtot"))
+    trr = tr.join(F.broadcast(rt), "src").localCheckpoint(eager=True)
+    e_ = trr.select(
+        F.col("src").alias("state"), F.lit(0).cast("long").alias("e")
+    ).distinct()
+    for _ in range(6):
+        e_ = (
+            trr.join(
+                F.broadcast(e_.select(F.col("state").alias("dst"), "e")),
+                "dst",
+                "left",
+            )
+            .select(
+                F.col("src").alias("state"),
+                F.expr("(c * coalesce(e, 0)) div rowtot").alias("m"),
+            )
+            .groupBy("state")
+            .agg((F.sum("m") + F.lit(1000000)).cast("long").alias("e"))
+        )
+    return e_.select("state", F.col("e").alias("exp_steps_e6"))
+
+
+def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection (3 rounds): each
+    round picks the document whose tokens add the most uncovered
+    vocabulary — the classic (1−1/e)-approximate set-cover heuristic
+    a training-data curator runs to seed a maximally-diverse subset.
+    Each round is one anti-join + one groupBy + a deterministic
+    TakeOrdered(1); the covered set is vocabulary-bounded and
+    broadcast, so rounds cost one corpus-frame pass each and nothing
+    is collected to the driver."""
+    docs = _docs(spark, sf_dir)
+    dt = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = dt.select("tok").filter(F.lit(False))
+    rows = []
+    for r_ in (1, 2, 3):
+        marg = (
+            dt.join(covered, "tok", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        win = (
+            marg.orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        covered = (
+            covered.unionByName(
+                dt.join(F.broadcast(win.select("doc_id")), "doc_id").select(
+                    "tok"
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cov_n = covered.agg(F.count(F.lit(1)).alias("covered_after"))
+        rows.append(
+            win.select(
+                F.lit(r_).cast("long").alias("pick_round"), "doc_id", "gain"
+            ).crossJoin(F.broadcast(cov_n))
+        )
+    out = rows[0]
+    for p in rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_propensity_strata_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect table: users split into activity
+    strata (total-event band, the stand-in propensity score), arm =
+    user parity, outcome = purchase revenue — the per-stratum
+    treated-vs-control means behind a stratification/propensity ATE.
+    Only strata where BOTH arms appear survive (the positivity/
+    overlap requirement, enforced by the inner join). Means are
+    exact dollar-e6 integers; the stratum difference is a
+    subtraction of two nonnegative quotients so no negative value
+    ever meets an integer division (Spark div truncates, DuckDB //
+    floors — they only agree on nonnegative operands)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN cast(round(value * 100, 0) as bigint)"
+                " ELSE 0 END"
+            )
+        ).alias("rev_e2"),
+    )
+    s = u.select(
+        F.expr("least(n_ev div 5, 5)").cast("long").alias("stratum"),
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+        "rev_e2",
+    )
+    cell = s.groupBy("stratum", "treat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_e2").alias("sr")
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n_tot"))
+    t_ = cell.filter(F.col("treat") == 1).select(
+        "stratum", F.col("n").alias("n_treat"), F.col("sr").alias("sr_t")
+    )
+    c_ = cell.filter(F.col("treat") == 0).select(
+        "stratum", F.col("n").alias("n_ctrl"), F.col("sr").alias("sr_c")
+    )
+    return (
+        t_.join(c_, "stratum")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_treat",
+            "n_ctrl",
+            F.expr("(sr_t * 10000) div n_treat").alias("mean_t_e6"),
+            F.expr("(sr_c * 10000) div n_ctrl").alias("mean_c_e6"),
+            F.expr(
+                "(sr_t * 10000) div n_treat - (sr_c * 10000) div n_ctrl"
+            ).alias("diff_e6"),
+            F.expr("((n_treat + n_ctrl) * 1000000) div n_tot").alias(
+                "weight_ppm"
+            ),
+        )
+    )
+
+
+def q_newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per event type at a frozen 0.8
+    critical ratio: the P80 of daily demand by the exact Type-1
+    order statistic (rank ⌈0.8·n⌉ = (8n+9) div 10, ties broken by
+    day), plus the achieved service level — the inventory decision
+    that needs a QUANTILE, not a mean, and stays exact because the
+    quantile is rank-selected rather than interpolated. One daily
+    rollup; the per-type window sorts calendar-sized frames."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("demand")
+    )
+    wp = Window.partitionBy("event_type").orderBy("demand", "day")
+    r = d.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n_days", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    lvl = r.filter(F.col("rn") == F.expr("(8 * n_days + 9) div 10")).select(
+        "event_type",
+        F.col("demand").alias("stock_level"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )
+    srv = (
+        d.join(F.broadcast(lvl.select("event_type", "stock_level")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN demand <= stock_level THEN 1 ELSE 0 END")
+            ).alias("n_ok")
+        )
+    )
+    return lvl.join(srv, "event_type").select(
+        "event_type",
+        "n_days",
+        "stock_level",
+        F.expr("(n_ok * 1000000) div n_days").alias("service_level_ppm"),
+    )
+
+
+def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals/moving-range) control chart over daily order
+    revenue in hundred-dollar units: centerline, MR-bar, and the
+    ±2.66·MR̄ natural process limits (the constant frozen as the
+    exact rational 266/100), plus the out-of-limit day count — the
+    SPC chart an ops review reads before calling a shift real. The
+    moving range is one lag() on the calendar-sized daily rollup;
+    limits are one-row arithmetic (the only subtraction happens
+    AFTER the nonnegative divisions, keeping both engines'
+    integer-division semantics aligned)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.expr("cast(round(o_totalprice / 100) as bigint)")
+        ).alias("x")
+    )
+    w = Window.orderBy("day")
+    mr = daily.withColumn(
+        "mr", F.abs(F.col("x") - F.lag("x").over(w))
+    )
+    lim = mr.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("mr").alias("smr"),
+        F.count("mr").alias("nmr"),
+    ).select(
+        "n_days",
+        F.expr("(sx * 1000000) div n_days").alias("mean_e6"),
+        F.expr("(smr * 1000000) div nmr").alias("mrbar_e6"),
+    ).select(
+        "n_days",
+        "mean_e6",
+        "mrbar_e6",
+        F.expr("mean_e6 + (266 * mrbar_e6) div 100").alias("ucl_e6"),
+        F.expr("mean_e6 - (266 * mrbar_e6) div 100").alias("lcl_e6"),
+    )
+    viol = (
+        daily.crossJoin(F.broadcast(lim))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN x * 1000000 > ucl_e6"
+                    " OR x * 1000000 < lcl_e6 THEN 1 ELSE 0 END"
+                )
+            ).alias("n_violations")
+        )
+    )
+    return lim.crossJoin(F.broadcast(viol))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -14077,6 +14720,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_distance_audit": q_jl_distance_audit,
         "isotonic_calibration": q_isotonic_calibration,
         "term_proximity": q_term_proximity,
+        "markov_removal_effect": q_markov_removal_effect,
+        "hbos_outliers": q_hbos_outliers,
+        "dep_topo_layers": q_dep_topo_layers,
+        "ffl_motifs": q_ffl_motifs,
+        "betweenness_sampled": q_betweenness_sampled,
+        "journey_expected_steps": q_journey_expected_steps,
+        "greedy_set_cover": q_greedy_set_cover,
+        "propensity_strata_ate": q_propensity_strata_ate,
+        "newsvendor_stock_level": q_newsvendor_stock_level,
+        "xmr_control_chart": q_xmr_control_chart,
     }
 
 
@@ -14232,6 +14885,221 @@ def _hilbert_duck_sql() -> str:
     for d_, nx, ny in _hilbert_rounds():
         sql = f"SELECT x0, y0, {d_} AS d, {nx} AS x, {ny} AS y FROM ({sql})"
     return sql
+
+
+_JOURNEY_CTES = """seq AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS p_seen
+              FROM events),
+            ch AS (SELECT user_id, ts, event_id, event_type FROM seq
+                   WHERE event_type <> 'purchase' AND p_seen = 0),
+            rk AS (SELECT *,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+                   FROM ch),
+            mid AS (SELECT src, dst FROM (
+                      SELECT event_type AS src,
+                             lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst
+                      FROM ch) WHERE dst IS NOT NULL),
+            cv AS (SELECT user_id,
+                          max(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS cv
+                   FROM events GROUP BY 1),
+            st AS (SELECT 'START' AS src, event_type AS dst FROM rk
+                   WHERE rn = 1),
+            la AS (SELECT rk.event_type AS src,
+                          CASE WHEN cv.cv = 1 THEN 'CONV' ELSE 'NULL'
+                          END AS dst
+                   FROM rk JOIN cv USING (user_id) WHERE rn_d = 1),
+            dr AS (SELECT 'START' AS src, 'CONV' AS dst FROM cv
+                   WHERE cv = 1
+                     AND user_id NOT IN (SELECT user_id FROM ch)),
+            tr AS (SELECT src, dst, count(*)::BIGINT AS c FROM (
+                     SELECT * FROM mid UNION ALL SELECT * FROM st
+                     UNION ALL SELECT * FROM la UNION ALL SELECT * FROM dr)
+                   GROUP BY 1, 2)"""
+
+
+def _removal_duck_sql() -> str:
+    """DuckDB twin of q_markov_removal_effect: the 6 absorbing rounds
+    unrolled as generated CTEs (same floor-per-term arithmetic) over
+    the shared journey-chain CTEs."""
+    rounds = ""
+    prev = "p0"
+    for i in range(1, 7):
+        rounds += f""",
+            p{i} AS (
+              SELECT trv.variant, trv.src AS state,
+                     sum((trv.c * CASE WHEN trv.dst = 'CONV' THEN 1000000
+                                       WHEN trv.dst = 'NULL' THEN 0
+                                       ELSE coalesce(pp.p, 0) END)
+                         // trv.rowtot)::BIGINT AS p
+              FROM trv LEFT JOIN {prev} pp
+                ON pp.variant = trv.variant AND pp.state = trv.dst
+              GROUP BY 1, 2)"""
+        prev = f"p{i}"
+    return f"""
+            WITH {_JOURNEY_CTES},
+            rt AS (SELECT src, sum(c)::BIGINT AS rowtot FROM tr GROUP BY 1),
+            chn AS (SELECT DISTINCT src AS channel FROM tr
+                    WHERE src <> 'START'),
+            vars AS (SELECT channel AS variant FROM chn
+                     UNION ALL SELECT '(none)'),
+            trv AS (SELECT v.variant, tr.src, tr.dst, tr.c, rt.rowtot
+                    FROM tr JOIN rt USING (src) CROSS JOIN vars v
+                    WHERE v.variant <> tr.src AND v.variant <> tr.dst),
+            p0 AS (SELECT DISTINCT variant, src AS state, 0::BIGINT AS p
+                   FROM trv){rounds},
+            base AS (SELECT p AS p_base_ppm FROM p6
+                     WHERE variant = '(none)' AND state = 'START'),
+            rem AS (SELECT variant AS channel, p AS p_rm FROM p6
+                    WHERE variant <> '(none)' AND state = 'START')
+            SELECT chn.channel, base.p_base_ppm,
+                   coalesce(rem.p_rm, 0)::BIGINT AS p_removed_ppm,
+                   (base.p_base_ppm
+                    - coalesce(rem.p_rm, 0))::BIGINT AS removal_effect_ppm
+            FROM chn CROSS JOIN base
+            LEFT JOIN rem ON rem.channel = chn.channel
+    """
+
+
+def _expected_steps_duck_sql() -> str:
+    """DuckDB twin of q_journey_expected_steps: 6 unrolled
+    fundamental-matrix rounds over the shared journey CTEs."""
+    rounds = ""
+    prev = "e0"
+    for i in range(1, 7):
+        rounds += f""",
+            e{i} AS (
+              SELECT trr.src AS state,
+                     (sum((trr.c * coalesce(pp.e, 0)) // trr.rowtot)
+                      + 1000000)::BIGINT AS e
+              FROM trr LEFT JOIN {prev} pp ON pp.state = trr.dst
+              GROUP BY 1)"""
+        prev = f"e{i}"
+    return f"""
+            WITH {_JOURNEY_CTES},
+            rt AS (SELECT src, sum(c)::BIGINT AS rowtot FROM tr GROUP BY 1),
+            trr AS (SELECT tr.src, tr.dst, tr.c, rt.rowtot
+                    FROM tr JOIN rt USING (src)),
+            e0 AS (SELECT DISTINCT src AS state, 0::BIGINT AS e
+                   FROM trr){rounds}
+            SELECT state, e AS exp_steps_e6 FROM e6
+    """
+
+
+def _betweenness_duck_sql() -> str:
+    """DuckDB twin of q_betweenness_sampled: 4 forward BFS levels and
+    3 backward dependency rounds unrolled as generated CTEs."""
+    fw = ""
+    for l_ in range(4):
+        fw += f""",
+            lv{l_ + 1} AS (
+              SELECT l.root, ed.b AS node, sum(l.sigma)::BIGINT AS sigma
+              FROM lv{l_} l JOIN ed ON ed.a = l.node
+              WHERE NOT EXISTS (SELECT 1 FROM vis{l_} v
+                                WHERE v.root = l.root AND v.node = ed.b)
+              GROUP BY 1, 2),
+            vis{l_ + 1} AS (SELECT root, node FROM vis{l_}
+                            UNION ALL SELECT root, node FROM lv{l_ + 1})"""
+    bw = """,
+            d4 AS (SELECT root, node, sigma, 0::BIGINT AS delta FROM lv4)"""
+    for l_ in (3, 2, 1):
+        bw += f""",
+            d{l_} AS (
+              SELECT u.root, u.node, u.sigma,
+                     coalesce(s.dsum, 0)::BIGINT AS delta
+              FROM lv{l_} u LEFT JOIN (
+                SELECT u2.root, u2.node,
+                       sum((u2.sigma * (1000000 + v.delta))
+                           // v.sigma)::BIGINT AS dsum
+                FROM lv{l_} u2 JOIN ed ON ed.a = u2.node
+                JOIN d{l_ + 1} v ON v.root = u2.root AND v.node = ed.b
+                GROUP BY 1, 2) s
+                ON s.root = u.root AND s.node = u.node)"""
+    return f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i])) AS s,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i + 1])) AS t2
+              FROM t),
+            adjw AS (SELECT least(s, t2) AS a, greatest(s, t2) AS b,
+                            count(*)::BIGINT AS w
+                     FROM bg WHERE s <> t2 GROUP BY 1, 2),
+            e0 AS (SELECT a, b FROM adjw ORDER BY w DESC, a, b LIMIT 60),
+            ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM ed),
+            roots AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+            lv0 AS (SELECT node AS root, node, 1::BIGINT AS sigma
+                    FROM roots),
+            vis0 AS (SELECT root, node FROM lv0){fw}{bw}
+            SELECT node, sum(delta)::BIGINT AS bc_e6 FROM (
+              SELECT node, delta FROM d1
+              UNION ALL SELECT node, delta FROM d2
+              UNION ALL SELECT node, delta FROM d3
+              UNION ALL SELECT node, 0::BIGINT FROM lv4)
+            GROUP BY node
+    """
+
+
+def _topo_duck_sql() -> str:
+    """DuckDB twin of q_dep_topo_layers: 4 longest-path rounds over
+    the distinct repo-dependency edges, unrolled."""
+    rounds = ""
+    prev = "l0"
+    for i in range(1, 5):
+        rounds += f""",
+            l{i} AS (
+              SELECT n.repo, coalesce(u.nl, 0)::BIGINT AS layer
+              FROM nodes n LEFT JOIN (
+                SELECT dep.r AS repo, max(pl.layer) + 1 AS nl
+                FROM dep JOIN {prev} pl ON pl.repo = dep.dep
+                GROUP BY 1) u ON u.repo = n.repo)"""
+        prev = f"l{i}"
+    return f"""
+            WITH f AS (
+              SELECT source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            p AS (
+              SELECT repo,
+                     repo || '/' || path AS subj,
+                     'import ' || t[1] || chr(10)
+                       || 'from ' || t[2] || ' import ' || t[3] || chr(10)
+                       AS content
+              FROM f WHERE len(t) >= 3
+            ),
+            imp AS (
+              SELECT DISTINCT repo, subj, module FROM (
+                SELECT repo, subj, unnest(regexp_extract_all(content,
+                       '(?m)^(?:import|from)\\s+([A-Za-z_][A-Za-z0-9_.]*)',
+                       1)) AS module
+                FROM p
+              )
+            ),
+            decl AS (SELECT DISTINCT repo AS drepo, t[1] AS module
+                     FROM f WHERE len(t) >= 2),
+            dep AS (SELECT DISTINCT imp.repo AS r, decl.drepo AS dep
+                    FROM imp JOIN decl ON imp.module = decl.module
+                    WHERE imp.repo <> decl.drepo),
+            nodes AS (SELECT DISTINCT source AS repo FROM documents),
+            l0 AS (SELECT repo, 0::BIGINT AS layer FROM nodes){rounds},
+            nd AS (SELECT r AS repo, count(*)::BIGINT AS n_deps FROM dep
+                   GROUP BY 1)
+            SELECT l4.repo, coalesce(nd.n_deps, 0)::BIGINT AS n_deps,
+                   l4.layer
+            FROM l4 LEFT JOIN nd USING (repo)
+    """
 
 
 def _bloom_pos_sql(j: int, col: str) -> str:
@@ -22380,4 +23248,168 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 // (1 + min_gap))::BIGINT AS prox_score_ppm
             FROM agg WHERE min_gap IS NOT NULL
         """,
+        "markov_removal_effect": _removal_duck_sql(),
+        "hbos_outliers": """
+            WITH base AS (
+              SELECT event_id, floor(value / 50)::BIGINT AS f_band,
+                     hour(ts)::BIGINT AS f_hour, event_type AS f_type
+              FROM events
+            ),
+            n_ AS (SELECT count(*)::BIGINT AS n FROM base),
+            d1 AS (SELECT f_band, count(*)::BIGINT AS c1 FROM base
+                   GROUP BY 1),
+            d2 AS (SELECT f_hour, count(*)::BIGINT AS c2 FROM base
+                   GROUP BY 1),
+            d3 AS (SELECT f_type, count(*)::BIGINT AS c3 FROM base
+                   GROUP BY 1),
+            scored AS (
+              SELECT base.event_id,
+                     CAST(round(-ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000) AS BIGINT)
+                     + CAST(round(-ln(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000) AS BIGINT)
+                     + CAST(round(-ln(CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000) AS BIGINT) AS score_e6
+              FROM base JOIN d1 USING (f_band) JOIN d2 USING (f_hour)
+              JOIN d3 USING (f_type) CROSS JOIN n_
+            )
+            SELECT event_id, score_e6, outlier_rank FROM (
+              SELECT event_id, score_e6,
+                     row_number() OVER (ORDER BY score_e6 DESC, event_id)
+                       ::BIGINT AS outlier_rank
+              FROM scored)
+            WHERE outlier_rank <= 20
+        """,
+        "dep_topo_layers": _topo_duck_sql(),
+        "journey_expected_steps": _expected_steps_duck_sql(),
+        "greedy_set_cover": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            ),
+            m1 AS (SELECT doc_id, count(*)::BIGINT AS gain FROM dt
+                   GROUP BY 1),
+            w1 AS (SELECT doc_id, gain FROM m1
+                   ORDER BY gain DESC, doc_id LIMIT 1),
+            c1 AS (SELECT DISTINCT tok FROM dt JOIN w1 USING (doc_id)),
+            m2 AS (SELECT doc_id, count(*)::BIGINT AS gain FROM dt
+                   WHERE tok NOT IN (SELECT tok FROM c1) GROUP BY 1),
+            w2 AS (SELECT doc_id, gain FROM m2
+                   ORDER BY gain DESC, doc_id LIMIT 1),
+            c2 AS (SELECT tok FROM c1 UNION
+                   SELECT tok FROM dt JOIN w2 USING (doc_id)),
+            m3 AS (SELECT doc_id, count(*)::BIGINT AS gain FROM dt
+                   WHERE tok NOT IN (SELECT tok FROM c2) GROUP BY 1),
+            w3 AS (SELECT doc_id, gain FROM m3
+                   ORDER BY gain DESC, doc_id LIMIT 1),
+            c3 AS (SELECT tok FROM c2 UNION
+                   SELECT tok FROM dt JOIN w3 USING (doc_id))
+            SELECT 1::BIGINT AS pick_round, doc_id, gain,
+                   (SELECT count(*) FROM c1)::BIGINT AS covered_after
+            FROM w1
+            UNION ALL
+            SELECT 2::BIGINT, doc_id, gain,
+                   (SELECT count(*) FROM c2)::BIGINT FROM w2
+            UNION ALL
+            SELECT 3::BIGINT, doc_id, gain,
+                   (SELECT count(*) FROM c3)::BIGINT FROM w3
+        """,
+        "propensity_strata_ate": """
+            WITH u AS (
+              SELECT user_id, count(*)::BIGINT AS n_ev,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END)::BIGINT AS rev_e2
+              FROM events GROUP BY 1
+            ),
+            s AS (SELECT least(n_ev // 5, 5)::BIGINT AS stratum,
+                         (user_id % 2)::BIGINT AS treat, rev_e2
+                  FROM u),
+            cell AS (SELECT stratum, treat, count(*)::BIGINT AS n,
+                            sum(rev_e2)::BIGINT AS sr
+                     FROM s GROUP BY 1, 2),
+            tot AS (SELECT count(*)::BIGINT AS n_tot FROM s),
+            t_ AS (SELECT stratum, n AS n_treat, sr AS sr_t FROM cell
+                   WHERE treat = 1),
+            c_ AS (SELECT stratum, n AS n_ctrl, sr AS sr_c FROM cell
+                   WHERE treat = 0)
+            SELECT t_.stratum, t_.n_treat, c_.n_ctrl,
+                   ((sr_t * 10000) // n_treat)::BIGINT AS mean_t_e6,
+                   ((sr_c * 10000) // n_ctrl)::BIGINT AS mean_c_e6,
+                   ((sr_t * 10000) // n_treat
+                    - (sr_c * 10000) // n_ctrl)::BIGINT AS diff_e6,
+                   (((n_treat + n_ctrl) * 1000000)
+                    // (SELECT n_tot FROM tot))::BIGINT AS weight_ppm
+            FROM t_ JOIN c_ USING (stratum)
+        """,
+        "newsvendor_stock_level": """
+            WITH d AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     count(*)::BIGINT AS demand
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (SELECT event_type, demand,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY demand, day) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n_days
+                  FROM d),
+            lvl AS (SELECT event_type, demand AS stock_level,
+                           n_days::BIGINT AS n_days
+                    FROM r WHERE rn = (8 * n_days + 9) // 10),
+            srv AS (SELECT d.event_type,
+                           sum(CASE WHEN d.demand <= lvl.stock_level
+                               THEN 1 ELSE 0 END)::BIGINT AS n_ok
+                    FROM d JOIN lvl USING (event_type)
+                    GROUP BY 1)
+            SELECT lvl.event_type, lvl.n_days, lvl.stock_level,
+                   ((srv.n_ok * 1000000) // lvl.n_days)::BIGINT
+                     AS service_level_ppm
+            FROM lvl JOIN srv USING (event_type)
+        """,
+        "xmr_control_chart": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(round(o_totalprice / 100) AS BIGINT))::BIGINT
+                       AS x
+              FROM orders GROUP BY 1
+            ),
+            mr AS (SELECT x, abs(x - lag(x) OVER (ORDER BY day)) AS mr
+                   FROM daily),
+            lim0 AS (SELECT count(*)::BIGINT AS n_days,
+                            ((sum(x) * 1000000) // count(*))::BIGINT
+                              AS mean_e6,
+                            ((sum(mr) * 1000000) // count(mr))::BIGINT
+                              AS mrbar_e6
+                     FROM mr),
+            lim AS (SELECT n_days, mean_e6, mrbar_e6,
+                           (mean_e6 + (266 * mrbar_e6) // 100)::BIGINT
+                             AS ucl_e6,
+                           (mean_e6 - (266 * mrbar_e6) // 100)::BIGINT
+                             AS lcl_e6
+                    FROM lim0),
+            viol AS (SELECT sum(CASE WHEN daily.x * 1000000 > lim.ucl_e6
+                                  OR daily.x * 1000000 < lim.lcl_e6
+                                THEN 1 ELSE 0 END)::BIGINT AS n_violations
+                     FROM daily CROSS JOIN lim)
+            SELECT lim.*, viol.n_violations FROM lim CROSS JOIN viol
+        """,
+        "ffl_motifs": f"""
+            WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i])) AS src,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i + 1])) AS dst
+              FROM t),
+            adj AS (SELECT src, dst, count(*)::BIGINT AS n FROM bg
+                    WHERE src <> dst GROUP BY 1, 2),
+            e AS (SELECT src, dst FROM adj ORDER BY n DESC, src, dst
+                  LIMIT 100)
+            SELECT e1.src AS token, count(*)::BIGINT AS n_ffl
+            FROM e e1
+            JOIN e e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            GROUP BY 1
+        """,
+        "betweenness_sampled": _betweenness_duck_sql(),
     }
