@@ -70,6 +70,52 @@ def blocking_grams(
     return g.join(F.broadcast(df_ok), "gram")
 
 
+def link_scored(
+    surfaces: DataFrame,
+    gazetteer: DataFrame,
+    surface_col: str = "surface",
+    min_sim: float = 0.34,
+    n: int = 3,
+    max_gram_df: int | None = 256,
+) -> DataFrame:
+    """All above-threshold link candidates per distinct surface:
+    (surface, alias, entity, ent_type, sim) — the scored frame
+    link_surfaces ranks; exposed so ambiguity/margin audits can see
+    past the top-1 pick."""
+    surf = surfaces.select(F.col(surface_col).alias("surface")).distinct()
+    surf_g = surf.select("surface", char_ngrams("surface", n).alias("s_grams"))
+    gaz_g = gazetteer.select(
+        "alias", "entity", "ent_type", char_ngrams("alias", n).alias("a_grams")
+    )
+
+    blocked = (
+        surf_g.select("surface", "s_grams", F.explode("s_grams").alias("gram"))
+        .join(
+            F.broadcast(blocking_grams(gaz_g, "alias", "a_grams", max_gram_df)),
+            "gram",
+        )
+        .select("surface", "alias")
+        .distinct()
+    )
+    return (
+        blocked.join(surf_g, "surface")
+        .join(F.broadcast(gaz_g), "alias")
+        .select(
+            "surface",
+            "alias",
+            "entity",
+            "ent_type",
+            F.round(
+                F.when(F.col("surface") == F.col("alias"), F.lit(1.0)).otherwise(
+                    ngram_jaccard(F.col("s_grams"), F.col("a_grams"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )
+
+
 def link_surfaces(
     surfaces: DataFrame,
     gazetteer: DataFrame,
@@ -87,36 +133,8 @@ def link_surfaces(
     exact alias match pins 1.0.
     """
     surf = surfaces.select(F.col(surface_col).alias("surface")).distinct()
-    surf_g = surf.select("surface", char_ngrams("surface", n).alias("s_grams"))
-    gaz_g = gazetteer.select(
-        "alias", "entity", "ent_type", char_ngrams("alias", n).alias("a_grams")
-    )
-
-    blocked = (
-        surf_g.select("surface", "s_grams", F.explode("s_grams").alias("gram"))
-        .join(
-            F.broadcast(blocking_grams(gaz_g, "alias", "a_grams", max_gram_df)),
-            "gram",
-        )
-        .select("surface", "alias")
-        .distinct()
-    )
-    scored = (
-        blocked.join(surf_g, "surface")
-        .join(F.broadcast(gaz_g), "alias")
-        .select(
-            "surface",
-            "alias",
-            "entity",
-            "ent_type",
-            F.round(
-                F.when(F.col("surface") == F.col("alias"), F.lit(1.0)).otherwise(
-                    ngram_jaccard(F.col("s_grams"), F.col("a_grams"))
-                ),
-                6,
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= min_sim)
+    scored = link_scored(
+        surfaces, gazetteer, surface_col, min_sim, n, max_gram_df
     )
     w = Window.partitionBy("surface").orderBy(
         F.col("sim").desc(), F.col("entity"), F.col("alias")
