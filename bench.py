@@ -1,11 +1,27 @@
-"""Bench harness — one JSON line on stdout (driver contract).
+"""Bench harness — one COMPACT JSON line on stdout (driver contract).
 
-Times every `queries()` entry at `$SPARK_GRAFT_SF_DIR` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG
-triple-extraction pipeline over a materialized synthetic `files`
-parquet, plus the north-rule two-cluster-size scaling probe: the same
-KG job at local[N/4] and local[N] in fresh JVMs (subprocesses), with
-strong-scaling efficiency reported.
+Round-4 restructure (VERDICT r3 "Next round" #1): the round-3 bench
+serially timed all 741 `queries()` entries plus the full scaling/resume
+suite and blew through the driver's wall-clock budget (BENCH_r03.json:
+rc=124, no parsed numbers). This harness is budget-aware and emits no
+matter what:
+
+  * A global wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET`, default
+    3000 s) is enforced between phases; low-priority work is skipped,
+    never the emit.
+  * Phase order = evidence priority: (A) headline query set timed
+    per-query, (B) flagship KG job min-of-3, (C) north-rule two-level
+    scaling probe (adaptive pair count, min 2), (D) resume demo,
+    (E) full-box saturation probe, (F) bulk timing of every remaining
+    `queries()` entry until the deadline.
+  * stdout gets ONE compact JSON line kept UNDER 1900 chars — the
+    driver records only the last 2000 chars of output, which is what
+    silently un-parsed rounds 2-3 (their per-query dicts alone were
+    4-20 kB).  Full detail (all per-query timings, per-rep runs,
+    saturation) goes to `SPARK_GRAFT_BENCH_FULL` (default
+    ./BENCH_FULL_LATEST.json), committed to the repo.
+  * SIGTERM/SIGINT (what `timeout` sends) aborts the current phase and
+    still emits the line with whatever completed.
 
 Timing uses a `noop`-format write so the full plan executes with no
 collect/driver cost; each query is preceded by a warm-up job so JVM
@@ -20,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -29,14 +46,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
+FULL_OUT = os.environ.get(
+    "SPARK_GRAFT_BENCH_FULL",
+    str(Path(__file__).resolve().parent / "BENCH_FULL_LATEST.json"),
+)
 # 4M files ~= 100 s/rep at the 2-core level (current kernel): long
 # enough that the ~1.1 s per-run fixed overhead is ~1%, short enough
-# for 4 reps x 2 interleaved invocations per level inside the bench
-# budget
+# for 3 reps x 2 interleaved invocations per level inside the budget
 SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "4000000"))
 FILES_PARQUET = os.environ.get(
     "SPARK_GRAFT_FILES_PARQUET", f"/tmp/ner_spark_bench_files_{SCALE_FILES}.parquet"
 )
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET - (time.monotonic() - _T0)
+
+
+class BenchAbort(Exception):
+    """Raised by the signal handler / deadline checks: stop the current
+    phase, keep everything already measured, emit."""
+
+
+def _install_signals() -> None:
+    def _h(signum, frame):
+        raise BenchAbort(f"signal {signum}")
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, _h)
+        except (ValueError, OSError):
+            pass
+
 
 # CPU-bound content scan: size input splits so each probe level gets
 # >= ~4 tasks/core on the small local corpus. On a real 100 TB corpus
@@ -45,6 +88,9 @@ FILES_PARQUET = os.environ.get(
 _SPLIT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(512 * 1024),
+    # progress bars go to the same captured stream as the JSON line on
+    # the driver; keep the emitted tail clean
+    "spark.ui.showConsoleProgress": "false",
 }
 
 # scale-probe sessions additionally disable AQE: the KG pipeline is a
@@ -167,7 +213,27 @@ def scale_probe(cpus: int) -> None:
     spark.stop()
 
 
-def run_scaling() -> dict:
+def _probe_subprocess(cpus: int, reps: int, collector: dict) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_PROBE_REPS=str(reps))
+    r = subprocess.run(
+        [sys.executable, __file__, "--scale-probe", str(cpus)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env=env,
+    )
+    lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    if r.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scale probe at {cpus} cpus failed (rc={r.returncode}): "
+            f"{r.stderr.strip()[-2000:]}"
+        )
+    probe = json.loads(lines[-1])
+    collector.setdefault(cpus, []).extend(probe["runs"])
+    return probe
+
+
+def run_scaling(max_pairs: int, reserve: float) -> dict:
     """North-rule two-cluster-size evidence: same job, N vs 4N cores,
     fresh JVM each (subprocess), strong-scaling efficiency.
 
@@ -175,101 +241,44 @@ def run_scaling() -> dict:
     the reported efficiency is the MEDIAN of per-pair ratios: this
     VM's background noise drifts on the minutes scale, so within a
     pair both levels see the same environment (the ratio is stable)
-    while the median across pairs drops a wholly-bad window. Pooled
-    min-of-all-reps is also reported (sec_low / sec_high).
+    while the median across pairs drops a wholly-bad window.
+
+    Pair count is ADAPTIVE: at least 2 pairs, then more (up to
+    `max_pairs`) only while the measured per-pair cost fits in the
+    remaining budget minus `reserve` (the time still owed to the
+    resume demo + bulk phase + emit). Round 3's fixed 5-pair schedule
+    is what made the official bench overrun.
 
     N -> 4N is probed at (CPUS/16, CPUS/4) — 2 -> 8 on this box — not
     (8, 32): this single-socket VM's memory bandwidth saturates well
-    below its 32 threads, and the round-2 triple-kernel speedup (1.6x
-    less CPU per byte) lowered the saturation point further. Measured
-    with the current kernel on the 4M-file corpus: 2->8 cores scales
-    at 1.00 efficiency, 4->16 at 0.75, 8->16 at 0.82, with per-run
-    fixed overhead ~1.1 s ruling out an Amdahl serial tail as the
-    cause. A real 4N-executor cluster adds aggregate memory bandwidth
-    with every executor, so the faithful emulation of the north rule's
-    two CLUSTER sizes is the N->4N pair inside the box's linear
-    region; the 16- and 32-thread ceilings are reported alongside
-    (see `saturation`), not hidden.
+    below its 32 threads (measured on the 4M-file corpus: 2->8 cores
+    scales at ~1.0 efficiency, 4->16 at 0.75, 8->16 at 0.82, with
+    per-run fixed overhead ~1.1 s ruling out an Amdahl serial tail).
+    A real 4N-executor cluster adds aggregate memory bandwidth with
+    every executor, so the faithful emulation of the north rule's two
+    CLUSTER sizes is the N->4N pair inside the box's linear region;
+    the full-box ceiling is reported separately (`saturation`), not
+    hidden.
     """
-    # Probe pair sits INSIDE the box's memory-bandwidth-linear region
-    # (see docstring). Round 2 note: the 1.6x faster triple kernel
-    # lowered the job's arithmetic intensity, which SHRANK that region
-    # — measured on the 4M-file corpus with the new kernel: 2->8 cores
-    # scales at 1.00 efficiency, 4->16 at 0.75, 8->16 at 0.82. The
-    # faithful N->4N emulation therefore moved one notch down, from
-    # (4,16) to (2,8); 16- and 32-thread levels are reported in the
-    # `saturation` block instead of silently pulling the ratio down.
     lo, hi = max(CPUS // 16, 2), max(CPUS // 4, 8)
-    # PAIRED estimator: probe [lo, hi] as temporally ADJACENT pairs and
-    # take the MEDIAN of per-pair efficiency ratios. This VM's external
-    # noise drifts on the minutes scale; a pooled min-of-all-reps needs
-    # BOTH levels to hit their floor somewhere in the ~25-minute window
-    # — one noisy stretch starves one level and the recorded ratio
-    # swings ±0.2 run-to-run (measured 0.75 vs 0.94 on identical code).
-    # Within an adjacent pair the two levels see the same noise
-    # environment, so the pair ratio is stable, and the median across
-    # pairs drops a wholly-bad window. EQUAL reps per level per pair —
-    # the min estimator is biased low by sample count, so an unequal
-    # split would tilt the ratio by construction.
-    pairs = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "5"))
     best: dict[int, dict] = {}
     all_runs: dict[int, list] = {}
     pair_ratios: list[float] = []
 
-    def _probe(c: int) -> dict:
-        env = dict(os.environ, SPARK_GRAFT_PROBE_REPS="3")
-        r = subprocess.run(
-            [sys.executable, __file__, "--scale-probe", str(c)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-            env=env,
-        )
-        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-        if r.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scale probe at {c} cpus failed (rc={r.returncode}): "
-                f"{r.stderr.strip()[-2000:]}"
-            )
-        probe = json.loads(lines[-1])
-        all_runs.setdefault(c, []).extend(probe["runs"])
-        if c not in best or probe["sec"] < best[c]["sec"]:
-            best[c] = probe
-        return probe
-
-    for _ in range(pairs):
-        p_lo = _probe(lo)
-        p_hi = _probe(hi)
+    pair_cost = 0.0
+    for i in range(max_pairs):
+        if i >= 2 and _remaining() < pair_cost * 1.2 + reserve:
+            break
+        t0 = time.monotonic()
+        p_lo = _probe_subprocess(lo, 3, all_runs)
+        p_hi = _probe_subprocess(hi, 3, all_runs)
+        pair_cost = max(pair_cost, time.monotonic() - t0)
+        for c, p in ((lo, p_lo), (hi, p_hi)):
+            if c not in best or p["sec"] < best[c]["sec"]:
+                best[c] = p
         pair_ratios.append((p_lo["sec"] / p_hi["sec"]) / (hi / lo))
-    pair_ratios.sort()
-    eff = pair_ratios[len(pair_ratios) // 2]
-    tps_lo = best[lo]["triples"] / best[lo]["sec"]
-    tps_hi = best[hi]["triples"] / best[hi]["sec"]
-    # document the full-box level too: ABOVE the linear region (memory
-    # bandwidth ceiling, see docstring), so it is evidence of the
-    # box's limit, not of the job's scalability
-    saturation = []
-    for c in sorted({hi * 2, CPUS} - {lo, hi}):
-        if c <= hi:
-            continue
-        env = dict(os.environ, SPARK_GRAFT_PROBE_REPS="2")
-        r = subprocess.run(
-            [sys.executable, __file__, "--scale-probe", str(c)],
-            capture_output=True, text=True, timeout=1800, env=env,
-        )
-        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-        if r.returncode == 0 and lines:
-            p = json.loads(lines[-1])
-            saturation.append({
-                "cpus": c,
-                "sec": round(p["sec"], 3),
-                "runs": p["runs"],
-                "triples_per_sec": round(p["triples"] / p["sec"], 1),
-                "note": "beyond the box's linear region (memory "
-                        "bandwidth ceiling; a 4N-executor cluster adds "
-                        "bandwidth per node, this box does not)",
-            })
-    saturation = saturation or None
+    srt = sorted(pair_ratios)
+    eff = srt[len(srt) // 2]
     return {
         "n_files": SCALE_FILES,
         "cpus_low": lo,
@@ -282,17 +291,52 @@ def run_scaling() -> dict:
         "runs_low": all_runs[lo],
         "runs_high": all_runs[hi],
         "cpu_pinned": True,
-        "triples_per_sec_low": round(tps_lo, 1),
-        "triples_per_sec_high": round(tps_hi, 1),
+        "triples_per_sec_low": round(best[lo]["triples"] / best[lo]["sec"], 1),
+        "triples_per_sec_high": round(best[hi]["triples"] / best[hi]["sec"], 1),
         # median of per-adjacent-pair ratios (see docstring); the
         # per-pair values are part of the record
         "scaling_efficiency": round(eff, 4),
         # the min pair is the adversarial reading of the same record —
         # reported so the median cannot hide a bad window
-        "scaling_efficiency_min": round(pair_ratios[0], 4),
-        "pair_efficiencies": [round(x, 4) for x in sorted(pair_ratios)],
-        "saturation": saturation,
+        "scaling_efficiency_min": round(srt[0], 4),
+        "pair_efficiencies": [round(x, 4) for x in srt],
+        "pairs_run": len(pair_ratios),
     }
+
+
+def run_saturation(collector: dict) -> list:
+    """Full-box level: ABOVE the box's memory-bandwidth-linear region,
+    so it is evidence of the box's limit, not of the job's
+    scalability — recorded alongside, never folded into the ratio."""
+    out = []
+    for c in (CPUS,):
+        p = _probe_subprocess(c, 2, collector)
+        out.append({
+            "cpus": c,
+            "sec": round(p["sec"], 3),
+            "runs": p["runs"],
+            "triples_per_sec": round(p["triples"] / p["sec"], 1),
+            "note": "beyond the box's linear region (memory bandwidth "
+                    "ceiling; a 4N-executor cluster adds bandwidth per "
+                    "node, this box does not)",
+        })
+    return out
+
+
+def _compact_line(result: dict) -> str:
+    """Build the stdout JSON line, guaranteed under 1900 chars: the
+    driver keeps only the last 2000 chars of output, so a long line is
+    recorded truncated and parses as nothing (rounds 2-3)."""
+    line = json.dumps(result, separators=(",", ":"))
+    # drop per-query entries from the tail of the headline dict until
+    # the line fits; the full table is in FULL_OUT either way
+    while len(line) > 1900 and result.get("queries"):
+        dropped = result.setdefault("queries_elided", 0)
+        last = next(reversed(result["queries"]))
+        del result["queries"][last]
+        result["queries_elided"] = dropped + 1
+        line = json.dumps(result, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -300,96 +344,198 @@ def main() -> None:
         scale_probe(int(sys.argv[2]))
         return
 
+    _install_signals()
     import __spark_entry__ as entry_mod
     from ner_spark.session import get_spark
 
-    spark = get_spark("ner_spark_bench", cpus=CPUS, extra_conf=_SPLIT_CONF)
-    _warm(spark)
-    # warm each table's scan path (footer read + page cache + codec
-    # init) OUTSIDE the timed region: otherwise the first query that
-    # touches a table pays its cold-read cost and the per-query
-    # numbers compare unfairly within the run
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        try:
-            _noop(spark.read.parquet(f"{SF_DIR}/{t}.parquet"))
-        except Exception:
-            pass
-
     sf = _sf_from_dir(SF_DIR)
-    timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        _noop(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    qdict = entry_mod.queries()
+    headline = [k for k in entry_mod.LEAD_QUERIES if k in qdict]
+    bulk_names = [k for k in qdict if k not in set(headline)]
 
-    # KG pipeline throughput at bench scale
-    kg_files = int(os.environ.get("SPARK_GRAFT_KG_FILES", str(int(sf * 100_000))))
-    from ner_spark import synth
-    from ner_spark.plans import pipeline
-
-    kg_path = f"/tmp/ner_spark_bench_kg_{kg_files}.parquet"
-    if not (Path(kg_path) / "_SUCCESS").exists():
-        synth.synth_files(spark, kg_files, parallelism=max(CPUS * 4, 32)).write.mode(
-            "overwrite"
-        ).parquet(kg_path)
-    # min-of-3: the flagship number must not be a single-shot sample on
-    # a VM with documented ±30% noise bursts (round-2 recorded 8.17 s
-    # for a job whose steady state is ~1 s; the full per-rep spread is
-    # part of the record)
-    kg_runs = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _noop(_kg_job(spark, kg_path))
-        kg_runs.append(time.perf_counter() - t0)
-    kg_sec = min(kg_runs)
-    n_triples = _kg_job(spark, kg_path).count()
-    timings["kg_triples"] = round(kg_sec, 3)
-    # the scaling probes and the resume demo share the 4M-file corpus;
-    # materialize it while a session is up (cached across rounds)
-    if (
-        os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-        or os.environ.get("SPARK_GRAFT_BENCH_RESUME", "1") != "0"
-    ):
-        _materialize_files(spark, SCALE_FILES)
-    spark.stop()
-
+    timings: dict[str, float] = {}       # headline, per-query
+    bulk_timings: dict[str, float] = {}  # remainder, per-query (full file)
+    status: dict[str, str] = {}
+    kg_block = None
     scaling = None
-    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        scaling = run_scaling()
-
-    # north-rule resume evidence: kill the checkpointed KG pipeline
-    # mid-stage on the 4M-file corpus, resume, assert identical output
-    # checksum (tools/resume_demo.py; ~4 pipeline runs)
     resume = None
-    if os.environ.get("SPARK_GRAFT_BENCH_RESUME", "1") != "0":
-        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
-        import resume_demo
+    saturation = None
+    aborted = None
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    do_resume = os.environ.get("SPARK_GRAFT_BENCH_RESUME", "1") != "0"
 
-        try:
-            resume = resume_demo.run_demo(FILES_PARQUET, CPUS, n_files=SCALE_FILES)
-        except Exception as e:  # evidence block must not sink the bench
-            resume = {"error": str(e)[:500]}
+    spark = get_spark("ner_spark_bench", cpus=CPUS, extra_conf=_SPLIT_CONF)
+    try:
+        _warm(spark)
+        # warm each table's scan path (footer read + page cache + codec
+        # init) OUTSIDE the timed region: otherwise the first query that
+        # touches a table pays its cold-read cost and the per-query
+        # numbers compare unfairly within the run
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            try:
+                _noop(spark.read.parquet(f"{SF_DIR}/{t}.parquet"))
+            except Exception:
+                pass
 
-    total = round(sum(timings.values()), 3)
-    result = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "kg": {
+        # ---- Phase A: headline queries (always run; ~50 x ~1 s) ----
+        for name in headline:
+            t0 = time.perf_counter()
+            _noop(qdict[name](spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        status["headline"] = f"{len(timings)}/{len(headline)}"
+
+        # ---- Phase B: flagship KG throughput at bench scale ----
+        kg_files = int(os.environ.get("SPARK_GRAFT_KG_FILES", str(int(sf * 100_000))))
+        from ner_spark import synth
+
+        kg_path = f"/tmp/ner_spark_bench_kg_{kg_files}.parquet"
+        if not (Path(kg_path) / "_SUCCESS").exists():
+            synth.synth_files(
+                spark, kg_files, parallelism=max(CPUS * 4, 32)
+            ).write.mode("overwrite").parquet(kg_path)
+        # min-of-3: the flagship number must not be a single-shot sample
+        # on a VM with documented ±30% noise bursts
+        kg_runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _noop(_kg_job(spark, kg_path))
+            kg_runs.append(time.perf_counter() - t0)
+        kg_sec = min(kg_runs)
+        n_triples = _kg_job(spark, kg_path).count()
+        timings["kg_triples"] = round(kg_sec, 3)
+        kg_block = {
             "n_files": kg_files,
             "triples": n_triples,
             "triples_per_sec": round(n_triples / kg_sec, 1),
+        }
+
+        # the scaling probes and the resume demo share the 4M-file
+        # corpus; materialize it while a session is up
+        if do_scaling or do_resume:
+            _materialize_files(spark, SCALE_FILES)
+    except BenchAbort as e:
+        aborted = f"phase A/B: {e}"
+        do_scaling = do_resume = False
+    except Exception as e:  # emit-no-matter-what: record, keep going
+        aborted = f"phase A/B error: {e}"[:300]
+        do_scaling = do_resume = False
+    finally:
+        spark.stop()
+
+    # ---- Phase C: north-rule scaling (adaptive pair count) ----
+    if do_scaling and aborted is None:
+        try:
+            max_pairs = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "4"))
+            # reserve: resume demo (~300 s) + bulk floor (~120 s) + emit
+            scaling = run_scaling(max_pairs, reserve=450.0)
+        except BenchAbort as e:
+            aborted = f"scaling: {e}"
+        except Exception as e:
+            scaling = {"error": str(e)[:300]}
+
+    # ---- Phase D: resume evidence (kill + exact-resume checksum) ----
+    if do_resume and aborted is None and _remaining() > 200:
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        try:
+            import resume_demo
+
+            resume = resume_demo.run_demo(FILES_PARQUET, CPUS, n_files=SCALE_FILES)
+        except BenchAbort as e:
+            aborted = f"resume: {e}"
+        except Exception as e:  # evidence block must not sink the bench
+            resume = {"error": str(e)[:500]}
+
+    # ---- Phase E: full-box saturation (optional; cheap, 2 reps) ----
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SATURATION", "1") != "0"
+        and do_scaling and aborted is None and _remaining() > 300
+    ):
+        try:
+            saturation = run_saturation({})
+        except (BenchAbort, Exception) as e:
+            saturation = [{"error": str(e)[:200]}]
+
+    # ---- Phase F: bulk — time every remaining query until deadline ----
+    bulk_sec = 0.0
+    if aborted is None and bulk_names and _remaining() > 60:
+        spark = get_spark("ner_spark_bench_bulk", cpus=CPUS, extra_conf=_SPLIT_CONF)
+        t_bulk = time.monotonic()
+        name = "<warm>"
+        try:
+            _warm(spark)
+            t_bulk = time.monotonic()
+            for name in bulk_names:
+                if _remaining() < 30:
+                    raise BenchAbort("bulk budget")
+                t0 = time.perf_counter()
+                _noop(qdict[name](spark, SF_DIR))
+                bulk_timings[name] = round(time.perf_counter() - t0, 3)
+            bulk_sec = time.monotonic() - t_bulk
+        except BenchAbort as e:
+            bulk_sec = time.monotonic() - t_bulk
+            status["bulk_stopped"] = str(e)
+        except Exception as e:
+            status["bulk_error"] = f"{name}: {e}"[:200]
+        finally:
+            spark.stop()
+
+    headline_total = round(sum(timings.values()), 3)
+    # compact stdout record: headline per-query only; bulk as a summary
+    result = {
+        "metric": "headline_queries_total",
+        "value": headline_total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: timings[k] for k in list(timings)[:34]},
+        "bulk": {
+            "timed": len(bulk_timings),
+            "of": len(bulk_names),
+            "sec": round(bulk_sec, 1),
         },
+        "kg": kg_block,
+        "elapsed": round(time.monotonic() - _T0, 1),
+        "full": Path(FULL_OUT).name,
     }
     if scaling is not None:
-        result["scaling"] = scaling
+        result["scaling"] = {
+            k: scaling[k]
+            for k in (
+                "n_files", "cpus_low", "cpus_high", "sec_low", "sec_high",
+                "triples_per_sec_low", "triples_per_sec_high",
+                "scaling_efficiency", "scaling_efficiency_min",
+                "pair_efficiencies", "pairs_run", "error",
+            )
+            if k in scaling
+        }
     if resume is not None:
-        result["resume"] = resume
-    print(json.dumps(result))
+        result["resume"] = (
+            {"exact_resume": resume.get("exact_resume"),
+             "n_files": resume.get("n_files")}
+            if "error" not in resume else {"error": resume["error"][:120]}
+        )
+    if aborted:
+        result["aborted"] = aborted
+
+    # full record to disk (committed): everything, including bulk
+    # per-query timings, probe rep spreads, saturation
+    full = dict(result)
+    full["queries"] = timings
+    full["bulk_queries"] = bulk_timings
+    full["scaling"] = scaling
+    full["resume"] = resume
+    full["saturation"] = saturation
+    full["status"] = status
+    full["budget"] = BUDGET
+    try:
+        Path(FULL_OUT).write_text(json.dumps(full, indent=1))
+    except OSError:
+        pass
+
+    sys.stdout.flush()
+    print(_compact_line(result))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
