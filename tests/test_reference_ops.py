@@ -144,6 +144,24 @@ def test_t2s_phrase_layer_and_protection(spark):
     assert got == cases
 
 
+def test_t2s_extension_table(spark):
+    """Round-4 extension coverage: glyph-variant forms, radical-family
+    series and high-frequency singles outside the original 805-pair
+    table, plus the new phrase entries (甚麼 compositional, 慰藉
+    protective)."""
+    cases = {
+        "戰爭中的兩隻鳥": "战争中的两只鸟",
+        "陰陽沒有分別": "阴阳没有分别",
+        "臺灣的靜夜": "台湾的静夜",
+        "你說甚麼": "你说什么",          # phrase: 甚麼 -> 什么 (not 甚么)
+        "心靈的慰藉": "心灵的慰藉",      # protective: 藉 survives in 慰藉
+        "鍛鍊身體": "锻鍊身体",          # 鍛 mapped; 鍊 (ambiguous) kept
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    got = {r["s"]: r["t"] for r in df.select("s", X.t2s("s").alias("t")).collect()}
+    assert got == cases
+
+
 def test_t2s_sql_matches_spark(spark):
     """The generated DuckDB expression is the bit-exact twin of the
     Spark conversion over a table-spanning sample."""
