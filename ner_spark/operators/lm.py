@@ -336,3 +336,115 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         F.sum("kept").alias("n_kept"),
     )
     return _div(agg, "kept_frac_e6", F.col("n_kept") * E6, F.col("n_paras"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph-grain quality bucketing (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+def score_paragraphs(docs: DataFrame, lm: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", chunk: int = 20) -> DataFrame:
+    """Paragraph-grain LM fluency — CCNet scores sub-document units,
+    not whole documents, so one boilerplate paragraph can't sink (or
+    carry) an otherwise-good page.
+
+    Same exact-integer surface as `score_docs`: per adjacent token
+    pair p_e6 = n * 1e6 div ctx_n (0 for OOV), floor-averaged per
+    paragraph. Paragraphs too short to have a bigram come back with
+    n_bigrams = 0 / avg 0 (kept via the left join below — posexplode
+    drops them from the pair stream).
+
+    Output: (doc_id, para_idx, n_bigrams, n_oov, avg_prob_e6).
+    Shuffles: the paragraph-key agg (content-sized, well spread) plus
+    the left join back on the same key; the LM join is broadcast.
+    """
+    p = paragraphs(docs, text_col, id_col, chunk)
+    keyed = p.select(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("para_idx").cast("string")
+        ).alias("pid"),
+        F.col(id_col),
+        "para_idx",
+        "para",
+    )
+    pairs = _doc_bigrams(keyed.select("pid", "para"), "para", "pid")
+    joined = pairs.join(
+        F.broadcast(lm.select("bigram", "n", "ctx_n")), "bigram", "left"
+    )
+    scored = _div(
+        joined, "p_e6", F.coalesce(F.col("n") * E6, F.lit(0)),
+        F.coalesce("ctx_n", F.lit(1)),
+    ).select("pid", F.col("n").isNull().cast("long").alias("oov"), "p_e6")
+    agg = scored.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("p_e6").alias("sum_prob_e6"),
+    )
+    agg = _div(agg, "avg_prob_e6", F.col("sum_prob_e6"), F.col("n_bigrams"))
+    return (
+        keyed.select("pid", id_col, "para_idx")
+        .join(agg, "pid", "left")
+        .select(
+            id_col,
+            "para_idx",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce("avg_prob_e6", F.lit(0)).alias("avg_prob_e6"),
+        )
+    )
+
+
+def ccnet_paragraph_filter(docs: DataFrame, lm: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           chunk: int = 20) -> DataFrame:
+    """CCNet head/middle/tail bucketing at paragraph grain, with the
+    keep/drop bit (CCNet keeps head+middle, drops tail).
+
+    CCNet derives perplexity CUTOFFS and compares each unit against
+    them — it does not rank every unit globally — and that is also the
+    only shape that scales: the cutoffs here are exact tercile
+    thresholds selected from the DISTINCT-score histogram
+    (groupBy(score) -> cumulative count over distinct scores), so the
+    global sort touches |distinct avg_prob_e6| rows (bounded by the e6
+    quantization), never the corpus. Ties at a boundary all land on
+    the higher bucket — deterministic, partitioning-invariant, and
+    expressible identically in SQL for the oracle.
+
+      t1 = max-cumulative-count-reaching ceil(n/3)   (head floor)
+      t2 = same at ceil(2n/3)                        (middle floor)
+      bucket = head  if avg_prob_e6 >= t1
+               middle if avg_prob_e6 >= t2
+               tail   otherwise            (kept = bucket != tail)
+
+    Output: (doc_id, para_idx, n_bigrams, n_oov, avg_prob_e6, bucket,
+    kept)."""
+    s = score_paragraphs(docs, lm, text_col, id_col, chunk)
+    dist = s.groupBy("avg_prob_e6").agg(F.count(F.lit(1)).alias("cnt"))
+    wd = Window.orderBy(F.col("avg_prob_e6").desc())
+    cum = dist.withColumn("cum", F.sum("cnt").over(wd))
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.when(F.col("cum") >= F.expr("(n + 2) div 3"),
+                       F.col("avg_prob_e6"))
+            ).alias("t1"),
+            F.max(
+                F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                       F.col("avg_prob_e6"))
+            ).alias("t2"),
+        )
+    )
+    return s.crossJoin(F.broadcast(th)).select(
+        id_col,
+        "para_idx",
+        "n_bigrams",
+        "n_oov",
+        "avg_prob_e6",
+        F.when(F.col("avg_prob_e6") >= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_prob_e6") >= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        (F.col("avg_prob_e6") >= F.col("t2")).cast("long").alias("kept"),
+    )

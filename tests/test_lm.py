@@ -173,3 +173,49 @@ def test_exact_substring_dups_covers_maximal_span(spark, tmp_path):
     assert got[1] == (8, 7)
     assert got[2] == (6, 0)
     assert got[3] == (2, 0)
+
+
+def test_ccnet_paragraph_filter_buckets(spark):
+    """Tercile cutoffs from the distinct-score histogram: head gets the
+    top-scoring third (ties spill into the higher bucket), tail is
+    dropped (kept=0), every paragraph is bucketed exactly once."""
+    from ner_spark.operators import lm
+
+    # 9 docs of 20 tokens -> 1 paragraph each; repetition makes the
+    # high-fluency docs share bigrams with the LM half
+    rows = []
+    for d in range(9):
+        tok = f"tok{d % 3}"
+        rows.append((d, " ".join([tok] * 20)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = lm.bigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    out = lm.ccnet_paragraph_filter(docs, model).collect()
+    assert len(out) == 9
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        assert r["kept"] == (0 if r["bucket"] == "tail" else 1)
+    # every paragraph scored, buckets partition the set
+    assert sum(len(v) for v in by_bucket.values()) == 9
+    # scores within head >= scores within middle >= tail
+    lo = lambda b: min(r["avg_prob_e6"] for r in by_bucket.get(b, [{"avg_prob_e6": 10**9}]))
+    hi = lambda b: max(r["avg_prob_e6"] for r in by_bucket.get(b, [{"avg_prob_e6": -1}]))
+    if "middle" in by_bucket and "head" in by_bucket:
+        assert lo("head") >= hi("middle")
+    if "tail" in by_bucket and "middle" in by_bucket:
+        assert lo("middle") >= hi("tail")
+
+
+def test_score_paragraphs_keeps_short_paragraphs(spark):
+    """A paragraph with < 2 tokens has no bigrams; it must still come
+    back (n_bigrams = 0, avg 0) rather than vanish from the rollup."""
+    from ner_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(21)))],  # 20-token + 1-token paras
+        "doc_id long, text string",
+    )
+    model = lm.bigram_counts(docs)
+    got = {r["para_idx"]: r for r in lm.score_paragraphs(docs, model).collect()}
+    assert set(got) == {0, 1}
+    assert got[1]["n_bigrams"] == 0 and got[1]["avg_prob_e6"] == 0
