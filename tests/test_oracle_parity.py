@@ -48,8 +48,20 @@ def _normalize(cols, rows):
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# Fast-profile slice: the curated LEAD_QUERIES head (every family, the
+# driver's correctness sample) runs by default; the remaining ~690
+# cases carry the `slow` marker and run in the per-round full pass
+# (`pytest -m ""`) and in tools/check_correctness.py sweeps.
+_FAST = set(entry_mod.LEAD_QUERIES)
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _FAST else pytest.param(n, marks=pytest.mark.slow)
+        for n in sorted(ORACLES)
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     qdf = QUERIES[name](spark, sf_dir)
     spark_cols = list(qdf.columns)
