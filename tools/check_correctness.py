@@ -71,44 +71,74 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return errs
 
 
+def _check_one(name, fn, sql, spark, sf_dir):
+    """Run one query on Spark and its oracle on a fresh DuckDB
+    connection; return (name, lines, ok). Thread-safe: Spark actions
+    may run concurrently on one session (each gets its own job), and
+    each call opens its own DuckDB connection."""
+    lines = []
+    try:
+        spark_pdf = fn(spark, sf_dir).toPandas()
+    except Exception as e:
+        return name, [f"FAIL {name}: spark error: {e}"], False
+    if sql is None:
+        return name, [f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows)"], True
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        duck_pdf = con.sql(sql).df()
+        con.close()
+    except Exception as e:
+        return name, [f"FAIL {name}: duckdb error: {e}"], False
+    errs = compare(name, spark_pdf, duck_pdf)
+    if errs:
+        lines.append(f"FAIL {name}:")
+        lines.extend(f"   {e}" for e in errs)
+        return name, lines, False
+    return name, [f"OK   {name}  ({len(spark_pdf)} rows)"], True
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
-    spark = get_spark("correctness", cpus=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    args = [a for a in sys.argv[1:] if "/" not in a]
+    workers = 1
+    only = []
+    for a in args:
+        if a.startswith("--workers="):
+            workers = int(a.split("=", 1)[1])
+        else:
+            only.append(a)
+    spark = get_spark("correctness", cpus=32 if workers > 1 else 16)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    items = [
+        (name, fn, oracles.get(name))
+        for name, fn in qs.items()
+        if not only or name in only
+    ]
     failed = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            failed.append(name)
-            continue
-        sql = oracles.get(name)
-        if sql is None:
-            print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows)")
-            continue
-        try:
-            duck_pdf = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failed.append(name)
-            continue
-        errs = compare(name, spark_pdf, duck_pdf)
-        if errs:
-            print(f"FAIL {name}:")
-            for e in errs:
-                print(f"   {e}")
-            failed.append(name)
-        else:
-            print(f"OK   {name}  ({len(spark_pdf)} rows)")
+
+    if workers <= 1:
+        results = (_check_one(n, f, s, spark, sf_dir) for n, f, s in items)
+        for name, lines, ok in results:
+            print("\n".join(lines), flush=True)
+            if not ok:
+                failed.append(name)
+    else:
+        # one atomic invocation, checks fanned across threads; output
+        # is re-serialized in queries() order so the artifact reads
+        # the same as a serial run
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(_check_one, n, f, s, spark, sf_dir) for n, f, s in items]
+            for fut in futs:
+                name, lines, ok = fut.result()
+                print("\n".join(lines), flush=True)
+                if not ok:
+                    failed.append(name)
     print(f"\n{len(failed)} failed of {len(only) or len(qs)}")
     return 1 if failed else 0
 
