@@ -72,7 +72,7 @@ def char_split(col) -> Column:
 # one "<trad><simp>" pair; validated at import (1:1, no duplicate trads,
 # no identity pairs). The reference shells out to OpenCC
 # (chinese_t2s.py:22); that dependency is unavailable here, so the
-# operator ships this inline table (805 base + 532 extension pairs)
+# operator ships this inline table (805 base + 532 + 93 extension pairs)
 # plus the phrase layer below. A
 # full external OpenCC table drops in through the same two hooks
 # (`T2S_PHRASES` + the pair table) or relationally through
@@ -131,6 +131,18 @@ _T2S_PAIRS = (
     "藉借 瞭了 簾帘 縈萦 聶聂"
 ).split()
 
+# Second round-4 batch: systematic radical-series completions
+# (金/言/糸 stragglers), variant traditional forms (証/閒/鎭/隣/墻/氷
+# …), and frequent singles (佔/姦/橫/癒/盃/筍/釐/盪 …).
+_T2S_PAIRS_3 = (
+    "佔占 姦奸 橫横 癒愈 盃杯 筍笋 箏筝 絃弦 釐厘 閒闲 証证 汙污 勻匀 陞升 颳刮 醃腌 "
+    "谿溪 賸剩 矇蒙 稜棱 痺痹 疎疏 珮佩 牀床 氷冰 燄焰 崑昆 崙仑 峯峰 弔吊 墻墙 嚙啮 "
+    "啣衔 唄呗 朶朵 梟枭 槓杠 溼湿 粧妆 舘馆 菓果 葯药 蔴麻 蘂蕊 袴裤 鍼针 鎭镇 隄堤 "
+    "隣邻 鬪斗 廻回 鑑鉴 氾泛 闕阙 孃娘 盪荡 彿佛 皁皂 籐藤 釵钗 釩钒 釦扣 鉚铆 鉸铰 "
+    "銑铣 銖铢 銬铐 銲焊 錠锭 鎬镐 鏗铿 鏤镂 鐐镣 鐲镯 鑲镶 鑷镊 鑿凿 訃讣 詆诋 詬诟 "
+    "詫诧 誡诫 諳谙 諱讳 謁谒 謔谑 讒谗 紜纭 轡辔 鱈鳕 鰲鳌 蠣蛎 蠔蚝"
+).split()
+
 # Round-4 extension (VERDICT r3 "Next round" #5): 532 further pairs of
 # the same public 简化字总表 mapping — rarer radical-family series
 # (金/言/糸/頁/馬/鳥/魚/虫/食/門 …), glyph-variant traditional forms
@@ -175,7 +187,7 @@ _T2S_PAIRS_2 = (
     "嘮唠 痠酸 砲炮 睜睁 颱台 鞦秋 韆千 瑩莹 戲戏 衆众 別别 絕绝 溫温 爲为 衞卫 敎教 "
     "祕秘 産产 眞真 卽即"
 ).split()
-_T2S_PAIRS = _T2S_PAIRS + _T2S_PAIRS_2
+_T2S_PAIRS = _T2S_PAIRS + _T2S_PAIRS_2 + _T2S_PAIRS_3
 assert all(len(p) == 2 and p[0] != p[1] for p in _T2S_PAIRS)
 _T2S_TRAD = "".join(p[0] for p in _T2S_PAIRS)
 _T2S_SIMP = "".join(p[1] for p in _T2S_PAIRS)
@@ -200,6 +212,9 @@ T2S_PHRASES: list[tuple[str, str]] = [
     ("鞦韆", "秋千"),
     # compositional: the char table alone yields 甚么, OpenCC gives 什么
     ("甚麼", "什么"),
+    # compositional: 彷->仿 only inside 彷彿 (彷徨 keeps 彷); 彿->佛 is
+    # in the char table for the standalone case
+    ("彷彿", "仿佛"),
 ]
 _PHRASE_ORDER = sorted(
     range(len(T2S_PHRASES)),
@@ -213,7 +228,7 @@ def t2s(col) -> Column:
 
     OpenCC-shaped two-layer conversion, entirely native expressions
     (codegen, no Python): phrases first (longest match, each becomes a
-    literal replace into a placeholder), then the 1337-pair char-level
+    literal replace into a placeholder), then the 1430-pair char-level
     translate(), then placeholders resolve to their phrase outputs.
     The placeholder pass is what lets a protective phrase KEEP
     traditional chars the char table would otherwise convert.

@@ -136,7 +136,7 @@ def test_t2s_phrase_layer_and_protection(spark):
         "乾燥的乾隆年間": "干燥的乾隆年间",   # 乾->干 EXCEPT inside 乾隆
         "狼藉的藉口": "狼藉的借口",           # 藉->借 EXCEPT inside 狼藉
         "瞭望塔使人瞭解": "瞭望塔使人了解",   # 瞭->了 EXCEPT inside 瞭望
-        "盪鞦韆": "盪秋千",                   # phrase-only chars (盪 unmapped)
+        "盪鞦韆": "荡秋千",                   # all three chars table-mapped (r4)
         "頭髮與發展": "头发与发展",           # 髮/發 both -> 发
     }
     df = spark.createDataFrame([(k,) for k in cases], "s string")
@@ -156,6 +156,8 @@ def test_t2s_extension_table(spark):
         "你說甚麼": "你说什么",          # phrase: 甚麼 -> 什么 (not 甚么)
         "心靈的慰藉": "心灵的慰藉",      # protective: 藉 survives in 慰藉
         "鍛鍊身體": "锻鍊身体",          # 鍛 mapped; 鍊 (ambiguous) kept
+        "彷彿在彷徨": "仿佛在彷徨",      # phrase: 彷->仿 only inside 彷彿
+        "佔領盃賽": "占领杯赛",          # batch-2 singles
     }
     df = spark.createDataFrame([(k,) for k in cases], "s string")
     got = {r["s"]: r["t"] for r in df.select("s", X.t2s("s").alias("t")).collect()}
