@@ -219,3 +219,18 @@ def test_score_paragraphs_keeps_short_paragraphs(spark):
     got = {r["para_idx"]: r for r in lm.score_paragraphs(docs, model).collect()}
     assert set(got) == {0, 1}
     assert got[1]["n_bigrams"] == 0 and got[1]["avg_prob_e6"] == 0
+
+
+def test_ccnet_paragraph_filter_partitioning_invariant(spark):
+    """Cutoffs from the distinct-score histogram and integer scoring
+    make the bucketing independent of physical layout."""
+    from ner_spark.operators import lm
+
+    rows = [(d, " ".join(f"w{(d * 7 + i) % 13}" for i in range(25))) for d in range(12)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    b = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    model_a = lm.bigram_counts(a.filter(F.col("doc_id") % 2 == 0))
+    model_b = lm.bigram_counts(b.filter(F.col("doc_id") % 2 == 0))
+    ra = sorted(map(tuple, lm.ccnet_paragraph_filter(a, model_a).collect()))
+    rb = sorted(map(tuple, lm.ccnet_paragraph_filter(b, model_b).collect()))
+    assert ra == rb
