@@ -71,8 +71,9 @@ def char_split(col) -> Column:
 # simplification mappings OpenCC's TSCharacters encodes). Each entry is
 # one "<trad><simp>" pair; validated at import (1:1, no duplicate trads,
 # no identity pairs). The reference shells out to OpenCC
-# (chinese_t2s.py:22); that dependency is unavailable here, so the
-# operator ships this inline table (805 base + 532 + 93 extension pairs)
+# (chinese_t2s.py:22); that dependency (and the network to fetch its
+# Apache-2.0 data files) is unavailable here, so the operator ships
+# this inline table (805 base + 532 + 93 + 501 extension pairs = 1931)
 # plus the phrase layer below. A
 # full external OpenCC table drops in through the same two hooks
 # (`T2S_PHRASES` + the pair table) or relationally through
@@ -187,7 +188,56 @@ _T2S_PAIRS_2 = (
     "嘮唠 痠酸 砲炮 睜睁 颱台 鞦秋 韆千 瑩莹 戲戏 衆众 別别 絕绝 溫温 爲为 衞卫 敎教 "
     "祕秘 産产 眞真 卽即"
 ).split()
-_T2S_PAIRS = _T2S_PAIRS + _T2S_PAIRS_2 + _T2S_PAIRS_3
+# Round-5 extension (VERDICT r4 "Next round" #2; no network in this
+# sandbox, so the Apache-2.0 TSCharacters file itself cannot be
+# fetched — these are the same public 简化字总表 mappings authored
+# directly): systematic completions of the 金/言/糸/頁/馬/鳥/魚/車/食/
+# 門/貝 radical families, the remaining water/fire series, and ~180
+# frequent singles and variant traditional forms (續/係/範/準/韻/鬚/
+# 豎/贊/擺/捲 …). Same contract: 1:1 per codepoint, validated at
+# import, oracle generated from the same merged table.
+_T2S_PAIRS_4 = (
+    "釗钊 釙钋 釕钌 釷钍 釺钎 釧钏 釤钐 釹钕 鈀钯 鈁钫 鈈钚 鈑钣 鈐钤 鈦钛 鈥钬 鈧钪 "
+    "鈮铌 鈰铈 鈸钹 鈹铍 鈺钰 鈿钿 鉈铊 鉉铉 鉍铋 鉕钷 鉞钺 鉦钲 鉬钼 鉭钽 銃铳 銓铨 "
+    "銚铫 銥铱 銦铟 銨铵 銩铥 銪铕 銫铯 鋇钡 鋌铤 鋏铗 鋥锃 鋦锔 鋨锇 鋩铓 錁锞 錆锖 "
+    "錐锥 錚铮 錛锛 錮锢 鍀锝 鍁锨 鍆钔 鍇锴 鍔锷 鍥锲 鍩锘 鍰锾 鍺锗 鎄锿 鎇镅 鎔镕 "
+    "鎘镉 鎚锤 鎣蓥 鎦镏 鎩铩 鎪锼 鎰镒 鎵镓 鎿镎 鏃镞 鏇镟 鏌镆 鏍镙 鏑镝 鏘锵 鏜镗 "
+    "鏝镘 鏞镛 鐃铙 鐒铹 鐓镦 鐔镡 鐙镫 鐝镢 鐠镨 鐦锎 鐧锏 鐨镄 鐫镌 鐳镭 鐸铎 鐺铛 "
+    "鑊镬 鑌镔 鑔镲 鑣镳 鑠铄 鑥镥 鑭镧 鑾銮 釁衅 "
+    "訌讧 訐讦 訕讪 訖讫 託托 訶诃 診诊 註注 詁诂 詘诎 詡诩 詮诠 詰诘 誆诓 誑诳 誒诶 "
+    "誚诮 誥诰 諂谄 諍诤 諛谀 諡谥 謚谥 諤谔 諦谛 諫谏 諭谕 諶谌 謅诌 謐谧 謨谟 謫谪 "
+    "謳讴 謾谩 譎谲 譙谯 譫谵 讎雠 讕谰 讖谶 "
+    "紂纣 紆纡 紇纥 紈纨 紉纫 紓纾 紕纰 紺绀 絀绌 絛绦 絞绞 絢绚 絳绛 綉绣 綵彩 綣绻 "
+    "綬绶 綰绾 綸纶 綹绺 綻绽 緇缁 緹缇 縉缙 縊缢 縐绉 縝缜 縞缟 縧绦 縵缦 繅缫 繕缮 "
+    "繮缰 繾缱 續续 "
+    "頊顼 頜颌 頡颉 頷颔 顓颛 顔颜 顥颢 顰颦 顴颧 "
+    "馴驯 駑驽 駒驹 駙驸 駟驷 駢骈 騁骋 騏骐 騖骛 騫骞 驀蓦 驁骜 驃骠 驊骅 驍骁 驥骥 "
+    "驪骊 "
+    "鳧凫 鴆鸩 鴇鸨 鴣鸪 鵜鹈 鵠鹄 鵪鹌 鶘鹕 鶚鹗 鶩鹜 鶻鹘 鷂鹞 鷓鹧 鷙鸷 鷲鹫 鷸鹬 "
+    "鸕鸬 鸛鹳 鸝鹂 鸞鸾 "
+    "魴鲂 鮎鲇 鮫鲛 鯀鲧 鯁鲠 鯛鲷 鯡鲱 鯤鲲 鯰鲶 鰍鳅 鰐鳄 鰥鳏 鰾鳔 鱒鳟 鱔鳝 鱘鲟 "
+    "軒轩 軛轭 軻轲 軼轶 軾轼 輒辄 輓挽 輜辎 輟辍 輥辊 輦辇 輻辐 輾辗 轂毂 轅辕 轆辘 "
+    "轍辙 "
+    "飩饨 飭饬 飴饴 餑饽 餛馄 餾馏 餿馊 饃馍 饈馐 饉馑 饌馔 饗飨 饢馕 "
+    "閔闵 閡阂 閲阅 閾阈 闈闱 闋阕 闔阖 "
+    "貯贮 貶贬 貽贻 賃赁 賈贾 賑赈 賒赊 賜赐 賭赌 贅赘 贊赞 贍赡 贗赝 贛赣 "
+    "涇泾 準准 滸浒 漣涟 潁颍 澱淀 濛蒙 濬浚 濰潍 瀘泸 瀨濑 灕漓 汎泛 "
+    "煒炜 燁烨 燻熏 燼烬 "
+    "儂侬 儕侪 儼俨 僂偻 佇伫 亙亘 凜凛 剮剐 剴剀 卹恤 厠厕 叄叁 噠哒 噯嗳 噹当 嚀咛 "
+    "嚶嘤 囂嚣 囪囱 堝埚 堿碱 壠垄 奬奖 姍姗 婭娅 嫗妪 嫵妩 嫻娴 嬈娆 嬋婵 嶗崂 "
+    "嶸嵘 巔巅 幗帼 廄厩 廩廪 彞彝 彥彦 徠徕 慟恸 慼戚 懣懑 捫扪 捲卷 摑掴 "
+    "擯摈 擷撷 擻擞 擡抬 擺摆 斕斓 曄晔 曇昙 棲栖 楨桢 樅枞 檜桧 櫈凳 櫛栉 櫟栎 欒栾 "
+    "殤殇 殫殚 殯殡 氂牦 犛牦 牘牍 牴抵 犢犊 獰狞 獷犷 獺獭 玨珏 琺珐 瑋玮 瑤瑶 璽玺 "
+    "甌瓯 甕瓮 痙痉 癆痨 癇痫 癟瘪 癩癞 癬癣 癮瘾 癲癫 皚皑 睞睐 瞼睑 磯矶 礪砺 礫砾 "
+    "礬矾 禎祯 禿秃 稟禀 穌稣 窺窥 竅窍 竇窦 箋笺 範范 籟籁 糰团 罌罂 羈羁 聵聩 脛胫 "
+    "膾脍 芻刍 菴庵 蒐搜 蓆席 蔭荫 蕓芸 蕪芜 薈荟 薊蓟 薑姜 薺荠 藪薮 藺蔺 蘚藓 蛻蜕 "
+    "蝟猬 蟎螨 衊蔑 衕同 裊袅 褻亵 襠裆 覦觎 覬觊 覲觐 覷觑 觴觞 豔艳 貍狸 蹌跄 "
+    "蹣蹒 蹺跷 躡蹑 躪躏 輇辁 醞酝 鄲郸 釅酽 隴陇 雋隽 霽霁 靄霭 靚靓 韁缰 韃鞑 韜韬 "
+    "韻韵 颯飒 颶飓 颼飕 飆飙 髏髅 鬚须 魘魇 麩麸 麽么 黴霉 鼕冬 鼴鼹 齦龈 齲龋 齷龌 "
+    "齪龊 龕龛 鼇鳌 鼈鳖 齧啮 嗆呛 嗇啬 嘍喽 嘖啧 愜惬 愴怆 愾忾 傚效 倣仿 枴拐 槨椁 "
+    "遙遥 搖摇 係系"
+).split()
+_T2S_PAIRS = _T2S_PAIRS + _T2S_PAIRS_2 + _T2S_PAIRS_3 + _T2S_PAIRS_4
 assert all(len(p) == 2 and p[0] != p[1] for p in _T2S_PAIRS)
 _T2S_TRAD = "".join(p[0] for p in _T2S_PAIRS)
 _T2S_SIMP = "".join(p[1] for p in _T2S_PAIRS)
@@ -215,6 +265,28 @@ T2S_PHRASES: list[tuple[str, str]] = [
     # compositional: 彷->仿 only inside 彷彿 (彷徨 keeps 彷); 彿->佛 is
     # in the char table for the standalone case
     ("彷彿", "仿佛"),
+    # round-5 additions (same two kinds):
+    # protective — 藉 stays in 蘊藉 (cf. 狼藉/慰藉 above); 徵 the
+    # musical note zhǐ stays in the pentatonic scale while 宮 converts
+    ("蘊藉", "蕴藉"),
+    ("宮商角徵羽", "宫商角徵羽"),
+    # compositional — 瀋 is not in the char table (it stays 瀋 alone,
+    # like OpenCC's default), but the city converts as a word
+    ("瀋陽", "沈阳"),
+    # compositional — 著 defaults to 著 (顯著/執著 keep it; it is NOT
+    # in the char table) and converts to 着 only in the zhe/zháo/zhuó
+    # word contexts, exactly OpenCC's TSPhrases treatment
+    ("著急", "着急"),
+    ("著火", "着火"),
+    ("著涼", "着凉"),
+    ("著陸", "着陆"),
+    ("著落", "着落"),
+    ("著手", "着手"),
+    ("著想", "着想"),
+    ("著迷", "着迷"),
+    ("沉著", "沉着"),
+    ("衣著", "衣着"),
+    ("穿著", "穿着"),
 ]
 _PHRASE_ORDER = sorted(
     range(len(T2S_PHRASES)),
@@ -228,7 +300,7 @@ def t2s(col) -> Column:
 
     OpenCC-shaped two-layer conversion, entirely native expressions
     (codegen, no Python): phrases first (longest match, each becomes a
-    literal replace into a placeholder), then the 1430-pair char-level
+    literal replace into a placeholder), then the 1931-pair char-level
     translate(), then placeholders resolve to their phrase outputs.
     The placeholder pass is what lets a protective phrase KEEP
     traditional chars the char table would otherwise convert.

@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 payloads with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode kernels themselves are STUBBED (the sandbox has no
-image/audio libraries): `decode_image` raises NotImplementedError
-unless PIL is importable, and the tested path uses a deterministic
-fake decoder that derives pseudo-dimensions from the payload's sha256
-— so the Spark-side plumbing (binary schema, mapInPandas batch shape,
-partitioning, metadata struct) is fully real and oracle-checkable
-while the codec is swappable.
+Decoding (round 5): `decode_image` prefers PIL when a cluster image
+ships it and otherwise uses built-in pure-Python decoders for the
+uncompressed formats (PPM/PGM P6/P5, BMP 24/32-bit) — real decoding
+runs end-to-end even in this sandbox. Non-image payloads (the text
+stand-ins in the bench tables) fall back to deterministic
+pseudo-dimensions derived from the payload's sha256, which keeps the
+plumbing oracle-checkable in ANSI SQL.
 
 Scale shape: payloads never pass through Python row-at-a-time — one
 Arrow batch of binaries in, one metadata frame out; Arrow batch size
@@ -46,23 +46,124 @@ def _fake_dims(sha_hex: str) -> tuple[int, int]:
     return width, height
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode path — requires an image library the sandbox lacks.
+class DecodedImage:
+    """Minimal decoded-image record: dimensions + raw pixel bytes.
 
-    Kept import-gated so the operator is drop-in complete on a cluster
-    image that ships PIL; everything else in this module works without
-    it.
+    Duck-type-compatible with the `.width`/`.height` reads the feature
+    kernel performs on a PIL Image, so the two decode backends are
+    interchangeable at the call site.
     """
+
+    __slots__ = ("width", "height", "mode", "pixels")
+
+    def __init__(self, width: int, height: int, mode: str, pixels: bytes):
+        self.width = width
+        self.height = height
+        self.mode = mode
+        self.pixels = pixels
+
+
+def _decode_ppm(payload: bytes) -> DecodedImage:
+    """Pure-Python decoder for binary PPM/PGM (P6/P5) — the classic
+    uncompressed Netpbm formats. Strict: header tokens must be valid
+    integers and the pixel payload must be exactly present, so code
+    text that merely starts with 'P6' can never false-positive."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, with '#' comment lines allowed between them
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3 or not all(t.isdigit() for t in tokens):
+        raise ValueError("malformed PPM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if not (0 < width and 0 < height and 0 < maxval < 65536):
+        raise ValueError("PPM dimensions out of range")
+    pos += 1  # exactly one whitespace byte separates header and pixels
+    ch = 3 if payload[:2] == b"P6" else 1
+    n = width * height * ch * (2 if maxval > 255 else 1)
+    pixels = payload[pos : pos + n]
+    if len(pixels) != n:
+        raise ValueError("truncated PPM pixel data")
+    return DecodedImage(width, height, "RGB" if ch == 3 else "L", pixels)
+
+
+def _decode_bmp(payload: bytes) -> DecodedImage:
+    """Pure-Python decoder for uncompressed 24/32-bit BMP (the
+    BITMAPINFOHEADER layout). Row order is bottom-up per the spec
+    (top-down when height is negative); rows are 4-byte aligned."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER not supported
+        raise ValueError("unsupported BMP header")
+    width, raw_h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp not in (24, 32) or compression != 0:
+        raise ValueError("only uncompressed 24/32-bit BMP supported")
+    height, bottom_up = abs(raw_h), raw_h > 0
+    if not (0 < width and 0 < height):
+        raise ValueError("BMP dimensions out of range")
+    stride = ((width * bpp // 8) + 3) & ~3
+    if data_off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    ch = bpp // 8
+    rows = []
+    order = range(height - 1, -1, -1) if bottom_up else range(height)
+    for r in order:
+        row = payload[data_off + r * stride : data_off + r * stride + width * ch]
+        # BGR(A) on disk -> RGB out; alpha dropped
+        rows.append(
+            bytes(
+                b
+                for px in (row[i : i + ch] for i in range(0, len(row), ch))
+                for b in (px[2], px[1], px[0])
+            )
+        )
+    return DecodedImage(width, height, "RGB", b"".join(rows))
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode path. Prefers PIL when the cluster image ships it
+    (full codec coverage); otherwise falls back to the built-in
+    pure-Python decoders for the uncompressed formats (PPM/PGM P6/P5,
+    BMP 24/32-bit), so decoding is exercised end-to-end even in this
+    sandbox. Raises ValueError for payloads no available backend can
+    decode — the feature kernel treats that as 'not an image' and uses
+    the deterministic metadata path instead."""
     try:
         import io
 
         from PIL import Image  # type: ignore
-    except ImportError as e:  # pragma: no cover - sandbox has no PIL
-        raise NotImplementedError(
-            "image decoding needs PIL/pillow; use media_features() for "
-            "the metadata path or install pillow on the cluster image"
-        ) from e
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+        return Image.open(io.BytesIO(payload))  # pragma: no cover
+    except ImportError:
+        pass
+    payload = bytes(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(
+        "payload is not PPM/PGM/BMP and no PIL backend is installed"
+    )
 
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -99,9 +200,14 @@ def media_features_decoded(
     media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """The Arrow-batched decode path: same output schema, but the
-    width/height come from the (stub) decoder inside mapInPandas — the
-    slot where a real PIL/ffmpeg kernel plugs in on a cluster image.
-    Values equal media_features() by construction of the stub."""
+    width/height come from a REAL decoder inside mapInPandas — PIL
+    when installed, else the built-in pure-Python PPM/PGM/BMP decoders
+    (round 5; previously a stub). Payloads no backend can decode
+    (e.g. the text stand-ins in the bench tables) take the
+    deterministic sha-derived dims, which keeps this operator
+    value-equal to media_features() on non-image corpora — that
+    equality is what its oracle checks — while genuinely decoding any
+    real uncompressed image bytes present."""
 
     def run(batches):
         for pdf in batches:
@@ -109,7 +215,11 @@ def media_features_decoded(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
                 sha = hashlib.sha256(b).hexdigest()
-                w, h = _fake_dims(sha)
+                try:
+                    img = decode_image(b)
+                    w, h = int(img.width), int(img.height)
+                except (ValueError, NotImplementedError):
+                    w, h = _fake_dims(sha)
                 ids.append(int(i))
                 n_bytes.append(len(b))
                 shas.append(sha)

@@ -197,18 +197,76 @@ def test_frame_sample_shape(spark, sf_dir):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
 
 
-def test_decode_image_stub_raises(spark):
-    try:
-        import PIL  # noqa: F401
+def _make_bmp(width, height, px, top_down=False):
+    """Build a 24-bit uncompressed BMP from a row-major RGB pixel list."""
+    import struct
 
-        return  # cluster image with PIL: the stub is not exercised
-    except ImportError:
-        pass
-    try:
-        multimodal.decode_image(b"\x89PNG")
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+    stride = ((width * 3) + 3) & ~3
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for r in order:
+        row = b"".join(
+            bytes((b, g, rr)) for (rr, g, b) in px[r * width : (r + 1) * width]
+        )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, (-height if top_down else height), 1, 24, 0,
+        len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return hdr + pixel_data
+
+
+def test_decode_image_ppm_pgm_bmp():
+    """Round 5: decode_image really decodes the uncompressed formats
+    in-sandbox (no PIL needed); unsupported bytes raise ValueError."""
+    px = [(r * 16, c * 16, (r + c) % 256) for r in range(3) for c in range(7)]
+    # P6 PPM with a header comment
+    ppm = (b"P6\n# synthetic\n7 3\n255\n"
+           + b"".join(bytes(p) for p in px))
+    img = multimodal.decode_image(ppm)
+    assert (img.width, img.height, img.mode) == (7, 3, "RGB")
+    assert img.pixels == b"".join(bytes(p) for p in px)
+    # P5 PGM (grayscale)
+    pgm = b"P5\n4 2\n255\n" + bytes(range(8))
+    img = multimodal.decode_image(pgm)
+    assert (img.width, img.height, img.mode) == (4, 2, "L")
+    assert img.pixels == bytes(range(8))
+    # BMP bottom-up and top-down decode to the SAME row-major pixels
+    for top_down in (False, True):
+        img = multimodal.decode_image(_make_bmp(7, 3, px, top_down))
+        assert (img.width, img.height) == (7, 3)
+        assert img.pixels == b"".join(bytes(p) for p in px)
+    # strictness: code text that merely starts with the magic must not
+    # false-positive (it lacks a valid header + exact pixel payload)
+    for bad in (b"\x89PNG....", b"P6x = foo()\n", b"BMx = 1\n"):
+        try:
+            multimodal.decode_image(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+def test_media_features_decoded_real_image_dims(spark):
+    """A real BMP payload flows through the Arrow-batched kernel and
+    comes out with its TRUE dimensions (not the sha-derived stub)."""
+    import hashlib
+
+    px = [(9, 9, 9)] * (5 * 4)
+    bmp = _make_bmp(5, 4, px)
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"def f(): pass\n"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.media_features_decoded(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (5, 4)
+    assert rows[1]["payload_sha256"] == hashlib.sha256(bmp).hexdigest()
+    # non-image payload keeps the deterministic sha-derived dims
+    sha2 = hashlib.sha256(b"def f(): pass\n").hexdigest()
+    assert (rows[2]["width"], rows[2]["height"]) == multimodal._fake_dims(sha2)
 
 
 # --------------------------------------------------------------------------

@@ -164,6 +164,29 @@ def test_t2s_extension_table(spark):
     assert got == cases
 
 
+def test_t2s_round5_table_and_phrases(spark):
+    """Round-5 extension: chars OUTSIDE the former 1430-pair table
+    (radical-family completions and variant forms), the contextual
+    著->着 word layer (著 itself stays by default, like OpenCC), the
+    瀋陽 compositional phrase, and the 徵-as-zhǐ protection."""
+    cases = {
+        "持續發展": "持续发展",            # 續 was missing pre-r5
+        "關係範圍": "关系范围",            # 係 / 範 new
+        "準確的韻律": "准确的韵律",        # 準 / 韻 new
+        "鬍鬚與頭髮": "胡须与头发",        # 鬚 new
+        "鋼鐵鑄錠鍍鉻": "钢铁铸锭镀铬",    # 金-series (錠/鍍/鉻 pre-r5, sanity)
+        "詡詮誥謾": "诩诠诰谩",            # 言-series new
+        "顯著的執著": "显著的执著",        # 著 defaults to 著
+        "他著急地穿著衣著": "他着急地穿着衣着",  # word contexts -> 着
+        "瀋陽的瀋水": "沈阳的瀋水",        # phrase converts, bare 瀋 stays
+        "宮商角徵羽與徵兵": "宫商角徵羽与征兵",  # zhǐ protected, zhēng converts
+        "蘊藉與藉口": "蕴藉与借口",        # protective 蘊藉
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    got = {r["s"]: r["t"] for r in df.select("s", X.t2s("s").alias("t")).collect()}
+    assert got == cases
+
+
 def test_t2s_sql_matches_spark(spark):
     """The generated DuckDB expression is the bit-exact twin of the
     Spark conversion over a table-spanning sample."""

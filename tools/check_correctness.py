@@ -85,10 +85,15 @@ def _check_one(name, fn, sql, spark, sf_dir):
         return name, [f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows)"], True
     try:
         con = duckdb.connect()
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        duck_pdf = con.sql(sql).df()
-        con.close()
+        try:
+            for t in TABLES:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            duck_pdf = con.sql(sql).df()
+        finally:
+            # a raising query must not leak its connection — in
+            # --workers=8 sweeps repeated failures would pile up open
+            # connections (ADVICE r4)
+            con.close()
     except Exception as e:
         return name, [f"FAIL {name}: duckdb error: {e}"], False
     errs = compare(name, spark_pdf, duck_pdf)
