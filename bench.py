@@ -224,7 +224,19 @@ def scale_probe(cpus: int, n_files: int) -> None:
     # min = steady-state capacity; this VM's disk/CPU have bursts of
     # external noise that would otherwise dominate the comparison
     elapsed = min(times)
-    n_triples = _kg_job(spark, path).count()
+    # the triple count is a deterministic function of the corpus;
+    # computing it is a full extra job (~46 s at the 2-core level), so
+    # cache it beside the parquet and let every later probe read it
+    # (the underscore prefix keeps parquet readers from touching it)
+    count_file = Path(path) / "_TRIPLE_COUNT"
+    if count_file.exists():
+        n_triples = int(count_file.read_text())
+    else:
+        n_triples = _kg_job(spark, path).count()
+        try:
+            count_file.write_text(str(n_triples))
+        except OSError:
+            pass
     print(
         json.dumps(
             {"cpus": cpus, "sec": elapsed, "runs": [round(t, 2) for t in times],
@@ -497,11 +509,19 @@ def main() -> None:
         }
 
         # materialize the probe corpora while a session is up: 2M for
-        # the scaling pairs, 4M for the resume demo + saturation level
+        # the scaling pairs, 4M for the resume demo + saturation level;
+        # pre-compute each corpus's triple count here (32 cores, ~6 s)
+        # so no pinned probe subprocess pays it as a full extra job
+        def _prime(n_files: int) -> None:
+            path = _materialize_files(spark, n_files)
+            count_file = Path(path) / "_TRIPLE_COUNT"
+            if not count_file.exists():
+                count_file.write_text(str(_kg_job(spark, path).count()))
+
         if do_scaling:
-            _materialize_files(spark, PROBE_FILES)
+            _prime(PROBE_FILES)
         if do_resume or os.environ.get("SPARK_GRAFT_BENCH_SATURATION", "1") != "0":
-            _materialize_files(spark, SCALE_FILES)
+            _prime(SCALE_FILES)
     except BenchAbort as e:
         aborted = f"phase A/B: {e}"
         do_scaling = do_resume = False
