@@ -73,7 +73,7 @@ def char_split(col) -> Column:
 # no identity pairs). The reference shells out to OpenCC
 # (chinese_t2s.py:22); that dependency (and the network to fetch its
 # Apache-2.0 data files) is unavailable here, so the operator ships
-# this inline table (805 base + 532 + 93 + 501 extension pairs = 1931)
+# this inline table (805 base + 532 + 93 + 510 extension pairs = 1940)
 # plus the phrase layer below. A
 # full external OpenCC table drops in through the same two hooks
 # (`T2S_PHRASES` + the pair table) or relationally through
@@ -235,7 +235,10 @@ _T2S_PAIRS_4 = (
     "蹣蹒 蹺跷 躡蹑 躪躏 輇辁 醞酝 鄲郸 釅酽 隴陇 雋隽 霽霁 靄霭 靚靓 韁缰 韃鞑 韜韬 "
     "韻韵 颯飒 颶飓 颼飕 飆飙 髏髅 鬚须 魘魇 麩麸 麽么 黴霉 鼕冬 鼴鼹 齦龈 齲龋 齷龌 "
     "齪龊 龕龛 鼇鳌 鼈鳖 齧啮 嗆呛 嗇啬 嘍喽 嘖啧 愜惬 愴怆 愾忾 傚效 倣仿 枴拐 槨椁 "
-    "遙遥 搖摇 係系"
+    "遙遥 搖摇 係系 "
+    # adversarial-probe gap fill (round 5): both 跡 and 蹟 -> 迹, plus
+    # variant forms surfaced by common-word batteries
+    "跡迹 蹟迹 糉粽 巖岩 廡庑 氳氲 姪侄 脩修 痲麻"
 ).split()
 _T2S_PAIRS = _T2S_PAIRS + _T2S_PAIRS_2 + _T2S_PAIRS_3 + _T2S_PAIRS_4
 assert all(len(p) == 2 and p[0] != p[1] for p in _T2S_PAIRS)
@@ -300,7 +303,7 @@ def t2s(col) -> Column:
 
     OpenCC-shaped two-layer conversion, entirely native expressions
     (codegen, no Python): phrases first (longest match, each becomes a
-    literal replace into a placeholder), then the 1931-pair char-level
+    literal replace into a placeholder), then the 1940-pair char-level
     translate(), then placeholders resolve to their phrase outputs.
     The placeholder pass is what lets a protective phrase KEEP
     traditional chars the char table would otherwise convert.
